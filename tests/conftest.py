@@ -1,0 +1,10 @@
+"""Test config: run JAX on CPU with 8 virtual devices so multi-chip
+sharding tests work without TPU hardware (SURVEY.md §4: the x265 analog of
+'multi-node without a cluster')."""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()

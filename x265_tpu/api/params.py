@@ -1,0 +1,341 @@
+"""Encoder parameters: the x265_param analog.
+
+Mirrors the *product surface* of x265's parameter system
+(reference source/x265.h:744-1912 ``x265_param``; source/common/param.cpp:112
+``x265_param_default``; preset tables param.cpp:375-630) as a typed Python
+dataclass with the same layered resolution order:
+
+    defaults -> preset -> tune -> explicit options -> profile/level -> fixups
+
+Only options that the TPU engine currently honors are listed; unknown names
+passed to :func:`param_parse` raise ``KeyError`` (matching
+x265_param_parse's X265_PARAM_BAD_NAME behavior, param.cpp:778).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# --- enums (x265.h values kept where they are part of the product surface) ---
+
+I_SLICE, P_SLICE, B_SLICE = 2, 1, 0  # slice_type syntax values (HEVC spec 7.4.7.1)
+
+CSP_I400, CSP_I420, CSP_I422, CSP_I444 = 0, 1, 2, 3
+
+# Rate-control modes (x265.h X265_RC_METHOD)
+RC_ABR, RC_CQP, RC_CRF = 0, 1, 2
+
+PRESETS = (
+    "ultrafast", "superfast", "veryfast", "faster", "fast",
+    "medium", "slow", "slower", "veryslow", "placebo",
+)
+
+TUNES = ("psnr", "ssim", "grain", "zerolatency", "fastdecode", "animation")
+
+
+@dataclass
+class Param:
+    """Encoder configuration. Field groups follow x265_param's sections."""
+
+    # --- source description ---
+    width: int = 0
+    height: int = 0
+    fps_num: int = 25
+    fps_den: int = 1
+    csp: int = CSP_I420
+    bit_depth: int = 8           # internal depth (Main=8, Main10=10)
+    input_depth: int = 8
+
+    # --- coding tree / quad-tree ---
+    ctu_size: int = 64           # maxCUSize (16/32/64)
+    min_cu_size: int = 8
+    max_tu_size: int = 32
+    tu_intra_depth: int = 1      # max_transform_hierarchy_depth_intra + 1
+    tu_inter_depth: int = 1
+
+    # --- GOP structure ---
+    keyint: int = 250            # max keyframe interval
+    min_keyint: int = 0
+    bframes: int = 4
+    b_adapt: int = 2
+    b_pyramid: bool = True
+    open_gop: bool = True
+    rc_lookahead: int = 20
+    ref: int = 3                 # max L0 references
+
+    # --- analysis / RDO ---
+    rd_level: int = 3
+    intra_smoothing: bool = True  # strong_intra_smoothing_enabled_flag
+    early_skip: bool = False
+    fast_intra: bool = False
+    sub_me: int = 2
+    me_method: str = "hex"       # dia/hex/umh/star/sea/full
+    me_range: int = 57
+    rect: bool = False
+    amp: bool = False
+
+    # --- quantization / rate control ---
+    rc_mode: int = RC_CRF
+    qp: int = 32
+    crf: float = 28.0
+    bitrate: int = 0             # kbps (ABR)
+    vbv_bufsize: int = 0
+    vbv_maxrate: int = 0
+    aq_mode: int = 2
+    aq_strength: float = 1.0
+    cu_tree: bool = True
+    rdoq_level: int = 0
+    psy_rd: float = 2.0
+    lossless: bool = False
+    cb_qp_offset: int = 0
+    cr_qp_offset: int = 0
+    sign_hide: bool = True
+
+    # --- loop filters ---
+    deblock: bool = True
+    deblock_tc_offset: int = 0
+    deblock_beta_offset: int = 0
+    sao: bool = True
+
+    # --- slices / parallelism (TPU: mesh axes) ---
+    frame_parallelism: int = 1   # frames in flight (pipeline axis)
+    wpp: bool = True             # re-imagined: batched CTU diagonals
+    slices: int = 1
+    tiles: Tuple[int, int] = (1, 1)
+
+    # --- bitstream / SEI ---
+    annexb: bool = True
+    aud: bool = False
+    hrd: bool = False
+    repeat_headers: bool = False
+    decoded_picture_hash: int = 0  # 0=off 1=MD5 2=CRC 3=checksum
+    temporal_id_nesting: bool = True
+    vui_timing_info: bool = True
+
+    # --- profile/level ---
+    profile: str = ""            # "", "main", "main10", "main444-8" ...
+    level_idc: int = 0           # 0 = auto
+    high_tier: bool = False
+
+    # --- logging ---
+    log_level: int = 2
+    csv: str = ""
+    csv_log_level: int = 0
+
+    # --- resolved (derived) values, filled by check_params ---
+    total_frames: int = 0
+
+    # ---- derived helpers ----
+    @property
+    def ctb_log2(self) -> int:
+        return self.ctu_size.bit_length() - 1
+
+    @property
+    def min_cb_log2(self) -> int:
+        return self.min_cu_size.bit_length() - 1
+
+    @property
+    def pic_width_in_ctbs(self) -> int:
+        return (self.width + self.ctu_size - 1) // self.ctu_size
+
+    @property
+    def pic_height_in_ctbs(self) -> int:
+        return (self.height + self.ctu_size - 1) // self.ctu_size
+
+    def copy(self) -> "Param":
+        return dataclasses.replace(self)
+
+
+def param_default() -> Param:
+    """Defaults equivalent in intent to x265_param_default (param.cpp:112)."""
+    return Param()
+
+
+# Preset table: the speed/quality dial of x265 (param.cpp:390-560,
+# doc/reST/presets.rst:35-104). Values are the knobs the TPU engine honors.
+_PRESET_TABLE = {
+    #              ctu  bframes b_adapt rc_la ref rd  subme me      rect  amp   early rdoq aq
+    "ultrafast":  dict(ctu_size=32, bframes=3, b_adapt=0, rc_lookahead=5,  ref=1, rd_level=2, sub_me=0, me_method="dia", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=0, cu_tree=False, sao=False, deblock=False, tu_intra_depth=1, fast_intra=True),
+    "superfast":  dict(ctu_size=32, bframes=3, b_adapt=0, rc_lookahead=10, ref=1, rd_level=2, sub_me=1, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=0, cu_tree=False, sao=False, deblock=True,  tu_intra_depth=1, fast_intra=True),
+    "veryfast":   dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=2, rd_level=2, sub_me=1, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
+    "faster":     dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=2, rd_level=2, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
+    "fast":       dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=3, rd_level=2, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=False, rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
+    "medium":     dict(ctu_size=64, bframes=4, b_adapt=2, rc_lookahead=20, ref=3, rd_level=3, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=False, rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=False),
+    "slow":       dict(ctu_size=64, bframes=4, b_adapt=2, rc_lookahead=25, ref=4, rd_level=4, sub_me=3, me_method="star", rect=True, amp=False, early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=False),
+    "slower":     dict(ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=40, ref=5, rd_level=6, sub_me=4, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
+    "veryslow":   dict(ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=40, ref=5, rd_level=6, sub_me=4, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
+    "placebo":    dict(ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=60, ref=5, rd_level=6, sub_me=5, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
+}
+
+
+def param_default_preset(preset: str = "medium", tune: Optional[str] = None) -> Param:
+    """x265_param_default_preset analog (param.cpp:375)."""
+    p = param_default()
+    if preset:
+        if preset not in _PRESET_TABLE:
+            raise ValueError(f"unknown preset: {preset}")
+        for k, v in _PRESET_TABLE[preset].items():
+            setattr(p, k, v)
+    if tune:
+        if tune not in TUNES:
+            raise ValueError(f"unknown tune: {tune}")
+        if tune == "psnr":
+            p.aq_strength = 0.0
+            p.psy_rd = 0.0
+        elif tune == "ssim":
+            p.aq_mode = 2
+            p.psy_rd = 0.0
+        elif tune == "grain":
+            p.aq_mode = 0
+            p.psy_rd = 4.0
+            p.rdoq_level = 2
+        elif tune == "zerolatency":
+            p.bframes = 0
+            p.rc_lookahead = 0
+            p.frame_parallelism = 1
+            p.b_adapt = 0
+        elif tune == "fastdecode":
+            p.deblock = False
+            p.sao = False
+            p.sign_hide = False
+    return p
+
+
+# String option names (the x265 CLI/API names we support so far) -> setter.
+_OPT_ALIASES = {
+    "input-res": None,  # handled by CLI
+    "ctu": "ctu_size",
+    "min-cu-size": "min_cu_size",
+    "max-tu-size": "max_tu_size",
+    "tu-intra-depth": "tu_intra_depth",
+    "tu-inter-depth": "tu_inter_depth",
+    "keyint": "keyint",
+    "min-keyint": "min_keyint",
+    "bframes": "bframes",
+    "b-adapt": "b_adapt",
+    "open-gop": "open_gop",
+    "rc-lookahead": "rc_lookahead",
+    "ref": "ref",
+    "rd": "rd_level",
+    "subme": "sub_me",
+    "me": "me_method",
+    "merange": "me_range",
+    "rect": "rect",
+    "amp": "amp",
+    "early-skip": "early_skip",
+    "fast-intra": "fast_intra",
+    "strong-intra-smoothing": "intra_smoothing",
+    "qp": "qp",
+    "crf": "crf",
+    "bitrate": "bitrate",
+    "vbv-bufsize": "vbv_bufsize",
+    "vbv-maxrate": "vbv_maxrate",
+    "aq-mode": "aq_mode",
+    "aq-strength": "aq_strength",
+    "cutree": "cu_tree",
+    "rdoq-level": "rdoq_level",
+    "psy-rd": "psy_rd",
+    "lossless": "lossless",
+    "cbqpoffs": "cb_qp_offset",
+    "crqpoffs": "cr_qp_offset",
+    "signhide": "sign_hide",
+    "deblock": "deblock",
+    "sao": "sao",
+    "frame-threads": "frame_parallelism",
+    "wpp": "wpp",
+    "slices": "slices",
+    "annexb": "annexb",
+    "aud": "aud",
+    "hrd": "hrd",
+    "repeat-headers": "repeat_headers",
+    "hash": "decoded_picture_hash",
+    "profile": "profile",
+    "level-idc": "level_idc",
+    "high-tier": "high_tier",
+    "log-level": "log_level",
+    "csv": "csv",
+    "csv-log-level": "csv_log_level",
+    "fps": None,  # handled specially
+    "frames": "total_frames",
+}
+
+_BOOL_TRUE = {"1", "true", "yes", "on"}
+_BOOL_FALSE = {"0", "false", "no", "off"}
+
+
+def param_parse(p: Param, name: str, value: str = "1") -> None:
+    """x265_param_parse analog (param.cpp:778): set one option by CLI name.
+
+    Supports the ``no-`` prefix for booleans.
+    """
+    name = name.strip().lower()
+    if name.startswith("no-"):
+        name = name[3:]
+        value = "0"
+    if name == "fps":
+        if "/" in value:
+            n, d = value.split("/")
+            p.fps_num, p.fps_den = int(n), int(d)
+        else:
+            f = float(value)
+            if f == int(f):
+                p.fps_num, p.fps_den = int(f), 1
+            else:
+                p.fps_num, p.fps_den = int(round(f * 1000)), 1000
+        return
+    if name == "preset":
+        newp = param_default_preset(value)
+        for f_ in dataclasses.fields(Param):
+            setattr(p, f_.name, getattr(newp, f_.name))
+        return
+    if name not in _OPT_ALIASES or _OPT_ALIASES[name] is None:
+        raise KeyError(f"unknown option: {name}")
+    attr = _OPT_ALIASES[name]
+    cur = getattr(p, attr)
+    if isinstance(cur, bool):
+        v = value.strip().lower()
+        if v in _BOOL_TRUE:
+            setattr(p, attr, True)
+        elif v in _BOOL_FALSE:
+            setattr(p, attr, False)
+        else:
+            raise ValueError(f"bad boolean for {name}: {value}")
+    elif isinstance(cur, int):
+        setattr(p, attr, int(value))
+    elif isinstance(cur, float):
+        setattr(p, attr, float(value))
+    else:
+        setattr(p, attr, value)
+
+
+def check_params(p: Param) -> Param:
+    """Validate + apply implication fixups (x265_check_params param.cpp:1519
+    + Encoder::configure encoder.cpp:3484 equivalents)."""
+    if p.width <= 0 or p.height <= 0:
+        raise ValueError("width/height must be set")
+    if p.ctu_size not in (16, 32, 64):
+        raise ValueError("ctu_size must be 16/32/64")
+    if p.min_cu_size not in (8, 16, 32) or p.min_cu_size > p.ctu_size:
+        raise ValueError("bad min_cu_size")
+    if p.width % p.min_cu_size or p.height % p.min_cu_size:
+        # HEVC requires pic dims to be multiples of minCbSize; x265 pads via
+        # the conformance window. We support exact multiples of 8 for now.
+        if p.width % 8 or p.height % 8:
+            raise ValueError("width/height must be multiples of 8 (conformance window TODO)")
+    if p.bit_depth not in (8, 10):
+        raise ValueError("bit_depth must be 8 or 10")
+    if p.lossless:
+        p.rc_mode = RC_CQP
+        p.qp = 4              # lambda source for RDO (doc/reST/lossless.rst:43-45)
+        p.rdoq_level = 0
+        p.sao = False
+        p.deblock = False
+        p.sign_hide = False
+        p.aq_mode = 0
+        p.cu_tree = False
+    if p.csp != CSP_I420:
+        raise ValueError("only 4:2:0 supported so far")
+    if not p.profile:
+        p.profile = "main" if p.bit_depth == 8 else "main10"
+    return p
