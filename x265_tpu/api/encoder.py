@@ -1,0 +1,132 @@
+"""Top-level encoder API (x265_encoder_open/encode/close analog,
+reference source/encoder/api.cpp:76,410 and encoder.cpp:1574).
+
+Round-1 scope: all-intra (I slices only), lossless (transquant bypass) and
+CQP transform paths, single slice per picture, Annex-B output.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from x265_tpu.api.params import Param, check_params
+from x265_tpu.engine.ctu_writer import FrameDecisions, FrameSyntaxWriter
+from x265_tpu.engine.mode_decision import decide_intra_frame
+from x265_tpu.hevc.bitstream import (
+    annexb, make_nal, NAL_IDR_W_RADL, NAL_VPS, NAL_SPS, NAL_PPS,
+)
+from x265_tpu.hevc.headers import (
+    PPS, SPS, VPS, ProfileTierLevel, SliceHeader, SLICE_I,
+    write_pps, write_sps, write_vps, write_slice_header,
+)
+
+
+def _level_for(width: int, height: int, fps: float) -> int:
+    """Pick a general_level_idc (spec A.4 main-tier luma sample limits)."""
+    ls = width * height
+    rate = ls * fps
+    table = [  # (level_idc, MaxLumaPs, MaxLumaSr)
+        (30, 36864, 552960), (60, 122880, 3686400), (63, 245760, 7372800),
+        (90, 552960, 16588800), (93, 983040, 33177600),
+        (120, 2228224, 66846720), (123, 2228224, 133693440),
+        (150, 8912896, 267386880), (153, 8912896, 534773760),
+        (156, 8912896, 1069547520), (180, 35651584, 1069547520),
+        (183, 35651584, 2139095040), (186, 35651584, 4278190080),
+    ]
+    for idc, max_ps, max_sr in table:
+        if ls <= max_ps and rate <= max_sr:
+            return idc
+    return 186
+
+
+class Encoder:
+    def __init__(self, param: Param):
+        self.param = check_params(param.copy())
+        p = self.param
+        fps = p.fps_num / max(1, p.fps_den)
+        ptl = ProfileTierLevel(
+            profile_idc=2 if p.bit_depth == 10 else 1,
+            tier_flag=1 if p.high_tier else 0,
+            level_idc=p.level_idc or _level_for(p.width, p.height, fps),
+        )
+        self.vps = VPS(max_dec_pic_buffering=1, num_reorder_pics=0, ptl=ptl)
+        self.sps = SPS(
+            chroma_format_idc=1,
+            width=p.width, height=p.height,
+            bit_depth=p.bit_depth,
+            log2_max_poc_lsb=8,
+            max_dec_pic_buffering=1,
+            num_reorder_pics=0,
+            log2_min_cb=p.min_cb_log2,
+            log2_diff_max_min_cb=p.ctb_log2 - p.min_cb_log2,
+            log2_min_tb=2,
+            log2_diff_max_min_tb=min(p.ctb_log2, 5) - 2,
+            max_transform_hierarchy_depth_inter=p.tu_inter_depth - 1,
+            max_transform_hierarchy_depth_intra=p.tu_intra_depth - 1,
+            amp_enabled=p.amp,
+            sao_enabled=p.sao,
+            strong_intra_smoothing=p.intra_smoothing,
+            vui_present=p.vui_timing_info,
+            fps_num=p.fps_num, fps_den=p.fps_den,
+            ptl=ptl,
+        )
+        self.pps = PPS(
+            sign_data_hiding=p.sign_hide and not p.lossless,
+            init_qp=26,
+            cb_qp_offset=p.cb_qp_offset,
+            cr_qp_offset=p.cr_qp_offset,
+            transquant_bypass_enabled=p.lossless,
+            deblocking_filter_control_present=not p.deblock,
+            deblocking_filter_disabled=not p.deblock,
+            loop_filter_across_slices=True,
+        )
+        self.poc = 0
+        self.frame_count = 0
+
+    # -- public API --
+
+    def headers(self) -> bytes:
+        """x265_encoder_headers analog: VPS/SPS/PPS as one Annex-B chunk."""
+        return annexb([
+            make_nal(NAL_VPS, write_vps(self.vps)),
+            make_nal(NAL_SPS, write_sps(self.sps)),
+            make_nal(NAL_PPS, write_pps(self.pps)),
+        ])
+
+    def encode_frame(self, y: np.ndarray, cb: np.ndarray,
+                     cr: np.ndarray,
+                     decisions: Optional[FrameDecisions] = None) -> bytes:
+        """Encode one picture -> Annex-B access unit bytes (slice NAL)."""
+        p = self.param
+        assert y.shape == (p.height, p.width), y.shape
+        sh = SliceHeader(
+            first_slice_in_pic=True,
+            slice_type=SLICE_I,
+            qp=p.qp,
+        )
+        if decisions is None:
+            cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+            decisions = decide_intra_frame(
+                np.asarray(y), p.width, p.height, p.ctb_log2,
+                cu_log2=cu_log2,
+                strong_smoothing=p.intra_smoothing,
+                bit_depth=p.bit_depth)
+        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
+        slice_data = writer.encode_slice_data(
+            np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+        hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
+        rbsp = hdr_bw.data() + slice_data
+        nal = make_nal(NAL_IDR_W_RADL, rbsp)
+        self.poc += 1
+        self.frame_count += 1
+        self._last_recon = (writer.y, writer.cb, writer.cr)
+        return annexb([nal])
+
+    def encode(self, frames) -> bytes:
+        """Encode an iterable of (y, cb, cr) frames; returns full stream."""
+        out = [self.headers()]
+        for (y, cb, cr) in frames:
+            out.append(self.encode_frame(y, cb, cr))
+        return b"".join(out)

@@ -1,0 +1,376 @@
+"""In-repo reference HEVC decoder (verification asset).
+
+Decodes the subset of HEVC the encoder emits (growing with it), so that
+every encoded stream can be validated without an external decoder — and,
+inversely, streams produced by the reference x265 binary validate this
+decoder's (and thus the shared tables'/syntax's) spec conformance.
+Mirrors the test strategy of SURVEY.md §4 (regression suites decode-verify
+every bitstream).
+
+Currently supported: Main profile 4:2:0 8/10-bit, I slices (all intra),
+transquant bypass (lossless) and regular transform path, part 2Nx2N + NxN,
+full RQT, mode-dependent scans, sign-data hiding, transform skip.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from x265_tpu.hevc.bitstream import (
+    split_annexb, strip_emulation_prevention,
+    NAL_VPS, NAL_SPS, NAL_PPS, NAL_AUD, NAL_PREFIX_SEI, NAL_SUFFIX_SEI,
+    NAL_EOS, NAL_EOB, NAL_FD,
+)
+from x265_tpu.hevc.cabac import CabacDecoder
+from x265_tpu.hevc.headers import (
+    SPS, PPS, SliceHeader, parse_vps, parse_sps, parse_pps,
+    parse_slice_header, SLICE_I, SLICE_P, SLICE_B, is_idr,
+)
+from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.residual import decode_residual
+from x265_tpu.hevc.tables import CTX_OFF, chroma_qp, coeff_scan_index
+from x265_tpu.ops.ref.intra import predict_block
+from x265_tpu.ops.ref.transform import (
+    dequantize, inverse_transform, transform_skip_residual,
+)
+
+INTRA_DM_CHROMA = 36  # marker: derive from luma
+
+
+@dataclass
+class DecodedPicture:
+    poc: int
+    y: np.ndarray
+    cb: np.ndarray
+    cr: np.ndarray
+
+
+class PictureDecodeState:
+    """Per-picture working state (the decoder-side CUData analog)."""
+
+    def __init__(self, sps: SPS):
+        self.sps = sps
+        h, w = sps.height, sps.width
+        self.y = np.zeros((h, w), dtype=np.int32)
+        self.cb = np.zeros((h // 2, w // 2), dtype=np.int32)
+        self.cr = np.zeros((h // 2, w // 2), dtype=np.int32)
+        h4, w4 = (h + 3) // 4, (w + 3) // 4
+        self.avail4 = np.zeros((h4, w4), dtype=bool)
+        self.intra_mode4 = np.full((h4, w4), -1, dtype=np.int32)
+        self.depth4 = np.zeros((h4, w4), dtype=np.int32)
+        self.is_intra4 = np.zeros((h4, w4), dtype=bool)
+
+
+class SliceDecoder:
+    """Decodes one independent slice segment of an I picture."""
+
+    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, data: bytes):
+        self.sps = sps
+        self.pps = pps
+        self.sh = sh
+        self.cab = CabacDecoder(data)
+        init_type = {SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[sh.slice_type]
+        if pps.cabac_init_present and sh.cabac_init_flag and sh.slice_type != SLICE_I:
+            init_type = 3 - init_type
+        self.cab.init_slice(init_type, sh.qp)
+        self.bd = sps.bit_depth
+        self.qp_y = sh.qp
+
+    def decode(self, pic: PictureDecodeState) -> None:
+        sps = self.sps
+        ctb = sps.ctb_size
+        w_ctbs = sps.pic_width_in_ctbs
+        n_ctbs = w_ctbs * sps.pic_height_in_ctbs
+        addr = self.sh.segment_address
+        while True:
+            x0 = (addr % w_ctbs) * ctb
+            y0 = (addr // w_ctbs) * ctb
+            self._coding_quadtree(pic, x0, y0, sps.ctb_log2, 0)
+            addr += 1
+            end = self.cab.decode_bin_trm()
+            if end or addr >= n_ctbs:
+                break
+
+    # ---- coding tree ----
+
+    def _coding_quadtree(self, pic, x0, y0, log2_cb, depth) -> None:
+        sps = self.sps
+        size = 1 << log2_cb
+        inside = x0 + size <= sps.width and y0 + size <= sps.height
+        if inside and log2_cb > sps.log2_min_cb:
+            ctx = CTX_OFF["split_cu"] + self._split_ctx(pic, x0, y0, depth)
+            split = self.cab.decode_bin(ctx)
+        else:
+            split = 1 if log2_cb > sps.log2_min_cb else 0
+        if split:
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < sps.width and y1 < sps.height:
+                    self._coding_quadtree(pic, x1, y1, log2_cb - 1, depth + 1)
+        else:
+            self._coding_unit(pic, x0, y0, log2_cb, depth)
+
+    def _split_ctx(self, pic, x0, y0, depth) -> int:
+        ctx = 0
+        if x0 > 0 and pic.avail4[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1 if pic.depth4[y0 >> 2, (x0 - 1) >> 2] > depth else 0
+        if y0 > 0 and pic.avail4[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1 if pic.depth4[(y0 - 1) >> 2, x0 >> 2] > depth else 0
+        return ctx
+
+    # ---- coding unit (intra only) ----
+
+    def _coding_unit(self, pic, x0, y0, log2_cb, depth) -> None:
+        sps, pps = self.sps, self.pps
+        cab = self.cab
+        size = 1 << log2_cb
+
+        tqb = 0
+        if pps.transquant_bypass_enabled:
+            tqb = cab.decode_bin(CTX_OFF["cu_transquant_bypass"])
+        if self.sh.slice_type != SLICE_I:
+            raise NotImplementedError("inter decode")
+
+        part_nxn = False
+        if log2_cb == sps.log2_min_cb:
+            part_nxn = cab.decode_bin(CTX_OFF["part_mode"]) == 0
+
+        n_pbs = 4 if part_nxn else 1
+        pb_size = size >> 1 if part_nxn else size
+        prev_flags = [cab.decode_bin(CTX_OFF["prev_intra_luma_pred"])
+                      for _ in range(n_pbs)]
+        luma_modes = []
+        for i in range(n_pbs):
+            dx = (i & 1) * pb_size
+            dy = (i >> 1) * pb_size
+            cands = mpm_list(pic.intra_mode4, pic.is_intra4, pic.avail4,
+                             x0 + dx, y0 + dy, self.sps.ctb_size)
+            if prev_flags[i]:
+                idx = 0
+                if cab.decode_bin_ep():
+                    idx = 1 + cab.decode_bin_ep()
+                mode = cands[idx]
+            else:
+                rem = cab.decode_bins_ep(5)
+                s = sorted(cands)
+                for c in s:
+                    if rem >= c:
+                        rem += 1
+                mode = rem
+            luma_modes.append(mode)
+            # record modes for future MPM derivation
+            pic.intra_mode4[(y0 + dy) >> 2:(y0 + dy + pb_size) >> 2,
+                            (x0 + dx) >> 2:(x0 + dx + pb_size) >> 2] = mode
+            pic.is_intra4[(y0 + dy) >> 2:(y0 + dy + pb_size) >> 2,
+                          (x0 + dx) >> 2:(x0 + dx + pb_size) >> 2] = True
+        pic.depth4[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = depth
+
+        # chroma mode (one for the CU in 4:2:0)
+        if cab.decode_bin(CTX_OFF["intra_chroma_pred"]):
+            m = cab.decode_bins_ep(2)
+            chroma_mode = chroma_cand_list(luma_modes[0])[m]
+        else:
+            chroma_mode = luma_modes[0]
+
+        ctx = _CuCtx(tqb=bool(tqb), luma_modes=luma_modes,
+                     chroma_mode=chroma_mode, part_nxn=part_nxn,
+                     cu_x=x0, cu_y=y0, log2_cb=log2_cb)
+        # transform tree
+        max_depth = sps.max_transform_hierarchy_depth_intra + (1 if part_nxn else 0)
+        self._transform_tree(pic, ctx, x0, y0, x0, y0, log2_cb, 0, 0,
+                             max_depth, 1, 1)
+
+    # ---- transform tree ----
+
+    def _transform_tree(self, pic, cu, x0, y0, x_base, y_base, log2_tb,
+                        depth, blk_idx, max_depth, cbf_cb_parent, cbf_cr_parent):
+        sps, cab = self.sps, self.cab
+        intra_split = cu.part_nxn
+        max_tb = sps.log2_min_tb + sps.log2_diff_max_min_tb
+        if (log2_tb <= max_tb and log2_tb > sps.log2_min_tb and
+                depth < max_depth and not (intra_split and depth == 0)):
+            split = cab.decode_bin(CTX_OFF["split_transform"] + (5 - log2_tb))
+        else:
+            split = 1 if (log2_tb > max_tb or (intra_split and depth == 0)) else 0
+
+        cbf_cb = cbf_cb_parent
+        cbf_cr = cbf_cr_parent
+        if log2_tb > 2:
+            if depth == 0 or cbf_cb_parent:
+                cbf_cb = cab.decode_bin(CTX_OFF["cbf_chroma"] + depth)
+            else:
+                cbf_cb = 0
+            if depth == 0 or cbf_cr_parent:
+                cbf_cr = cab.decode_bin(CTX_OFF["cbf_chroma"] + depth)
+            else:
+                cbf_cr = 0
+
+        if split:
+            half = 1 << (log2_tb - 1)
+            for i, (dx, dy) in enumerate(((0, 0), (half, 0), (0, half), (half, half))):
+                self._transform_tree(pic, cu, x0 + dx, y0 + dy, x0, y0,
+                                     log2_tb - 1, depth + 1, i, max_depth,
+                                     cbf_cb, cbf_cr)
+            return
+
+        # leaf: cbf_luma (intra: always coded)
+        cbf_luma = cab.decode_bin(CTX_OFF["cbf_luma"] + (1 if depth == 0 else 0))
+        self._transform_unit(pic, cu, x0, y0, x_base, y_base, log2_tb,
+                             depth, blk_idx, cbf_luma, cbf_cb, cbf_cr)
+
+    def _transform_unit(self, pic, cu, x0, y0, x_base, y_base, log2_tb,
+                        depth, blk_idx, cbf_luma, cbf_cb, cbf_cr):
+        sps, pps, cab = self.sps, self.pps, self.cab
+        nt = 1 << log2_tb
+
+        # luma intra mode for this TB
+        if cu.part_nxn and (1 << cu.log2_cb) > nt * 2:
+            raise ValueError("bad NxN geometry")
+        if cu.part_nxn and log2_tb == cu.log2_cb - 1:
+            mode = cu.luma_modes[blk_idx]
+        else:
+            mode = cu.luma_modes[0]
+
+        # ---- luma: predict, decode residual, reconstruct ----
+        pred = predict_block(pic.y, pic.avail4, x0, y0, nt, mode, 0,
+                             sps.strong_intra_smoothing, self.bd)
+        if cbf_luma:
+            resi = self._decode_tb_residual(cu, log2_tb, 0, mode)
+        else:
+            resi = 0
+        maxv = (1 << self.bd) - 1
+        pic.y[y0:y0 + nt, x0:x0 + nt] = np.clip(pred + resi, 0, maxv)
+        pic.avail4[y0 >> 2:(y0 + nt) >> 2, x0 >> 2:(x0 + nt) >> 2] = True
+
+        # ---- chroma ----
+        if log2_tb > 2:
+            self._reconstruct_chroma(pic, cu, x0, y0, log2_tb - 1,
+                                     cbf_cb, cbf_cr)
+        elif blk_idx == 3:
+            self._reconstruct_chroma(pic, cu, x_base, y_base, 2,
+                                     cbf_cb, cbf_cr)
+
+    def _reconstruct_chroma(self, pic, cu, x0, y0, log2_c, cbf_cb, cbf_cr):
+        nt = 1 << log2_c
+        xc, yc = x0 >> 1, y0 >> 1
+        cmode = cu.chroma_mode
+        maxv = (1 << self.bd) - 1
+        for plane, cbf, c_idx in ((pic.cb, cbf_cb, 1), (pic.cr, cbf_cr, 2)):
+            pred = _predict_chroma(plane, pic.avail4, xc, yc, nt, cmode,
+                                   self.bd)
+            if cbf:
+                resi = self._decode_tb_residual(cu, log2_c, c_idx, cmode)
+            else:
+                resi = 0
+            plane[yc:yc + nt, xc:xc + nt] = np.clip(pred + resi, 0, maxv)
+
+    def _decode_tb_residual(self, cu, log2, c_idx, mode) -> np.ndarray:
+        pps = self.pps
+        cab = self.cab
+        ts = 0
+        if (pps.transform_skip_enabled and not cu.tqb and log2 == 2):
+            off = CTX_OFF["transform_skip_luma" if c_idx == 0 else
+                          "transform_skip_chroma"]
+            ts = cab.decode_bin(off)
+        scan_idx = coeff_scan_index(log2, c_idx, mode, True)
+        coeff = decode_residual(cab, log2, c_idx, scan_idx,
+                                sign_hiding=pps.sign_data_hiding,
+                                transquant_bypass=cu.tqb)
+        if cu.tqb:
+            return coeff
+        if c_idx == 0:
+            qp = self.qp_y
+        else:
+            off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            qp = chroma_qp(self.qp_y, off, self.bd)
+        deq = dequantize(coeff, qp, log2, self.bd)
+        if ts:
+            return transform_skip_residual(deq, self.bd)
+        use_dst = (c_idx == 0 and log2 == 2)  # intra luma 4x4
+        return inverse_transform(deq, use_dst, self.bd)
+
+
+def _predict_chroma(plane, avail4_luma, xc, yc, nt, mode, bd):
+    """Chroma intra prediction: same process, luma-coord availability."""
+    from x265_tpu.ops.ref.intra import get_ref_samples, predict
+
+    # availability map in chroma coords at 4x4-chroma granularity is
+    # derived by sampling the luma map at (2x, 2y)
+    h, w = plane.shape
+    h4, w4 = (h + 3) // 4, (w + 3) // 4
+    avail_c = np.zeros((h4, w4), dtype=bool)
+    ys = np.minimum(np.arange(h4) * 8 // 4, avail4_luma.shape[0] - 1)
+    xs = np.minimum(np.arange(w4) * 8 // 4, avail4_luma.shape[1] - 1)
+    avail_c[:, :] = avail4_luma[np.ix_(ys, xs)]
+    ref = get_ref_samples(plane, avail_c, xc, yc, nt, bd)
+    return predict(ref, nt, mode, 1, bd)
+
+
+@dataclass
+class _CuCtx:
+    tqb: bool
+    luma_modes: List[int]
+    chroma_mode: int
+    part_nxn: bool
+    cu_x: int
+    cu_y: int
+    log2_cb: int
+
+
+class HEVCDecoder:
+    """Top-level decoder: Annex-B stream -> list of DecodedPicture."""
+
+    def __init__(self) -> None:
+        self.sps: Dict[int, SPS] = {}
+        self.pps: Dict[int, PPS] = {}
+
+    def decode(self, stream: bytes) -> List[DecodedPicture]:
+        pictures: List[DecodedPicture] = []
+        cur_pic: Optional[PictureDecodeState] = None
+        poc = 0
+        for nal in split_annexb(stream):
+            if len(nal) < 2:
+                continue
+            nal_type = (nal[0] >> 1) & 0x3F
+            rbsp = strip_emulation_prevention(nal[2:])
+            if nal_type == NAL_VPS:
+                parse_vps(rbsp)
+            elif nal_type == NAL_SPS:
+                s = parse_sps(rbsp)
+                self.sps[s.sps_id] = s
+            elif nal_type == NAL_PPS:
+                p = parse_pps(rbsp)
+                self.pps[p.pps_id] = p
+            elif nal_type in (NAL_AUD, NAL_PREFIX_SEI, NAL_SUFFIX_SEI,
+                              NAL_EOS, NAL_EOB, NAL_FD):
+                continue
+            elif nal_type < 32:
+                # slice NAL — parse header with the (single) known PPS/SPS
+                pps0 = next(iter(self.pps.values()))
+                sps0 = self.sps[pps0.sps_id]
+                sh, off = parse_slice_header(rbsp, nal_type, sps0, pps0)
+                pps = self.pps[sh.pps_id]
+                sps = self.sps[pps.sps_id]
+                if sh.first_slice_in_pic:
+                    if cur_pic is not None:
+                        pictures.append(self._emit(cur_pic, poc))
+                        poc += 1
+                    cur_pic = PictureDecodeState(sps)
+                sd = SliceDecoder(sps, pps, sh, rbsp[off:])
+                sd.decode(cur_pic)
+        if cur_pic is not None:
+            pictures.append(self._emit(cur_pic, poc))
+        return pictures
+
+    @staticmethod
+    def _emit(pic: PictureDecodeState, poc: int) -> DecodedPicture:
+        return DecodedPicture(poc=poc, y=pic.y.copy(), cb=pic.cb.copy(),
+                              cr=pic.cr.copy())
+
+
+def decode_file(path: str) -> List[DecodedPicture]:
+    with open(path, "rb") as f:
+        return HEVCDecoder().decode(f.read())

@@ -1,0 +1,265 @@
+"""Serial CABAC finalizer: decision tensors -> slice-data bytes.
+
+This is the encoder half of the split that defines the whole framework
+(SURVEY.md §7.1 "split decision-math from bit-math"): all pixel math and
+mode decisions happen in batched TPU computation (x265 analog:
+Analysis::compressCTU); this writer only *re-derives deterministic state*
+(predictions, residuals, reconstruction) and emits syntax (x265 analog:
+Entropy::encodeCTU, frameencoder.cpp:1533).
+
+The writer walks the CU quadtree given by the decision maps and must stay
+bin-exact with x265_tpu.decoder — both share tables, MPM derivation and
+residual syntax helpers.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from x265_tpu.hevc.cabac import CabacEncoder
+from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.headers import PPS, SPS, SliceHeader, SLICE_I
+from x265_tpu.hevc.residual import encode_residual
+from x265_tpu.hevc.tables import CTX_OFF, SCANS, chroma_qp, coeff_scan_index
+from x265_tpu.ops.ref.intra import predict_block, get_ref_samples, predict
+from x265_tpu.ops.ref.transform import (
+    forward_transform, quantize, dequantize, inverse_transform,
+    sign_bit_hiding_adjust,
+)
+
+
+@dataclass
+class FrameDecisions:
+    """Decision tensors from the analysis stage.
+
+    cu_log2_map:  [H/8, W/8] int — log2 size of the chosen CU covering each
+                  8x8 luma block (uniform within a CU's footprint).
+    luma_mode8:   [H/8, W/8] int — intra mode of the CU covering the block.
+    chroma_mode8: optional [H/8, W/8] int — explicit chroma mode per CU, or
+                  None for derived (DM) everywhere.
+    """
+    cu_log2_map: np.ndarray
+    luma_mode8: np.ndarray
+    chroma_mode8: Optional[np.ndarray] = None
+
+
+class FrameSyntaxWriter:
+    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, lossless: bool):
+        self.sps, self.pps, self.sh = sps, pps, sh
+        self.lossless = lossless
+        self.bd = sps.bit_depth
+        self.qp_y = sh.qp
+
+    def encode_slice_data(self, src_y: np.ndarray, src_cb: np.ndarray,
+                          src_cr: np.ndarray, dec: FrameDecisions) -> bytes:
+        sps = self.sps
+        h, w = sps.height, sps.width
+        self.dec = dec
+        # reconstruction state (lossless => recon == source, but we keep the
+        # full loop so the CQP path works identically)
+        self.y = np.zeros((h, w), dtype=np.int32)
+        self.cb = np.zeros((h // 2, w // 2), dtype=np.int32)
+        self.cr = np.zeros((h // 2, w // 2), dtype=np.int32)
+        self.src = {0: src_y.astype(np.int32), 1: src_cb.astype(np.int32),
+                    2: src_cr.astype(np.int32)}
+        h4, w4 = (h + 3) // 4, (w + 3) // 4
+        self.avail4 = np.zeros((h4, w4), dtype=bool)
+        self.intra_mode4 = np.full((h4, w4), -1, dtype=np.int32)
+        self.is_intra4 = np.zeros((h4, w4), dtype=bool)
+        self.depth4 = np.zeros((h4, w4), dtype=np.int32)
+
+        cab = CabacEncoder()
+        cab.init_slice({SLICE_I: 0}[self.sh.slice_type], self.sh.qp)
+        self.cab = cab
+
+        ctb = sps.ctb_size
+        n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
+        for addr in range(n_ctbs):
+            x0 = (addr % sps.pic_width_in_ctbs) * ctb
+            y0 = (addr // sps.pic_width_in_ctbs) * ctb
+            self._coding_quadtree(x0, y0, sps.ctb_log2, 0)
+            cab.encode_bin_trm(1 if addr == n_ctbs - 1 else 0)
+        return cab.finish()
+
+    # ---- quadtree ----
+
+    def _coding_quadtree(self, x0, y0, log2_cb, depth) -> None:
+        sps = self.sps
+        size = 1 << log2_cb
+        inside = x0 + size <= sps.width and y0 + size <= sps.height
+        want_split = int(self.dec.cu_log2_map[y0 >> 3, x0 >> 3]) < log2_cb
+        if inside and log2_cb > sps.log2_min_cb:
+            ctx = CTX_OFF["split_cu"] + self._split_ctx(x0, y0, depth)
+            self.cab.encode_bin(ctx, 1 if want_split else 0)
+            split = want_split
+        else:
+            split = log2_cb > sps.log2_min_cb
+        if split:
+            half = size >> 1
+            for (dx, dy) in ((0, 0), (half, 0), (0, half), (half, half)):
+                x1, y1 = x0 + dx, y0 + dy
+                if x1 < sps.width and y1 < sps.height:
+                    self._coding_quadtree(x1, y1, log2_cb - 1, depth + 1)
+        else:
+            self._coding_unit(x0, y0, log2_cb, depth)
+
+    def _split_ctx(self, x0, y0, depth) -> int:
+        ctx = 0
+        if x0 > 0 and self.avail4[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1 if self.depth4[y0 >> 2, (x0 - 1) >> 2] > depth else 0
+        if y0 > 0 and self.avail4[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1 if self.depth4[(y0 - 1) >> 2, x0 >> 2] > depth else 0
+        return ctx
+
+    # ---- coding unit ----
+
+    def _coding_unit(self, x0, y0, log2_cb, depth) -> None:
+        sps, pps, cab = self.sps, self.pps, self.cab
+        size = 1 << log2_cb
+
+        if pps.transquant_bypass_enabled:
+            cab.encode_bin(CTX_OFF["cu_transquant_bypass"],
+                           1 if self.lossless else 0)
+        if log2_cb == sps.log2_min_cb:
+            cab.encode_bin(CTX_OFF["part_mode"], 1)  # 2Nx2N
+
+        mode = int(self.dec.luma_mode8[y0 >> 3, x0 >> 3])
+        cands = mpm_list(self.intra_mode4, self.is_intra4, self.avail4,
+                         x0, y0, sps.ctb_size)
+        if mode in cands:
+            idx = cands.index(mode)
+            cab.encode_bin(CTX_OFF["prev_intra_luma_pred"], 1)
+            if idx == 0:
+                cab.encode_bin_ep(0)
+            else:
+                cab.encode_bin_ep(1)
+                cab.encode_bin_ep(idx - 1)
+        else:
+            cab.encode_bin(CTX_OFF["prev_intra_luma_pred"], 0)
+            rem = mode
+            for c in sorted(cands, reverse=True):
+                if rem > c:
+                    rem -= 1
+            cab.encode_bins_ep(rem, 5)
+
+        self.intra_mode4[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = mode
+        self.is_intra4[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = True
+        self.depth4[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = depth
+
+        # chroma mode: DM (derived) or explicit from decisions
+        chroma_mode = mode
+        if self.dec.chroma_mode8 is not None:
+            cm = int(self.dec.chroma_mode8[y0 >> 3, x0 >> 3])
+            if cm == mode:
+                cab.encode_bin(CTX_OFF["intra_chroma_pred"], 0)
+            else:
+                cand = chroma_cand_list(mode)
+                idx = cand.index(cm)
+                cab.encode_bin(CTX_OFF["intra_chroma_pred"], 1)
+                cab.encode_bins_ep(idx, 2)
+                chroma_mode = cm
+        else:
+            cab.encode_bin(CTX_OFF["intra_chroma_pred"], 0)
+
+        # transform tree: TU == CU (max hierarchy depth 0, 2Nx2N)
+        self._transform_tree_leaf(x0, y0, log2_cb, mode, chroma_mode)
+
+    def _transform_tree_leaf(self, x0, y0, log2_tb, mode, chroma_mode=None) -> None:
+        """Single-TU transform tree (split inferred 0; max TB >= CU size)."""
+        if chroma_mode is None:
+            chroma_mode = mode
+        sps, cab = self.sps, self.cab
+        max_tb = sps.log2_min_tb + sps.log2_diff_max_min_tb
+        assert log2_tb <= max_tb, "CU larger than max TB needs RQT split"
+        # no split_transform_flag (MaxTrafoDepth intra == 0 => not present)
+        nt = 1 << log2_tb
+
+        # compute chroma first (cbf_cb/cr are coded before cbf_luma)
+        cb_coeff, cb_resi = self._tb_coeffs(1, x0 >> 1, y0 >> 1, log2_tb - 1, chroma_mode)
+        cr_coeff, cr_resi = self._tb_coeffs(2, x0 >> 1, y0 >> 1, log2_tb - 1, chroma_mode)
+        y_coeff, y_resi = self._tb_coeffs(0, x0, y0, log2_tb, mode)
+        cbf_cb = 1 if np.any(cb_coeff) else 0
+        cbf_cr = 1 if np.any(cr_coeff) else 0
+        cbf_luma = 1 if np.any(y_coeff) else 0
+
+        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
+        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
+        cab.encode_bin(CTX_OFF["cbf_luma"] + 1, cbf_luma)
+
+        pps = self.pps
+        if cbf_luma:
+            scan = coeff_scan_index(log2_tb, 0, mode, True)
+            encode_residual(cab, y_coeff, log2_tb, 0, scan,
+                            sign_hiding=pps.sign_data_hiding,
+                            transquant_bypass=self.lossless)
+        if cbf_cb:
+            scan = coeff_scan_index(log2_tb - 1, 1, chroma_mode, True)
+            encode_residual(cab, cb_coeff, log2_tb - 1, 1, scan,
+                            sign_hiding=pps.sign_data_hiding,
+                            transquant_bypass=self.lossless)
+        if cbf_cr:
+            scan = coeff_scan_index(log2_tb - 1, 2, chroma_mode, True)
+            encode_residual(cab, cr_coeff, log2_tb - 1, 2, scan,
+                            sign_hiding=pps.sign_data_hiding,
+                            transquant_bypass=self.lossless)
+
+        # reconstruct + update availability
+        self._reconstruct(0, x0, y0, log2_tb, mode, y_resi)
+        self._reconstruct(1, x0 >> 1, y0 >> 1, log2_tb - 1, chroma_mode, cb_resi)
+        self._reconstruct(2, x0 >> 1, y0 >> 1, log2_tb - 1, chroma_mode, cr_resi)
+        self.avail4[y0 >> 2:(y0 + nt) >> 2, x0 >> 2:(x0 + nt) >> 2] = True
+
+    def _plane(self, c_idx):
+        return (self.y, self.cb, self.cr)[c_idx]
+
+    def _avail_chroma(self):
+        h, w = self.cb.shape
+        h4, w4 = (h + 3) // 4, (w + 3) // 4
+        ys = np.minimum(np.arange(h4) * 2, self.avail4.shape[0] - 1)
+        xs = np.minimum(np.arange(w4) * 2, self.avail4.shape[1] - 1)
+        return self.avail4[np.ix_(ys, xs)]
+
+    def _predict(self, c_idx, x0, y0, log2, mode):
+        nt = 1 << log2
+        plane = self._plane(c_idx)
+        if c_idx == 0:
+            return predict_block(plane, self.avail4, x0, y0, nt, mode, 0,
+                                 self.sps.strong_intra_smoothing, self.bd)
+        ref = get_ref_samples(plane, self._avail_chroma(), x0, y0, nt, self.bd)
+        return predict(ref, nt, mode, c_idx, self.bd)
+
+    def _tb_coeffs(self, c_idx, x0, y0, log2, mode):
+        """Returns (coeff_block_to_code, reconstruction_residual)."""
+        nt = 1 << log2
+        pred = self._predict(c_idx, x0, y0, log2, mode)
+        src = self.src[c_idx][y0:y0 + nt, x0:x0 + nt]
+        resi = (src - pred).astype(np.int32)
+        self._last_pred = pred
+        if self.lossless:
+            return resi, resi
+        if c_idx == 0:
+            qp = self.qp_y
+        else:
+            off = (self.pps.cb_qp_offset if c_idx == 1
+                   else self.pps.cr_qp_offset)
+            qp = chroma_qp(self.qp_y, off, self.bd)
+        use_dst = (c_idx == 0 and log2 == 2)
+        coeff = forward_transform(resi, use_dst, self.bd)
+        level = quantize(coeff, qp, log2, True, self.bd)
+        if self.pps.sign_data_hiding and np.any(level):
+            scan = SCANS[(log2, coeff_scan_index(log2, c_idx, mode, True))]
+            level = sign_bit_hiding_adjust(level, scan)
+        if not np.any(level):
+            return level, np.zeros_like(resi)
+        deq = dequantize(level, qp, log2, self.bd)
+        recon_resi = inverse_transform(deq, use_dst, self.bd)
+        return level, recon_resi
+
+    def _reconstruct(self, c_idx, x0, y0, log2, mode, resi):
+        nt = 1 << log2
+        pred = self._predict(c_idx, x0, y0, log2, mode)
+        maxv = (1 << self.bd) - 1
+        plane = self._plane(c_idx)
+        plane[y0:y0 + nt, x0:x0 + nt] = np.clip(pred + resi, 0, maxv)

@@ -45,10 +45,10 @@ LPS_TABLE = np.array([
     [2, 2, 2, 2],
 ], dtype=np.uint16)
 
-# transIdxLps (Table 9-47); transIdxMps = min(pState+1, 62)
+# transIdxLps (Table 9-47); transIdxMps = min(pState+1, 62), 63 stays 63
 TRANS_IDX_LPS = np.array([
     0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
-    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 22, 22, 23, 24,
     24, 25, 26, 26, 27, 27, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
     33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
 ], dtype=np.uint8)
@@ -62,7 +62,8 @@ _next_mps = np.empty(128, dtype=np.uint8)
 _next_lps = np.empty(128, dtype=np.uint8)
 for _s in range(128):
     _p, _m = _s >> 1, _s & 1
-    _next_mps[_s] = (min(_p + 1, 62) << 1) | _m
+    _mps_next = 63 if _p == 63 else min(_p + 1, 62)
+    _next_mps[_s] = (_mps_next << 1) | _m
     _next_lps[_s] = (int(TRANS_IDX_LPS[_p]) << 1) | (_m if _p else 1 - _m)
 NEXT_STATE_MPS = _next_mps
 NEXT_STATE_LPS = _next_lps
