@@ -1,0 +1,57 @@
+"""Benchmark: end-to-end all-intra lossless encode throughput.
+
+Prints one JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the only published x265 lossless figure — 3.02 fps for
+--preset ultrafast --lossless 720p (doc/reST/lossless.rst:25-27; see
+BASELINE.md). We measure the same shape of workload (all-intra lossless,
+720p) end-to-end: TPU analysis + CABAC finalization + NAL assembly,
+conformance pre-verified by the test suite.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    from x265_tpu.api.params import param_default_preset, param_parse
+    from x265_tpu.api.encoder import Encoder
+
+    w, h = 1280, 720
+    rng = np.random.default_rng(1)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for i in range(3):
+        y = ((xx // 2 + yy // 3 + i * 11) % 256).astype(np.uint8)
+        y = np.clip(y.astype(int) + rng.integers(-6, 6, (h, w)), 0, 255).astype(np.uint8)
+        cb = ((xx[::2, ::2] // 5) % 256).astype(np.uint8)
+        cr = ((yy[::2, ::2] // 5 + 80) % 256).astype(np.uint8)
+        frames.append((y, cb, cr))
+
+    p = param_default_preset("ultrafast")
+    p.width, p.height = w, h
+    param_parse(p, "lossless")
+    enc = Encoder(p)
+    # warm-up (jit compile)
+    enc.encode_frame(*frames[0])
+
+    t0 = time.time()
+    n = 0
+    for f in frames:
+        enc.encode_frame(*f)
+        n += 1
+    dt = time.time() - t0
+    fps = n / dt
+    baseline = 3.02  # x265 ultrafast lossless 720p, doc/reST/lossless.rst
+    print(json.dumps({
+        "metric": "720p all-intra lossless encode fps (1 chip, e2e)",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

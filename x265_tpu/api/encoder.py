@@ -84,6 +84,9 @@ class Encoder:
         )
         self.poc = 0
         self.frame_count = 0
+        # analysis backend: batched TPU graph by default; numpy reference
+        # path retained for differential testing (engine.mode_decision)
+        self.use_tpu_analysis = True
 
     # -- public API --
 
@@ -108,11 +111,16 @@ class Encoder:
         )
         if decisions is None:
             cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
-            decisions = decide_intra_frame(
-                np.asarray(y), p.width, p.height, p.ctb_log2,
-                cu_log2=cu_log2,
-                strong_smoothing=p.intra_smoothing,
-                bit_depth=p.bit_depth)
+            if self.use_tpu_analysis:
+                from x265_tpu.models.intra_frame import decide_intra_frame_tpu
+                decisions = decide_intra_frame_tpu(
+                    np.asarray(y), p.width, p.height, cu_log2=cu_log2)
+            else:
+                decisions = decide_intra_frame(
+                    np.asarray(y), p.width, p.height, p.ctb_log2,
+                    cu_log2=cu_log2,
+                    strong_smoothing=p.intra_smoothing,
+                    bit_depth=p.bit_depth)
         writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
         slice_data = writer.encode_slice_data(
             np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)

@@ -1,0 +1,124 @@
+"""Batched whole-frame intra mode analysis — the TPU compute graph.
+
+This is the re-imagining of x265's Analysis::compressIntraCU +
+Search::estIntraPredQT serial RDO loop (SURVEY.md §3.6) as dense TPU
+computation: for lossless intra, reconstruction equals the source, so
+prediction neighbors are source pixels and EVERY block's 35-mode search is
+independent — the whole frame becomes two MXU contractions:
+
+    preds[nB, 35, S²] = einsum('mpr,br->bmp', W, refs)      (prediction bank)
+    satd  = |H8 · resid · H8ᵀ|                              (cost transform)
+
+followed by an argmin over the mode axis. No wavefront needed. The serial
+CABAC finalizer re-derives normative integer predictions, so these
+decisions only steer RD — any outcome is a legal bitstream.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from x265_tpu.ops.intra_matrix import intra_weight_matrices
+
+
+def _hadamard(n: int) -> np.ndarray:
+    h = np.array([[1.0]])
+    while h.shape[0] < n:
+        h = np.block([[h, h], [h, -h]])
+    return h
+
+
+def extract_block_refs(y: jnp.ndarray, S: int) -> jnp.ndarray:
+    """Reference vectors [nB, 4S+1] for every SxS block of a padded frame.
+
+    Edge-replication stands in for the spec's unavailable-sample
+    substitution (decision-only approximation; the finalizer is exact).
+    Layout matches ops.ref.intra: left bottom-up, corner, top.
+    """
+    H, W = y.shape
+    yp = jnp.pad(y, ((1, 2 * S), (1, 2 * S)), mode="edge")
+    nby, nbx = H // S, W // S
+    by = jnp.arange(nby) * S
+    bx = jnp.arange(nbx) * S
+
+    # top rows: yp[by, bx+1 : bx+1+2S]  (row above each block, 2S wide)
+    offs = jnp.arange(2 * S)
+    top = yp[by[:, None, None], (bx[None, :, None] + 1 + offs[None, None, :])]
+    # left cols: yp[by+1 : by+1+2S, bx]
+    left = yp[(by[:, None, None] + 1 + offs[None, None, :]), bx[None, :, None]]
+    corner = yp[by[:, None], bx[None, :]]
+
+    left_rev = left[:, :, ::-1]                    # bottom-up
+    refs = jnp.concatenate(
+        [left_rev, corner[:, :, None], top], axis=-1)   # [nby, nbx, 4S+1]
+    return refs.reshape(nby * nbx, 4 * S + 1)
+
+
+@partial(jax.jit, static_argnames=("S", "lambda_bits"))
+def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
+                         lambda_bits: float = 2.0) -> jnp.ndarray:
+    """y: [H, W] (multiples of S) uint8/int32 -> best mode per block [nB]."""
+    H, W = y.shape
+    yf = y.astype(jnp.float32)
+    refs = extract_block_refs(yf, S)                         # [nB, R]
+    Wm = jnp.asarray(intra_weight_matrices(S))               # [35, S², R]
+
+    # prediction bank: one big contraction (MXU)
+    preds = jnp.einsum("mpr,br->bmp", Wm, refs,
+                       preferred_element_type=jnp.float32)   # [nB, 35, S²]
+
+    # source blocks [nB, S²]
+    nby, nbx = H // S, W // S
+    blocks = yf.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3).reshape(-1, S * S)
+
+    resid = preds - blocks[:, None, :]                       # [nB, 35, S²]
+    # SATD over 8x8 tiles via Hadamard matmuls
+    k = 8 if S >= 8 else 4
+    h = jnp.asarray(_hadamard(k), dtype=jnp.float32)
+    r = resid.reshape(-1, 35, S // k, k, S // k, k)
+    r = r.transpose(0, 1, 2, 4, 3, 5)                        # [..., k, k]
+    t = jnp.einsum("ij,...jk,kl->...il", h, r, h,
+                   preferred_element_type=jnp.float32)
+    satd = jnp.sum(jnp.abs(t), axis=(-1, -2, -3, -4)) / (4.0 if k == 8 else 2.0)
+
+    # rough mode-bit bias: non-MPM modes cost ~4 extra bins
+    bias = jnp.full((35,), 4.0 * lambda_bits, dtype=jnp.float32)
+    bias = bias.at[0].set(0.0).at[1].set(2.0 * lambda_bits)
+    cost = satd + bias[None, :]
+    return jnp.argmin(cost, axis=1).astype(jnp.int32)        # [nB]
+
+
+def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
+                           cu_log2: int = 4) -> "FrameDecisions":
+    """Drop-in replacement for engine.mode_decision.decide_intra_frame:
+    batched TPU analysis at S=2^cu_log2 with 8x8 boundary fallback."""
+    from x265_tpu.engine.ctu_writer import FrameDecisions
+
+    S = 1 << cu_log2
+    # pad to multiples of S with edge replication
+    ph = -(-height // S) * S
+    pw = -(-width // S) * S
+    y = np.asarray(src_y)
+    yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
+    modes = np.asarray(frame_intra_analysis(jnp.asarray(yp), S=S))
+    nbx = pw // S
+    h8, w8 = height >> 3, width >> 3
+    luma_mode8 = np.zeros((h8, w8), dtype=np.int32)
+    cu_log2_map = np.full((h8, w8), cu_log2, dtype=np.int32)
+    for b, m in enumerate(modes):
+        by, bx = divmod(b, nbx)
+        y0, x0 = by * S, bx * S
+        luma_mode8[y0 >> 3:min(y0 + S, height) >> 3,
+                   x0 >> 3:min(x0 + S, width) >> 3] = int(m)
+    # boundary: fall back to 8x8 CUs where an S-block crosses the pic edge
+    for by8 in range(h8):
+        for bx8 in range(w8):
+            x0 = (bx8 >> (cu_log2 - 3)) << cu_log2
+            y0 = (by8 >> (cu_log2 - 3)) << cu_log2
+            if x0 + S > width or y0 + S > height:
+                cu_log2_map[by8, bx8] = 3
+    return FrameDecisions(cu_log2_map=cu_log2_map, luma_mode8=luma_mode8)
