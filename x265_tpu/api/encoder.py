@@ -78,8 +78,10 @@ class Encoder:
             cb_qp_offset=p.cb_qp_offset,
             cr_qp_offset=p.cr_qp_offset,
             transquant_bypass_enabled=p.lossless,
-            deblocking_filter_control_present=not p.deblock,
-            deblocking_filter_disabled=not p.deblock,
+            # in-loop filters not implemented yet: always signal deblock off
+            # so decoder output matches our closed-loop recon (TODO: deblock)
+            deblocking_filter_control_present=True,
+            deblocking_filter_disabled=True,
             loop_filter_across_slices=True,
         )
         self.poc = 0
@@ -87,6 +89,9 @@ class Encoder:
         # analysis backend: batched TPU graph by default; numpy reference
         # path retained for differential testing (engine.mode_decision)
         self.use_tpu_analysis = True
+        # entropy backend: native C++ finalizer when buildable; Python
+        # reference writer is the oracle (differential-tested)
+        self.use_native = True
 
     # -- public API --
 
@@ -121,15 +126,28 @@ class Encoder:
                     cu_log2=cu_log2,
                     strong_smoothing=p.intra_smoothing,
                     bit_depth=p.bit_depth)
-        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
-        slice_data = writer.encode_slice_data(
-            np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+        slice_data = None
+        if self.use_native:
+            from x265_tpu import native
+            res = native.encode_slice_intra(
+                np.asarray(y), np.asarray(cb), np.asarray(cr),
+                decisions.cu_log2_map, decisions.luma_mode8,
+                decisions.chroma_mode8,
+                p.ctb_log2, p.min_cb_log2, p.qp, p.lossless,
+                self.pps.sign_data_hiding, p.intra_smoothing,
+                p.cb_qp_offset, p.cr_qp_offset, want_recon=True)
+            if res is not None:
+                slice_data, self._last_recon = res
+        if slice_data is None:
+            writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
+            slice_data = writer.encode_slice_data(
+                np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+            self._last_recon = (writer.y, writer.cb, writer.cr)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         rbsp = hdr_bw.data() + slice_data
         nal = make_nal(NAL_IDR_W_RADL, rbsp)
         self.poc += 1
         self.frame_count += 1
-        self._last_recon = (writer.y, writer.cb, writer.cr)
         return annexb([nal])
 
     def encode(self, frames) -> bytes:

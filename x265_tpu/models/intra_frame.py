@@ -105,20 +105,17 @@ def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
     y = np.asarray(src_y)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
     modes = np.asarray(frame_intra_analysis(jnp.asarray(yp), S=S))
-    nbx = pw // S
+    nby, nbx = ph // S, pw // S
     h8, w8 = height >> 3, width >> 3
-    luma_mode8 = np.zeros((h8, w8), dtype=np.int32)
-    cu_log2_map = np.full((h8, w8), cu_log2, dtype=np.int32)
-    for b, m in enumerate(modes):
-        by, bx = divmod(b, nbx)
-        y0, x0 = by * S, bx * S
-        luma_mode8[y0 >> 3:min(y0 + S, height) >> 3,
-                   x0 >> 3:min(x0 + S, width) >> 3] = int(m)
+    rep = S >> 3
+    luma_mode8 = np.repeat(np.repeat(modes.reshape(nby, nbx), rep, axis=0),
+                           rep, axis=1)[:h8, :w8].astype(np.int32)
     # boundary: fall back to 8x8 CUs where an S-block crosses the pic edge
-    for by8 in range(h8):
-        for bx8 in range(w8):
-            x0 = (bx8 >> (cu_log2 - 3)) << cu_log2
-            y0 = (by8 >> (cu_log2 - 3)) << cu_log2
-            if x0 + S > width or y0 + S > height:
-                cu_log2_map[by8, bx8] = 3
+    cu_log2_map = np.full((h8, w8), cu_log2, dtype=np.int32)
+    bx8 = np.arange(w8)
+    by8 = np.arange(h8)
+    x0 = (bx8 >> (cu_log2 - 3)) << cu_log2
+    y0 = (by8 >> (cu_log2 - 3)) << cu_log2
+    cross = (y0[:, None] + S > height) | (x0[None, :] + S > width)
+    cu_log2_map[cross] = 3
     return FrameDecisions(cu_log2_map=cu_log2_map, luma_mode8=luma_mode8)

@@ -1,0 +1,119 @@
+"""Native (C++) components, built lazily with g++ and loaded via ctypes.
+
+The slice writer is the framework's serial native finalizer (SURVEY.md
+§7.2): decision tensors in, CABAC slice bytes out. Python reference
+implementations remain the behavioral oracle (differential-tested).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libx265tpu.so")
+_SRC = os.path.join(_DIR, "slice_writer.cpp")
+_HDR = os.path.join(_DIR, "tables_gen.h")
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO):
+        return True
+    mt = os.path.getmtime
+    return mt(_SO) < max(mt(_SRC), mt(_HDR) if os.path.exists(_HDR) else 0)
+
+
+def _build() -> bool:
+    if not os.path.exists(_HDR):
+        gen = os.path.join(_DIR, "..", "..", "tools", "gen_native_tables.py")
+        subprocess.run(["python3", gen], check=True)
+    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+           "-o", _SO, _SRC]
+    r = subprocess.run(cmd, capture_output=True, text=True)
+    if r.returncode != 0:
+        import sys
+        print("native build failed:\n" + r.stderr, file=sys.stderr)
+        return False
+    return True
+
+
+def get_lib():
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        try:
+            if _needs_build() and not _build():
+                _build_failed = True
+                return None
+            lib = ctypes.CDLL(_SO)
+        except Exception:
+            _build_failed = True
+            return None
+        lib.encode_slice_intra.restype = ctypes.c_int
+        lib.encode_slice_intra.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # planes
+            ctypes.c_int, ctypes.c_int,                          # w, h
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # maps
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,            # ctb, mincb, qp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,            # lossless, sdh, strong
+            ctypes.c_int, ctypes.c_int,                          # cb/cr qp off
+            ctypes.c_void_p, ctypes.c_int,                       # out, cap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
+        ]
+        _lib = lib
+        return _lib
+
+
+def encode_slice_intra(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
+                       chroma_mode8, ctb_log2, min_cb_log2, qp,
+                       lossless, sign_hiding, strong_smooth,
+                       cb_qp_off=0, cr_qp_off=0, want_recon=False):
+    """Native slice-data encode; returns bytes (or (bytes, recon) when
+    want_recon) or None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = src_y.shape
+    y = np.ascontiguousarray(src_y, dtype=np.uint8)
+    cbp = np.ascontiguousarray(src_cb, dtype=np.uint8)
+    crp = np.ascontiguousarray(src_cr, dtype=np.uint8)
+    cmap = np.ascontiguousarray(cu_log2_map, dtype=np.int32)
+    lmap = np.ascontiguousarray(luma_mode8, dtype=np.int32)
+    if chroma_mode8 is not None:
+        cmode = np.ascontiguousarray(chroma_mode8, dtype=np.int32)
+        cmode_p = cmode.ctypes.data
+    else:
+        cmode_p = None
+    cap = w * h * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    if want_recon:
+        ry = np.empty((h, w), dtype=np.int16)
+        rcb = np.empty((h // 2, w // 2), dtype=np.int16)
+        rcr = np.empty((h // 2, w // 2), dtype=np.int16)
+        rp = (ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data)
+    else:
+        rp = (None, None, None)
+    n = lib.encode_slice_intra(
+        y.ctypes.data, cbp.ctypes.data, crp.ctypes.data, w, h,
+        cmap.ctypes.data, lmap.ctypes.data, cmode_p,
+        ctb_log2, min_cb_log2, qp,
+        int(lossless), int(sign_hiding), int(strong_smooth),
+        cb_qp_off, cr_qp_off,
+        out.ctypes.data, cap, *rp)
+    if n < 0:
+        return None
+    data = out[:n].tobytes()
+    if want_recon:
+        return data, (ry.astype(np.int32), rcb.astype(np.int32),
+                      rcr.astype(np.int32))
+    return data
