@@ -1,0 +1,97 @@
+"""Command-line encoder (x265 CLI analog, reference source/x265.cpp).
+
+Usage:
+    python -m x265_tpu.cli --input in.y4m --output out.hevc \
+        --preset ultrafast --lossless [--frames N]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="x265-tpu")
+    ap.add_argument("--input", required=True, help="Y4M or raw YUV file")
+    ap.add_argument("--output", required=True, help="Annex-B HEVC output")
+    ap.add_argument("--input-res", default=None, help="WxH for raw YUV")
+    ap.add_argument("--fps", default=None, help="fps for raw YUV (e.g. 25 or 30000/1001)")
+    ap.add_argument("--preset", default="medium")
+    ap.add_argument("--tune", default=None)
+    ap.add_argument("--lossless", action="store_true")
+    ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
+    ap.add_argument("--recon", default=None, help="write recon Y4M")
+    ap.add_argument("--no-tpu", action="store_true", help="numpy analysis path")
+    ap.add_argument("--csv", default=None, help="per-frame CSV log")
+    args = ap.parse_args(argv)
+
+    from x265_tpu.api.params import param_default_preset, param_parse, RC_CQP
+    from x265_tpu.api.encoder import Encoder
+    from x265_tpu.io.y4m import open_input, write_y4m, VideoInfo
+
+    w = h = 0
+    if args.input_res:
+        w, h = (int(v) for v in args.input_res.lower().split("x"))
+    reader = open_input(args.input, w, h)
+    info = reader.info
+
+    p = param_default_preset(args.preset, args.tune)
+    p.width, p.height = info.width, info.height
+    p.fps_num, p.fps_den = info.fps_num, info.fps_den
+    if args.fps:
+        param_parse(p, "fps", args.fps)
+    if args.lossless:
+        param_parse(p, "lossless")
+    if args.qp is not None:
+        p.rc_mode = RC_CQP
+        p.qp = args.qp
+        p.lossless = False
+
+    enc = Encoder(p)
+    if args.no_tpu:
+        enc.use_tpu_analysis = False
+
+    csv = open(args.csv, "w") if args.csv else None
+    if csv:
+        csv.write("frame,bytes,ms\n")
+
+    recon_frames = []
+    total_bytes = 0
+    nframes = 0
+    t_start = time.time()
+    with open(args.output, "wb") as out:
+        out.write(enc.headers())
+        for (y, cb, cr) in reader.frames():
+            t0 = time.time()
+            au = enc.encode_frame(y, cb, cr)
+            dt = (time.time() - t0) * 1000
+            out.write(au)
+            total_bytes += len(au)
+            if csv:
+                csv.write(f"{nframes},{len(au)},{dt:.1f}\n")
+            if args.recon and enc._last_recon is not None:
+                ry, rcb, rcr = enc._last_recon
+                recon_frames.append((np.clip(ry, 0, 255).astype(np.uint8),
+                                     np.clip(rcb, 0, 255).astype(np.uint8),
+                                     np.clip(rcr, 0, 255).astype(np.uint8)))
+            nframes += 1
+            if args.frames and nframes >= args.frames:
+                break
+    el = time.time() - t_start
+    if csv:
+        csv.close()
+    if args.recon and recon_frames:
+        write_y4m(args.recon, recon_frames, info)
+    fps = nframes / el if el > 0 else 0.0
+    kbps = total_bytes * 8 * (p.fps_num / max(1, p.fps_den)) / max(1, nframes) / 1000
+    print(f"encoded {nframes} frames in {el:.2f}s ({fps:.2f} fps), "
+          f"{kbps:.0f} kb/s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -102,7 +102,9 @@ def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
     # pad to multiples of S with edge replication
     ph = -(-height // S) * S
     pw = -(-width // S) * S
-    y = np.asarray(src_y)
+    # int32 on the wire: uint8 inputs trigger a pathological XLA compile
+    # (~100x slower trace) on this TPU runtime
+    y = np.asarray(src_y, dtype=np.int32)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
     modes = np.asarray(frame_intra_analysis(jnp.asarray(yp), S=S))
     nby, nbx = ph // S, pw // S
