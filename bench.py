@@ -33,6 +33,7 @@ def main():
     p = param_default_preset("ultrafast")
     p.width, p.height = w, h
     param_parse(p, "lossless")
+    param_parse(p, "keyint", "1")   # all-intra (matches the baseline figure)
     enc = Encoder(p)
     # warm-up (jit compile)
     enc.encode_frame(*frames[0])

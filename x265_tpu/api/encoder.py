@@ -15,10 +15,11 @@ from x265_tpu.api.params import Param, check_params
 from x265_tpu.engine.ctu_writer import FrameDecisions, FrameSyntaxWriter
 from x265_tpu.engine.mode_decision import decide_intra_frame
 from x265_tpu.hevc.bitstream import (
-    annexb, make_nal, NAL_IDR_W_RADL, NAL_VPS, NAL_SPS, NAL_PPS,
+    annexb, make_nal, NAL_IDR_W_RADL, NAL_TRAIL_R, NAL_VPS, NAL_SPS, NAL_PPS,
 )
 from x265_tpu.hevc.headers import (
-    PPS, SPS, VPS, ProfileTierLevel, SliceHeader, SLICE_I,
+    PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader,
+    SLICE_I, SLICE_P,
     write_pps, write_sps, write_vps, write_slice_header,
 )
 
@@ -51,14 +52,20 @@ class Encoder:
             tier_flag=1 if p.high_tier else 0,
             level_idc=p.level_idc or _level_for(p.width, p.height, fps),
         )
-        self.vps = VPS(max_dec_pic_buffering=1, num_reorder_pics=0, ptl=ptl)
+        # IPPP GOP (config #2): one negative reference, no reordering
+        self.ipp = p.keyint != 1
+        rps = ([ShortTermRPS(num_negative=1, delta_poc_s0=[-1],
+                             used_s0=[True])] if self.ipp else [])
+        dpb = 2 if self.ipp else 1
+        self.vps = VPS(max_dec_pic_buffering=dpb, num_reorder_pics=0, ptl=ptl)
         self.sps = SPS(
             chroma_format_idc=1,
             width=p.width, height=p.height,
             bit_depth=p.bit_depth,
             log2_max_poc_lsb=8,
-            max_dec_pic_buffering=1,
+            max_dec_pic_buffering=dpb,
             num_reorder_pics=0,
+            short_term_rps=rps,
             log2_min_cb=p.min_cb_log2,
             log2_diff_max_min_cb=p.ctb_log2 - p.min_cb_log2,
             log2_min_tb=2,
@@ -109,23 +116,19 @@ class Encoder:
         """Encode one picture -> Annex-B access unit bytes (slice NAL)."""
         p = self.param
         assert y.shape == (p.height, p.width), y.shape
-        sh = SliceHeader(
-            first_slice_in_pic=True,
-            slice_type=SLICE_I,
-            qp=p.qp,
-        )
+        is_idr = (self.frame_count == 0 or
+                  (p.keyint > 0 and self.frame_count % p.keyint == 0) or
+                  getattr(self, "_last_recon", None) is None)
+        if is_idr:
+            self.poc = 0
+            return self._encode_intra_frame(y, cb, cr, decisions)
+        return self._encode_p_frame(y, cb, cr, decisions)
+
+    def _encode_intra_frame(self, y, cb, cr, decisions=None) -> bytes:
+        p = self.param
+        sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=p.qp)
         if decisions is None:
-            cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
-            if self.use_tpu_analysis:
-                from x265_tpu.models.intra_frame import decide_intra_frame_tpu
-                decisions = decide_intra_frame_tpu(
-                    np.asarray(y), p.width, p.height, cu_log2=cu_log2)
-            else:
-                decisions = decide_intra_frame(
-                    np.asarray(y), p.width, p.height, p.ctb_log2,
-                    cu_log2=cu_log2,
-                    strong_smoothing=p.intra_smoothing,
-                    bit_depth=p.bit_depth)
+            decisions = self._intra_decisions(y)
         slice_data = None
         if self.use_native:
             from x265_tpu import native
@@ -144,11 +147,75 @@ class Encoder:
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
             self._last_recon = (writer.y, writer.cb, writer.cr)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
-        rbsp = hdr_bw.data() + slice_data
-        nal = make_nal(NAL_IDR_W_RADL, rbsp)
+        nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
         self.poc += 1
         self.frame_count += 1
         return annexb([nal])
+
+    def _intra_decisions(self, y) -> FrameDecisions:
+        p = self.param
+        cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+        if self.use_tpu_analysis:
+            from x265_tpu.models.intra_frame import decide_intra_frame_tpu
+            return decide_intra_frame_tpu(
+                np.asarray(y), p.width, p.height, cu_log2=cu_log2)
+        return decide_intra_frame(
+            np.asarray(y), p.width, p.height, p.ctb_log2, cu_log2=cu_log2,
+            strong_smoothing=p.intra_smoothing, bit_depth=p.bit_depth)
+
+    def _encode_p_frame(self, y, cb, cr, decisions=None) -> bytes:
+        p = self.param
+        sh = SliceHeader(
+            first_slice_in_pic=True,
+            slice_type=SLICE_P,
+            qp=p.qp,
+            pic_order_cnt_lsb=self.poc & 0xFF,
+            rps_in_sps=True,
+            short_term_rps_idx=0,
+            max_num_merge_cand=2,
+        )
+        if decisions is None:
+            decisions = self._p_decisions(y)
+        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
+                                   ref_planes=self._last_recon)
+        slice_data = writer.encode_slice_data(
+            np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+        self._last_recon = (writer.y, writer.cb, writer.cr)
+        hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
+        nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
+        self.poc += 1
+        self.frame_count += 1
+        return annexb([nal])
+
+    def _p_decisions(self, y) -> FrameDecisions:
+        """Inter/intra split + MVs for a P frame (TPU ME + intra bank)."""
+        from x265_tpu.engine.me import motion_decide
+        from x265_tpu.models.intra_frame import (
+            decide_intra_frame_tpu, frame_intra_analysis)
+        import jax.numpy as jnp
+
+        p = self.param
+        S = 16
+        dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
+        ref_y = self._last_recon[0]
+        mv_blk, sad = motion_decide(np.asarray(y), ref_y, p.width, p.height,
+                                    S=S, R=p.me_range if p.me_range <= 24 else 16)
+        # intra costs on the same padded grid
+        ph = -(-p.height // S) * S
+        pw = -(-p.width // S) * S
+        yp = np.pad(np.asarray(y, dtype=np.int32),
+                    ((0, ph - p.height), (0, pw - p.width)), mode="edge")
+        _, icost = frame_intra_analysis(jnp.asarray(yp), S=S)
+        icost = np.asarray(icost).reshape(ph // S, pw // S)
+        # SAD vs SATD: prefer inter when clearly cheaper (sa8d ~ 1.5-2x sad)
+        inter_blk = sad * 1.5 < icost
+        h8, w8 = p.height >> 3, p.width >> 3
+        rep = S >> 3
+        inter8 = np.repeat(np.repeat(inter_blk, rep, 0), rep, 1)[:h8, :w8]
+        mv8 = np.repeat(np.repeat(mv_blk, rep, 0), rep, 1)[:h8, :w8]
+        dec.inter8 = np.ascontiguousarray(inter8)
+        dec.mv8 = np.ascontiguousarray(mv8)
+        return dec
 
     def encode(self, frames) -> bytes:
         """Encode an iterable of (y, cb, cr) frames; returns full stream."""

@@ -29,6 +29,9 @@ from x265_tpu.hevc.headers import (
     parse_slice_header, SLICE_I, SLICE_P, SLICE_B, is_idr,
 )
 from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.inter_tools import (
+    InterCtx, amvp_candidates, decode_mvd, merge_candidates,
+)
 from x265_tpu.hevc.residual import decode_residual
 from x265_tpu.hevc.tables import CTX_OFF, chroma_qp, coeff_scan_index
 from x265_tpu.ops.ref.intra import predict_block
@@ -61,6 +64,8 @@ class PictureDecodeState:
         self.intra_mode4 = np.full((h4, w4), -1, dtype=np.int32)
         self.depth4 = np.zeros((h4, w4), dtype=np.int32)
         self.is_intra4 = np.zeros((h4, w4), dtype=bool)
+        self.ic = InterCtx(h, w)
+        self.ref_pad = None       # padded reference planes for P slices
 
 
 class SliceDecoder:
@@ -132,7 +137,20 @@ class SliceDecoder:
         if pps.transquant_bypass_enabled:
             tqb = cab.decode_bin(CTX_OFF["cu_transquant_bypass"])
         if self.sh.slice_type != SLICE_I:
-            raise NotImplementedError("inter decode")
+            # cu_skip_flag
+            ctx = 0
+            if x0 > 0 and pic.avail4[y0 >> 2, (x0 - 1) >> 2]:
+                ctx += 1 if pic.ic.skip4[y0 >> 2, (x0 - 1) >> 2] else 0
+            if y0 > 0 and pic.avail4[(y0 - 1) >> 2, x0 >> 2]:
+                ctx += 1 if pic.ic.skip4[(y0 - 1) >> 2, x0 >> 2] else 0
+            if cab.decode_bin(CTX_OFF["cu_skip"] + ctx):
+                self._inter_cu(pic, x0, y0, log2_cb, depth, bool(tqb),
+                               skip=True)
+                return
+            if cab.decode_bin(CTX_OFF["pred_mode"]) == 0:
+                self._inter_cu(pic, x0, y0, log2_cb, depth, bool(tqb),
+                               skip=False)
+                return
 
         part_nxn = False
         if log2_cb == sps.log2_min_cb:
@@ -182,6 +200,122 @@ class SliceDecoder:
         max_depth = sps.max_transform_hierarchy_depth_intra + (1 if part_nxn else 0)
         self._transform_tree(pic, ctx, x0, y0, x0, y0, log2_cb, 0, 0,
                              max_depth, 1, 1)
+
+    # ---- inter CU (P slices) ----
+
+    def _decode_merge_idx(self) -> int:
+        cmax = self.sh.max_num_merge_cand - 1
+        if cmax == 0:
+            return 0
+        if not self.cab.decode_bin(CTX_OFF["merge_idx"]):
+            return 0
+        idx = 1
+        while idx < cmax and self.cab.decode_bin_ep():
+            idx += 1
+        return idx
+
+    def _mc_pred(self, pic, c_idx, x0, y0, nt, mv):
+        pad = 80 if c_idx == 0 else 40
+        ref = pic.ref_pad[c_idx]
+        if c_idx == 0:
+            dx, dy = mv[0] >> 2, mv[1] >> 2
+        else:
+            dx, dy = mv[0] >> 3, mv[1] >> 3
+        ys, xs = pad + y0 + dy, pad + x0 + dx
+        return ref[ys:ys + nt, xs:xs + nt]
+
+    def _inter_cu(self, pic, x0, y0, log2_cb, depth, tqb, skip) -> None:
+        sps, pps, cab, sh = self.sps, self.pps, self.cab, self.sh
+        size = 1 << log2_cb
+        if skip:
+            idx = self._decode_merge_idx()
+            cands = merge_candidates(pic.ic, pic.avail4, x0, y0, size, size,
+                                     sps.width, sps.height,
+                                     sh.max_num_merge_cand, sps.ctb_size)
+            mv = cands[idx]
+            cbf_y = cbf_cb = cbf_cr = 0
+            merge = True
+        else:
+            # part_mode: inter coded at every size; we support 2Nx2N only
+            if cab.decode_bin(CTX_OFF["part_mode"]) == 0:
+                raise NotImplementedError("non-2Nx2N inter partitions")
+            if cab.decode_bin(CTX_OFF["merge_flag"]):
+                idx = self._decode_merge_idx()
+                cands = merge_candidates(pic.ic, pic.avail4, x0, y0, size,
+                                         size, sps.width, sps.height,
+                                         sh.max_num_merge_cand, sps.ctb_size)
+                mv = cands[idx]
+                merge = True
+            else:
+                mvd = decode_mvd(cab, CTX_OFF["mvd"])
+                mvp_idx = cab.decode_bin(CTX_OFF["mvp_flag"])
+                amvp = amvp_candidates(pic.ic, pic.avail4, x0, y0, size, size,
+                                       sps.width, sps.height)
+                mv = (amvp[mvp_idx][0] + mvd[0], amvp[mvp_idx][1] + mvd[1])
+                merge = False
+            root_cbf = 1
+            if not merge:
+                root_cbf = cab.decode_bin(CTX_OFF["rqt_root_cbf"])
+            if root_cbf:
+                cbf_cb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
+                cbf_cr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
+                if cbf_cb or cbf_cr:
+                    cbf_y = cab.decode_bin(CTX_OFF["cbf_luma"] + 1)
+                else:
+                    cbf_y = 1     # inferred for inter depth-0
+            else:
+                cbf_y = cbf_cb = cbf_cr = 0
+
+        cu = _CuCtx(tqb=tqb, luma_modes=[0], chroma_mode=0, part_nxn=False,
+                    cu_x=x0, cu_y=y0, log2_cb=log2_cb)
+        maxv = (1 << self.bd) - 1
+        pred_y = self._mc_pred(pic, 0, x0, y0, size, mv)
+        res_y = (self._decode_tb_residual_inter(cu, log2_cb, 0)
+                 if cbf_y else 0)
+        pic.y[y0:y0 + size, x0:x0 + size] = np.clip(pred_y + res_y, 0, maxv)
+        hs = size >> 1
+        pred_cb = self._mc_pred(pic, 1, x0 >> 1, y0 >> 1, hs, mv)
+        res_cb = (self._decode_tb_residual_inter(cu, log2_cb - 1, 1)
+                  if cbf_cb else 0)
+        pic.cb[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
+            np.clip(pred_cb + res_cb, 0, maxv)
+        pred_cr = self._mc_pred(pic, 2, x0 >> 1, y0 >> 1, hs, mv)
+        res_cr = (self._decode_tb_residual_inter(cu, log2_cb - 1, 2)
+                  if cbf_cr else 0)
+        pic.cr[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
+            np.clip(pred_cr + res_cr, 0, maxv)
+
+        s4 = (slice(y0 >> 2, (y0 + size) >> 2),
+              slice(x0 >> 2, (x0 + size) >> 2))
+        pic.ic.mv4[s4[0], s4[1], 0] = mv[0]
+        pic.ic.mv4[s4[0], s4[1], 1] = mv[1]
+        pic.ic.ref4[s4] = 0
+        pic.ic.skip4[s4] = skip
+        pic.depth4[s4] = depth
+        pic.avail4[s4] = True
+
+    def _decode_tb_residual_inter(self, cu, log2, c_idx) -> np.ndarray:
+        pps, cab = self.pps, self.cab
+        if pps.transform_skip_enabled and not cu.tqb and log2 == 2:
+            off = CTX_OFF["transform_skip_luma" if c_idx == 0 else
+                          "transform_skip_chroma"]
+            ts = cab.decode_bin(off)
+        else:
+            ts = 0
+        coeff = decode_residual(cab, log2, c_idx, 0,
+                                sign_hiding=pps.sign_data_hiding,
+                                transquant_bypass=cu.tqb)
+        if cu.tqb:
+            return coeff
+        if c_idx == 0:
+            qp = self.qp_y
+        else:
+            off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
+            qp = chroma_qp(self.qp_y, off, self.bd)
+        deq = dequantize(coeff, qp, log2, self.bd)
+        if ts:
+            return transform_skip_residual(deq, self.bd)
+        return inverse_transform(deq, False, self.bd)
 
     # ---- transform tree ----
 
@@ -358,7 +492,17 @@ class HEVCDecoder:
                     if cur_pic is not None:
                         pictures.append(self._emit(cur_pic, poc))
                         poc += 1
+                        prev = cur_pic
+                    else:
+                        prev = None
                     cur_pic = PictureDecodeState(sps)
+                    if sh.slice_type != SLICE_I:
+                        if prev is None:
+                            raise ValueError("P slice without reference")
+                        cur_pic.ref_pad = (
+                            np.pad(prev.y, 80, mode="edge"),
+                            np.pad(prev.cb, 40, mode="edge"),
+                            np.pad(prev.cr, 40, mode="edge"))
                 sd = SliceDecoder(sps, pps, sh, rbsp[off:])
                 sd.decode(cur_pic)
         if cur_pic is not None:

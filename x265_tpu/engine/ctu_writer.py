@@ -20,7 +20,10 @@ import numpy as np
 
 from x265_tpu.hevc.cabac import CabacEncoder
 from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
-from x265_tpu.hevc.headers import PPS, SPS, SliceHeader, SLICE_I
+from x265_tpu.hevc.headers import PPS, SPS, SliceHeader, SLICE_I, SLICE_P
+from x265_tpu.hevc.inter_tools import (
+    InterCtx, amvp_candidates, encode_mvd, merge_candidates,
+)
 from x265_tpu.hevc.residual import encode_residual
 from x265_tpu.hevc.tables import CTX_OFF, SCANS, chroma_qp, coeff_scan_index
 from x265_tpu.ops.ref.intra import predict_block, get_ref_samples, predict
@@ -39,18 +42,33 @@ class FrameDecisions:
     luma_mode8:   [H/8, W/8] int — intra mode of the CU covering the block.
     chroma_mode8: optional [H/8, W/8] int — explicit chroma mode per CU, or
                   None for derived (DM) everywhere.
+    For P slices additionally:
+    inter8:       [H/8, W/8] bool — CU coded inter (MV from mv8).
+    mv8:          [H/8, W/8, 2] int — luma MV in quarter-pel units.
     """
     cu_log2_map: np.ndarray
     luma_mode8: np.ndarray
     chroma_mode8: Optional[np.ndarray] = None
+    inter8: Optional[np.ndarray] = None
+    mv8: Optional[np.ndarray] = None
 
 
 class FrameSyntaxWriter:
-    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, lossless: bool):
+    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, lossless: bool,
+                 ref_planes=None):
+        """ref_planes: (y, cb, cr) int32 reconstructed reference for P
+        slices (single reference, refIdx 0)."""
         self.sps, self.pps, self.sh = sps, pps, sh
         self.lossless = lossless
         self.bd = sps.bit_depth
         self.qp_y = sh.qp
+        self.ref_planes = ref_planes
+        if ref_planes is not None:
+            self.pad = 80
+            self.ref_pad = (
+                np.pad(ref_planes[0].astype(np.int32), self.pad, mode="edge"),
+                np.pad(ref_planes[1].astype(np.int32), self.pad >> 1, mode="edge"),
+                np.pad(ref_planes[2].astype(np.int32), self.pad >> 1, mode="edge"))
 
     def encode_slice_data(self, src_y: np.ndarray, src_cb: np.ndarray,
                           src_cr: np.ndarray, dec: FrameDecisions) -> bytes:
@@ -70,8 +88,9 @@ class FrameSyntaxWriter:
         self.is_intra4 = np.zeros((h4, w4), dtype=bool)
         self.depth4 = np.zeros((h4, w4), dtype=np.int32)
 
+        self.ic = InterCtx(h, w)
         cab = CabacEncoder()
-        cab.init_slice({SLICE_I: 0}[self.sh.slice_type], self.sh.qp)
+        cab.init_slice({SLICE_I: 0, SLICE_P: 1}[self.sh.slice_type], self.sh.qp)
         self.cab = cab
 
         ctb = sps.ctb_size
@@ -118,10 +137,20 @@ class FrameSyntaxWriter:
     def _coding_unit(self, x0, y0, log2_cb, depth) -> None:
         sps, pps, cab = self.sps, self.pps, self.cab
         size = 1 << log2_cb
+        p_slice = self.sh.slice_type == SLICE_P
+        is_inter = (p_slice and self.dec.inter8 is not None and
+                    bool(self.dec.inter8[y0 >> 3, x0 >> 3]))
 
         if pps.transquant_bypass_enabled:
             cab.encode_bin(CTX_OFF["cu_transquant_bypass"],
                            1 if self.lossless else 0)
+        if p_slice:
+            if is_inter:
+                self._inter_cu(x0, y0, log2_cb, depth)
+                return
+            # cu_skip_flag = 0, then pred_mode = intra
+            self._encode_skip_flag(x0, y0, 0)
+            cab.encode_bin(CTX_OFF["pred_mode"], 1)
         if log2_cb == sps.log2_min_cb:
             cab.encode_bin(CTX_OFF["part_mode"], 1)  # 2Nx2N
 
@@ -210,6 +239,153 @@ class FrameSyntaxWriter:
         self._reconstruct(1, x0 >> 1, y0 >> 1, log2_tb - 1, chroma_mode, cb_resi)
         self._reconstruct(2, x0 >> 1, y0 >> 1, log2_tb - 1, chroma_mode, cr_resi)
         self.avail4[y0 >> 2:(y0 + nt) >> 2, x0 >> 2:(x0 + nt) >> 2] = True
+
+    # ---- inter CU path (P slices) ----
+
+    def _encode_skip_flag(self, x0, y0, val) -> None:
+        ctx = 0
+        if x0 > 0 and self.avail4[y0 >> 2, (x0 - 1) >> 2]:
+            ctx += 1 if self.ic.skip4[y0 >> 2, (x0 - 1) >> 2] else 0
+        if y0 > 0 and self.avail4[(y0 - 1) >> 2, x0 >> 2]:
+            ctx += 1 if self.ic.skip4[(y0 - 1) >> 2, x0 >> 2] else 0
+        self.cab.encode_bin(CTX_OFF["cu_skip"] + ctx, val)
+
+    def _encode_merge_idx(self, idx) -> None:
+        cmax = self.sh.max_num_merge_cand - 1
+        if cmax == 0:
+            return
+        self.cab.encode_bin(CTX_OFF["merge_idx"], 1 if idx > 0 else 0)
+        if idx > 0:
+            for i in range(1, idx):
+                self.cab.encode_bin_ep(1)
+            if idx < cmax:
+                self.cab.encode_bin_ep(0)
+
+    def _mc_pred(self, c_idx, x0, y0, nt, mv):
+        """Motion compensation, integer (luma) / integer (chroma) positions
+        only — MVs are restricted to even luma-pel values for now."""
+        pad = self.pad if c_idx == 0 else self.pad >> 1
+        ref = self.ref_pad[c_idx]
+        if c_idx == 0:
+            dx, dy = mv[0] >> 2, mv[1] >> 2
+        else:
+            dx, dy = mv[0] >> 3, mv[1] >> 3
+        ys, xs = pad + y0 + dy, pad + x0 + dx
+        return ref[ys:ys + nt, xs:xs + nt]
+
+    def _inter_cu(self, x0, y0, log2_cb, depth) -> None:
+        sps, pps, cab, sh = self.sps, self.pps, self.cab, self.sh
+        size = 1 << log2_cb
+        mv = (int(self.dec.mv8[y0 >> 3, x0 >> 3, 0]),
+              int(self.dec.mv8[y0 >> 3, x0 >> 3, 1]))
+
+        pred_y = self._mc_pred(0, x0, y0, size, mv)
+        pred_cb = self._mc_pred(1, x0 >> 1, y0 >> 1, size >> 1, mv)
+        pred_cr = self._mc_pred(2, x0 >> 1, y0 >> 1, size >> 1, mv)
+        y_lvl, y_res = self._coeffs_from_pred(0, x0, y0, log2_cb, pred_y, False)
+        cb_lvl, cb_res = self._coeffs_from_pred(1, x0 >> 1, y0 >> 1,
+                                                log2_cb - 1, pred_cb, False)
+        cr_lvl, cr_res = self._coeffs_from_pred(2, x0 >> 1, y0 >> 1,
+                                                log2_cb - 1, pred_cr, False)
+        cbf_y = 1 if np.any(y_lvl) else 0
+        cbf_cb = 1 if np.any(cb_lvl) else 0
+        cbf_cr = 1 if np.any(cr_lvl) else 0
+        all_zero = not (cbf_y or cbf_cb or cbf_cr)
+
+        cands = merge_candidates(self.ic, self.avail4, x0, y0, size, size,
+                                 sps.width, sps.height,
+                                 sh.max_num_merge_cand, sps.ctb_size)
+        merge_idx = cands.index(mv) if mv in cands else -1
+        skip = merge_idx >= 0 and all_zero
+
+        self._encode_skip_flag(x0, y0, 1 if skip else 0)
+        if skip:
+            self._encode_merge_idx(merge_idx)
+            self._finish_inter(x0, y0, size, depth, mv, True,
+                               pred_y, pred_cb, pred_cr, 0, 0, 0)
+            return
+        cab.encode_bin(CTX_OFF["pred_mode"], 0)          # inter
+        cab.encode_bin(CTX_OFF["part_mode"], 1)          # 2Nx2N
+        if merge_idx >= 0:
+            cab.encode_bin(CTX_OFF["merge_flag"], 1)
+            self._encode_merge_idx(merge_idx)
+        else:
+            cab.encode_bin(CTX_OFF["merge_flag"], 0)
+            # P slice, 1 reference: no inter_pred_idc, no ref_idx
+            amvp = amvp_candidates(self.ic, self.avail4, x0, y0, size, size,
+                                   sps.width, sps.height)
+            costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in amvp]
+            mvp_idx = 0 if costs[0] <= costs[1] else 1
+            mvd = (mv[0] - amvp[mvp_idx][0], mv[1] - amvp[mvp_idx][1])
+            encode_mvd(cab, CTX_OFF["mvd"], mvd[0], mvd[1])
+            cab.encode_bin(CTX_OFF["mvp_flag"], mvp_idx)
+        if merge_idx < 0:
+            cab.encode_bin(CTX_OFF["rqt_root_cbf"], 0 if all_zero else 1)
+            if all_zero:
+                self._finish_inter(x0, y0, size, depth, mv, False,
+                                   pred_y, pred_cb, pred_cr, 0, 0, 0)
+                return
+        # transform tree, single TU (hierarchy depth 0)
+        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
+        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
+        if cbf_cb or cbf_cr:
+            cab.encode_bin(CTX_OFF["cbf_luma"] + 1, cbf_y)
+        # else cbf_luma inferred 1 (guaranteed: not all_zero, chroma zero)
+        if cbf_y:
+            encode_residual(cab, y_lvl, log2_cb, 0, 0,
+                            sign_hiding=pps.sign_data_hiding,
+                            transquant_bypass=self.lossless)
+        if cbf_cb:
+            encode_residual(cab, cb_lvl, log2_cb - 1, 1, 0,
+                            sign_hiding=pps.sign_data_hiding,
+                            transquant_bypass=self.lossless)
+        if cbf_cr:
+            encode_residual(cab, cr_lvl, log2_cb - 1, 2, 0,
+                            sign_hiding=pps.sign_data_hiding,
+                            transquant_bypass=self.lossless)
+        self._finish_inter(x0, y0, size, depth, mv, False,
+                           pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res)
+
+    def _finish_inter(self, x0, y0, size, depth, mv, skip,
+                      pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res):
+        maxv = (1 << self.bd) - 1
+        self.y[y0:y0 + size, x0:x0 + size] = np.clip(pred_y + y_res, 0, maxv)
+        hs = size >> 1
+        self.cb[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
+            np.clip(pred_cb + cb_res, 0, maxv)
+        self.cr[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
+            np.clip(pred_cr + cr_res, 0, maxv)
+        s4 = slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2)
+        self.ic.mv4[s4[0], s4[1], 0] = mv[0]
+        self.ic.mv4[s4[0], s4[1], 1] = mv[1]
+        self.ic.ref4[s4] = 0
+        self.ic.skip4[s4] = skip
+        self.depth4[s4] = depth
+        self.avail4[s4] = True
+
+    def _coeffs_from_pred(self, c_idx, x0, y0, log2, pred, is_intra_tb):
+        """Transform+quant (or bypass) of src-pred; returns (levels, recon_resi)."""
+        nt = 1 << log2
+        src = self.src[c_idx][y0:y0 + nt, x0:x0 + nt]
+        resi = (src - pred).astype(np.int32)
+        if self.lossless:
+            return resi, resi
+        if c_idx == 0:
+            qp = self.qp_y
+        else:
+            off = (self.pps.cb_qp_offset if c_idx == 1
+                   else self.pps.cr_qp_offset)
+            qp = chroma_qp(self.qp_y, off, self.bd)
+        use_dst = is_intra_tb and c_idx == 0 and log2 == 2
+        coeff = forward_transform(resi, use_dst, self.bd)
+        level = quantize(coeff, qp, log2, is_intra_tb, self.bd)
+        if self.pps.sign_data_hiding and np.any(level):
+            level = sign_bit_hiding_adjust(level, SCANS[(log2, 0)])
+        if not np.any(level):
+            return level, np.zeros_like(resi)
+        deq = dequantize(level, qp, log2, self.bd)
+        recon_resi = inverse_transform(deq, use_dst, self.bd)
+        return level, recon_resi
 
     def _plane(self, c_idx):
         return (self.y, self.cb, self.cr)[c_idx]

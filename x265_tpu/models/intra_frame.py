@@ -89,7 +89,8 @@ def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
     bias = jnp.full((35,), 4.0 * lambda_bits, dtype=jnp.float32)
     bias = bias.at[0].set(0.0).at[1].set(2.0 * lambda_bits)
     cost = satd + bias[None, :]
-    return jnp.argmin(cost, axis=1).astype(jnp.int32)        # [nB]
+    best = jnp.argmin(cost, axis=1).astype(jnp.int32)        # [nB]
+    return best, jnp.min(cost, axis=1)
 
 
 def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
@@ -106,7 +107,7 @@ def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
     # (~100x slower trace) on this TPU runtime
     y = np.asarray(src_y, dtype=np.int32)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
-    modes = np.asarray(frame_intra_analysis(jnp.asarray(yp), S=S))
+    modes = np.asarray(frame_intra_analysis(jnp.asarray(yp), S=S)[0])
     nby, nbx = ph // S, pw // S
     h8, w8 = height >> 3, width >> 3
     rep = S >> 3
