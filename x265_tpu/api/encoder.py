@@ -85,10 +85,12 @@ class Encoder:
             cb_qp_offset=p.cb_qp_offset,
             cr_qp_offset=p.cr_qp_offset,
             transquant_bypass_enabled=p.lossless,
-            # in-loop filters not implemented yet: always signal deblock off
-            # so decoder output matches our closed-loop recon (TODO: deblock)
-            deblocking_filter_control_present=True,
-            deblocking_filter_disabled=True,
+            deblocking_filter_control_present=(
+                not p.deblock or p.deblock_beta_offset != 0
+                or p.deblock_tc_offset != 0),
+            deblocking_filter_disabled=not p.deblock,
+            beta_offset_div2=p.deblock_beta_offset,
+            tc_offset_div2=p.deblock_tc_offset,
             loop_filter_across_slices=True,
         )
         self.poc = 0
@@ -140,17 +142,46 @@ class Encoder:
                 self.pps.sign_data_hiding, p.intra_smoothing,
                 p.cb_qp_offset, p.cr_qp_offset, want_recon=True)
             if res is not None:
-                slice_data, self._last_recon = res
+                slice_data, recon = res
+                self._last_recon = self._deblock_intra_recon(recon, decisions)
         if slice_data is None:
             writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
             slice_data = writer.encode_slice_data(
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+            writer.apply_loop_filters()
             self._last_recon = (writer.y, writer.cb, writer.cr)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
         self.poc += 1
         self.frame_count += 1
         return annexb([nal])
+
+    def _deblock_intra_recon(self, recon, decisions):
+        """Deblock the recon returned by the native intra finalizer.
+
+        All-intra ⇒ bS=2 at every CU(==TU/PU) boundary on the 8-grid
+        regardless of cbf (spec 8.7.2.4), so the edge maps derive from the
+        CU-size map alone."""
+        p = self.param
+        if not p.deblock or p.lossless:
+            return recon
+        from x265_tpu.hevc.deblock import DeblockState, deblock_frame
+        h, w = p.height, p.width
+        h4, w4 = (h + 3) // 4, (w + 3) // 4
+        cl4 = np.repeat(np.repeat(decisions.cu_log2_map, 2, 0),
+                        2, 1)[:h4, :w4]
+        st = DeblockState(h, w)
+        xs = (np.arange(w4) * 4)[None, :]
+        ys = (np.arange(h4) * 4)[:, None]
+        st.edge_v = (xs % (1 << cl4)) == 0
+        st.edge_h = (ys % (1 << cl4)) == 0
+        is_intra4 = np.ones((h4, w4), dtype=bool)
+        yy, cbb, crr = deblock_frame(
+            recon[0].astype(np.int32), recon[1].astype(np.int32),
+            recon[2].astype(np.int32), st, is_intra4, None, None,
+            p.qp, p.deblock_beta_offset, p.deblock_tc_offset,
+            p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
+        return yy, cbb, crr
 
     def _intra_decisions(self, y) -> FrameDecisions:
         p = self.param
@@ -180,6 +211,7 @@ class Encoder:
                                    ref_planes=self._last_recon)
         slice_data = writer.encode_slice_data(
             np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+        writer.apply_loop_filters()
         self._last_recon = (writer.y, writer.cb, writer.cr)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)

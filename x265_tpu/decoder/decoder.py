@@ -29,6 +29,7 @@ from x265_tpu.hevc.headers import (
     parse_slice_header, SLICE_I, SLICE_P, SLICE_B, is_idr,
 )
 from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.deblock import DeblockState, deblock_frame
 from x265_tpu.hevc.inter_tools import (
     InterCtx, amvp_candidates, decode_mvd, merge_candidates,
 )
@@ -66,6 +67,9 @@ class PictureDecodeState:
         self.is_intra4 = np.zeros((h4, w4), dtype=bool)
         self.ic = InterCtx(h, w)
         self.ref_pad = None       # padded reference planes for P slices
+        self.dbs = DeblockState(h, w)
+        self.deblock_params = None  # (qp, beta_off, tc_off, cbqp, crqp)
+        self.filtered = False
 
 
 class SliceDecoder:
@@ -84,7 +88,11 @@ class SliceDecoder:
         self.qp_y = sh.qp
 
     def decode(self, pic: PictureDecodeState) -> None:
-        sps = self.sps
+        sps, pps, sh = self.sps, self.pps, self.sh
+        if not sh.deblocking_filter_disabled:
+            pic.deblock_params = (sh.qp, sh.beta_offset_div2,
+                                  sh.tc_offset_div2, pps.cb_qp_offset,
+                                  pps.cr_qp_offset)
         ctb = sps.ctb_size
         w_ctbs = sps.pic_width_in_ctbs
         n_ctbs = w_ctbs * sps.pic_height_in_ctbs
@@ -268,6 +276,8 @@ class SliceDecoder:
 
         cu = _CuCtx(tqb=tqb, luma_modes=[0], chroma_mode=0, part_nxn=False,
                     cu_x=x0, cu_y=y0, log2_cb=log2_cb)
+        pic.dbs.mark_block(x0, y0, size)
+        pic.dbs.set_tu(x0, y0, size, bool(cbf_y), tqb)
         maxv = (1 << self.bd) - 1
         pred_y = self._mc_pred(pic, 0, x0, y0, size, mv)
         res_y = (self._decode_tb_residual_inter(cu, log2_cb, 0)
@@ -359,6 +369,8 @@ class SliceDecoder:
                         depth, blk_idx, cbf_luma, cbf_cb, cbf_cr):
         sps, pps, cab = self.sps, self.pps, self.cab
         nt = 1 << log2_tb
+        pic.dbs.mark_block(x0, y0, nt)
+        pic.dbs.set_tu(x0, y0, nt, bool(cbf_luma), cu.tqb)
 
         # luma intra mode for this TB
         if cu.part_nxn and (1 << cu.log2_cb) > nt * 2:
@@ -490,6 +502,7 @@ class HEVCDecoder:
                 sps = self.sps[pps.sps_id]
                 if sh.first_slice_in_pic:
                     if cur_pic is not None:
+                        self._finish(cur_pic)
                         pictures.append(self._emit(cur_pic, poc))
                         poc += 1
                         prev = cur_pic
@@ -506,8 +519,22 @@ class HEVCDecoder:
                 sd = SliceDecoder(sps, pps, sh, rbsp[off:])
                 sd.decode(cur_pic)
         if cur_pic is not None:
+            self._finish(cur_pic)
             pictures.append(self._emit(cur_pic, poc))
         return pictures
+
+    @staticmethod
+    def _finish(pic: PictureDecodeState) -> None:
+        """In-loop filters once the picture is complete (8.7: the filtered
+        picture is both the output and the reference)."""
+        if pic.filtered or pic.deblock_params is None:
+            return
+        qp, boff, toff, cbo, cro = pic.deblock_params
+        pic.y, pic.cb, pic.cr = deblock_frame(
+            pic.y, pic.cb, pic.cr, pic.dbs, pic.is_intra4,
+            pic.ic.mv4, pic.ic.ref4, qp, boff, toff, cbo, cro,
+            pic.sps.bit_depth)
+        pic.filtered = True
 
     @staticmethod
     def _emit(pic: PictureDecodeState, poc: int) -> DecodedPicture:

@@ -20,6 +20,7 @@ import numpy as np
 
 from x265_tpu.hevc.cabac import CabacEncoder
 from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.deblock import DeblockState, deblock_frame
 from x265_tpu.hevc.headers import PPS, SPS, SliceHeader, SLICE_I, SLICE_P
 from x265_tpu.hevc.inter_tools import (
     InterCtx, amvp_candidates, encode_mvd, merge_candidates,
@@ -89,6 +90,7 @@ class FrameSyntaxWriter:
         self.depth4 = np.zeros((h4, w4), dtype=np.int32)
 
         self.ic = InterCtx(h, w)
+        self.dbs = DeblockState(h, w)
         cab = CabacEncoder()
         cab.init_slice({SLICE_I: 0, SLICE_P: 1}[self.sh.slice_type], self.sh.qp)
         self.cab = cab
@@ -212,6 +214,8 @@ class FrameSyntaxWriter:
         cbf_cb = 1 if np.any(cb_coeff) else 0
         cbf_cr = 1 if np.any(cr_coeff) else 0
         cbf_luma = 1 if np.any(y_coeff) else 0
+        self.dbs.mark_block(x0, y0, nt)
+        self.dbs.set_tu(x0, y0, nt, bool(cbf_luma), self.lossless)
 
         cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
         cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
@@ -344,10 +348,14 @@ class FrameSyntaxWriter:
                             sign_hiding=pps.sign_data_hiding,
                             transquant_bypass=self.lossless)
         self._finish_inter(x0, y0, size, depth, mv, False,
-                           pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res)
+                           pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,
+                           cbf_luma=cbf_y)
 
     def _finish_inter(self, x0, y0, size, depth, mv, skip,
-                      pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res):
+                      pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,
+                      cbf_luma=0):
+        self.dbs.mark_block(x0, y0, size)
+        self.dbs.set_tu(x0, y0, size, bool(cbf_luma), self.lossless)
         maxv = (1 << self.bd) - 1
         self.y[y0:y0 + size, x0:x0 + size] = np.clip(pred_y + y_res, 0, maxv)
         hs = size >> 1
@@ -362,6 +370,21 @@ class FrameSyntaxWriter:
         self.ic.skip4[s4] = skip
         self.depth4[s4] = depth
         self.avail4[s4] = True
+
+    def apply_loop_filters(self) -> None:
+        """In-loop filter stage (x265 FrameFilter::processRow analog,
+        framefilter.cpp:564): deblock the reconstruction in place. Must run
+        after the whole slice is coded (intra prediction uses unfiltered
+        samples; the *filtered* picture becomes the reference)."""
+        pps = self.pps
+        if pps.deblocking_filter_disabled:   # (no slice-level override emitted)
+            return
+        beta_off = pps.beta_offset_div2
+        tc_off = pps.tc_offset_div2
+        self.y, self.cb, self.cr = deblock_frame(
+            self.y, self.cb, self.cr, self.dbs, self.is_intra4,
+            self.ic.mv4, self.ic.ref4, self.qp_y, beta_off, tc_off,
+            pps.cb_qp_offset, pps.cr_qp_offset, self.bd)
 
     def _coeffs_from_pred(self, c_idx, x0, y0, log2, pred, is_intra_tb):
         """Transform+quant (or bypass) of src-pred; returns (levels, recon_resi)."""
