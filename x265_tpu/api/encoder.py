@@ -230,17 +230,18 @@ class Encoder:
         S = 16
         dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
         ref_y = self._last_recon[0]
-        mv_blk, sad = motion_decide(np.asarray(y), ref_y, p.width, p.height,
-                                    S=S, R=p.me_range if p.me_range <= 24 else 16)
-        # intra costs on the same padded grid
+        mv_blk, mcost = motion_decide(
+            np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
+            R=p.me_range if p.me_range <= 24 else 16, qp=p.qp,
+            subme=p.sub_me)
+        # intra costs on the same padded grid (both SATD + bit-bias domain)
         ph = -(-p.height // S) * S
         pw = -(-p.width // S) * S
         yp = np.pad(np.asarray(y, dtype=np.int32),
                     ((0, ph - p.height), (0, pw - p.width)), mode="edge")
         _, icost = frame_intra_analysis(jnp.asarray(yp), S=S)
         icost = np.asarray(icost).reshape(ph // S, pw // S)
-        # SAD vs SATD: prefer inter when clearly cheaper (sa8d ~ 1.5-2x sad)
-        inter_blk = sad * 1.5 < icost
+        inter_blk = mcost < icost
         h8, w8 = p.height >> 3, p.width >> 3
         rep = S >> 3
         inter8 = np.repeat(np.repeat(inter_blk, rep, 0), rep, 1)[:h8, :w8]

@@ -223,14 +223,10 @@ class SliceDecoder:
         return idx
 
     def _mc_pred(self, pic, c_idx, x0, y0, nt, mv):
-        pad = 80 if c_idx == 0 else 40
-        ref = pic.ref_pad[c_idx]
+        from x265_tpu.ops.ref.interp import mc_chroma, mc_luma
         if c_idx == 0:
-            dx, dy = mv[0] >> 2, mv[1] >> 2
-        else:
-            dx, dy = mv[0] >> 3, mv[1] >> 3
-        ys, xs = pad + y0 + dy, pad + x0 + dx
-        return ref[ys:ys + nt, xs:xs + nt]
+            return mc_luma(pic.ref_pad[0], 80, x0, y0, nt, nt, mv, self.bd)
+        return mc_chroma(pic.ref_pad[c_idx], 40, x0, y0, nt, nt, mv, self.bd)
 
     def _inter_cu(self, pic, x0, y0, log2_cb, depth, tqb, skip) -> None:
         sps, pps, cab, sh = self.sps, self.pps, self.cab, self.sh

@@ -266,16 +266,14 @@ class FrameSyntaxWriter:
                 self.cab.encode_bin_ep(0)
 
     def _mc_pred(self, c_idx, x0, y0, nt, mv):
-        """Motion compensation, integer (luma) / integer (chroma) positions
-        only — MVs are restricted to even luma-pel values for now."""
-        pad = self.pad if c_idx == 0 else self.pad >> 1
-        ref = self.ref_pad[c_idx]
+        """Motion compensation at quarter-pel (luma 8-tap) / eighth-pel
+        (chroma 4-tap) — spec 8.5.4.2.2, ops/ref/interp."""
+        from x265_tpu.ops.ref.interp import mc_chroma, mc_luma
         if c_idx == 0:
-            dx, dy = mv[0] >> 2, mv[1] >> 2
-        else:
-            dx, dy = mv[0] >> 3, mv[1] >> 3
-        ys, xs = pad + y0 + dy, pad + x0 + dx
-        return ref[ys:ys + nt, xs:xs + nt]
+            return mc_luma(self.ref_pad[0], self.pad, x0, y0, nt, nt, mv,
+                           self.bd)
+        return mc_chroma(self.ref_pad[c_idx], self.pad >> 1, x0, y0, nt, nt,
+                         mv, self.bd)
 
     def _inter_cu(self, x0, y0, log2_cb, depth) -> None:
         sps, pps, cab, sh = self.sps, self.pps, self.cab, self.sh

@@ -1,11 +1,18 @@
 """Batched TPU motion estimation — the re-imagining of x265's serial
-MotionEstimate::motionEstimate loop (reference motion.cpp:739, SURVEY §3.6)
-as dense frame-level computation: every block's full search window is
-evaluated at once as shifted-frame absolute differences reduced per block
-(the sad_x4/ads primitive family becomes one fused displacement sweep).
+MotionEstimate::motionEstimate loop (reference motion.cpp:739, subpel
+refine motion.cpp:624 area; SURVEY §3.6) as dense frame-level computation:
 
-MVs are currently restricted to even integer luma positions so chroma MC
-stays on integer samples (interpolation filters arrive with subpel ME).
+- integer full search: every block's whole (2R+1)^2 window evaluated as a
+  lax.scan over displacements of shifted-frame SAD reductions (the
+  sad_x4/ads primitive family becomes one fused displacement sweep), with
+  a lambda*mvbits penalty per displacement;
+- subpel: 16 quarter-pel phase planes built once per frame by separable
+  8-tap interpolation (the ipfilter family as convolutions), then
+  half->quarter refinement rounds evaluate 8 neighbor candidates per block
+  with batched SATD (Hadamard via matmuls — MXU-friendly) + mv cost.
+
+MV cost model: quarter-pel exp-Golomb-ish bit estimate against a (0,0)
+predictor (x265 uses the real MVP via its BitCost LUTs, bitcost.h).
 """
 from __future__ import annotations
 
@@ -15,35 +22,135 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from x265_tpu.ops.ref.interp import LUMA_FILTERS
 
-@partial(jax.jit, static_argnames=("S", "R", "step"))
-def full_search_sads(cur: jnp.ndarray, ref_pad: jnp.ndarray,
-                     S: int = 16, R: int = 16, step: int = 2):
-    """cur [H,W] int32, ref_pad [H+2R, W+2R] int32 ->
-    (best_disp_idx [nby,nbx], best_sad [nby,nbx]); displacement list is the
-    static (2R/step+1)^2 grid, index = row-major (dy, dx)."""
+# 8x8 Hadamard matrix for SATD
+_H8 = np.array([[1, 1, 1, 1, 1, 1, 1, 1],
+                [1, -1, 1, -1, 1, -1, 1, -1],
+                [1, 1, -1, -1, 1, 1, -1, -1],
+                [1, -1, -1, 1, 1, -1, -1, 1],
+                [1, 1, 1, 1, -1, -1, -1, -1],
+                [1, -1, 1, -1, -1, 1, -1, 1],
+                [1, 1, -1, -1, -1, -1, 1, 1],
+                [1, -1, -1, 1, -1, 1, 1, -1]], dtype=np.int32)
+
+
+def _mv_bits(v: np.ndarray) -> np.ndarray:
+    """~exp-Golomb bit count of a quarter-pel mv component."""
+    a = np.abs(v).astype(np.int64)
+    return (2 * np.floor(np.log2(2 * a + 1)) + 1).astype(np.float32)
+
+
+def satd8_batched(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """SATD over [N, S, S] blocks (S multiple of 8) -> [N] (sa8d-style:
+    sum |H8 D H8^T| / 4 per 8x8 sub-block; x265 pixel.cpp sa8d)."""
+    N, S, _ = a.shape
+    d = (a - b).reshape(N, S // 8, 8, S // 8, 8)
+    d = d.transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8).astype(jnp.int32)
+    h = jnp.asarray(_H8)
+    t = jnp.einsum("ij,njk,lk->nil", h, d, h)
+    s = jnp.abs(t).sum(axis=(1, 2)) // 4
+    return s.reshape(N, -1).sum(axis=1)
+
+
+@partial(jax.jit, static_argnames=("S", "R"))
+def _int_search(cur, ref_pad, mvcost, S, R):
+    """Integer full search. cur [H,W], ref_pad [H+2R, W+2R], mvcost [D]
+    -> (best_idx [nby,nbx], best_cost, best_sad)."""
     H, W = cur.shape
     nby, nbx = H // S, W // S
-    disps = [(dy, dx) for dy in range(-R, R + 1, step)
-             for dx in range(-R, R + 1, step)]
+    n = 2 * R + 1
 
-    def sad_for(d):
-        dy, dx = d
-        sh = jax.lax.dynamic_slice(ref_pad, (R + dy, R + dx), (H, W))
-        ad = jnp.abs(cur - sh)
-        return ad.reshape(nby, S, nbx, S).sum(axis=(1, 3))
+    def body(carry, d):
+        best_cost, best_idx, best_sad = carry
+        dy = d // n
+        dx = d % n
+        sh = jax.lax.dynamic_slice(ref_pad, (dy, dx), (H, W))
+        sad = jnp.abs(cur - sh).reshape(nby, S, nbx, S).sum(axis=(1, 3))
+        cost = sad.astype(jnp.float32) + mvcost[d]
+        upd = cost < best_cost
+        return ((jnp.where(upd, cost, best_cost),
+                 jnp.where(upd, d, best_idx),
+                 jnp.where(upd, sad, best_sad)), None)
 
-    sads = jnp.stack([sad_for(d) for d in disps])      # [D, nby, nbx]
-    best = jnp.argmin(sads, axis=0)
-    return best.astype(jnp.int32), jnp.min(sads, axis=0).astype(jnp.float32)
+    init = (jnp.full((nby, nbx), jnp.inf, jnp.float32),
+            jnp.zeros((nby, nbx), jnp.int32),
+            jnp.zeros((nby, nbx), jnp.int32))
+    (cost, idx, sad), _ = jax.lax.scan(body, init, jnp.arange(n * n))
+    return idx, cost, sad
+
+
+@jax.jit
+def _phase_planes(ref_pad: jnp.ndarray) -> jnp.ndarray:
+    """[4,4,H+2m,W+2m] pixel-domain quarter-pel planes from a reference
+    edge-padded by (m+3) left/top and (m+4) right/bottom, so that plane
+    index i maps to integer position i-m (the 8-tap base sample is tap 3)."""
+    f = jnp.asarray(LUMA_FILTERS)          # [4, 8]
+    Hp, Wp = ref_pad.shape
+
+    # horizontal: out[p, y, x] = sum_t f[p,t] * ref[y, x+t-3], valid range
+    W_out = Wp - 7
+    cols = jnp.stack([ref_pad[:, t:t + W_out] for t in range(8)], axis=-1)
+    hor = jnp.einsum("ywt,pt->pyw", cols, f)              # [4, Hp, W_out]
+    # vertical on hor
+    H_out = Hp - 7
+    rows = jnp.stack([hor[:, t:t + H_out, :] for t in range(8)], axis=-1)
+    out = jnp.einsum("pyxt,qt->qpyx", rows, f)            # [4(v),4(h),H,W]
+    out = (out + 2048) >> 12                              # /64/64 rounded
+    return jnp.clip(out, 0, 255).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("S", "margin"))
+def _refine(cur_blocks, planes, mv_q, offsets, lam, mvcost_scale, S, margin):
+    """One subpel refinement round.
+
+    cur_blocks [N,S,S]; planes [4,4,Hp,Wp] (padded by `margin` int pels);
+    mv_q [N,2] current best quarter-pel MVs; offsets [K,2] quarter-pel
+    deltas (0,0 included to keep the incumbent). Returns best mv [N,2].
+    """
+    N = cur_blocks.shape[0]
+    nbx_arr = mv_q[:, 2]  # packed block x index
+    nby_arr = mv_q[:, 3]
+    base = mv_q[:, :2]
+
+    def eval_cand(off):
+        cand = base + off[None, :]
+        fx = cand[:, 0] & 3
+        fy = cand[:, 1] & 3
+        ix = (cand[:, 0] >> 2) + nbx_arr * S + margin
+        iy = (cand[:, 1] >> 2) + nby_arr * S + margin
+
+        def one(i):
+            blk = jax.lax.dynamic_slice(
+                planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
+            return blk[0, 0]
+
+        pred = jax.vmap(one)(jnp.arange(N))
+        satd = satd8_batched(cur_blocks, pred).astype(jnp.float32)
+        bits = (2 * jnp.floor(jnp.log2(2 * jnp.abs(cand).astype(jnp.float32)
+                                       + 1)) + 1).sum(axis=1)
+        return satd + lam * bits * mvcost_scale, cand
+
+    costs, cands = jax.vmap(eval_cand)(offsets)    # [K,N], [K,N,2]
+    k = jnp.argmin(costs, axis=0)                  # [N]
+    best = jnp.take_along_axis(cands, k[None, :, None], axis=0)[0]
+    cost = jnp.min(costs, axis=0)
+    return best, cost
+
+
+_HALF_OFFS = np.array([(0, 0), (-2, 0), (2, 0), (0, -2), (0, 2),
+                       (-2, -2), (-2, 2), (2, -2), (2, 2)], dtype=np.int32)
+_QUARTER_OFFS = np.array([(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
+                          (-1, -1), (-1, 1), (1, -1), (1, 1)], dtype=np.int32)
 
 
 def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
-                  height: int, S: int = 16, R: int = 16, step: int = 2):
-    """Full-search ME vs the reference frame.
+                  height: int, S: int = 16, R: int = 16, qp: int = 32,
+                  subme: int = 2):
+    """Full-search + subpel-refined ME vs one reference frame.
 
-    Returns (mv_blocks [nby,nbx,2] quarter-pel, sad [nby,nbx]) on the
-    S-block grid of the padded frame.
+    Returns (mv [nby,nbx,2] quarter-pel, cost [nby,nbx] satd+lambda*bits).
+    subme: 0 = integer only, 1 = +half, >=2 = +quarter (x265 --subme dial).
     """
     ph = -(-height // S) * S
     pw = -(-width // S) * S
@@ -51,13 +158,46 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
                  ((0, ph - height), (0, pw - width)), mode="edge")
     ref = np.pad(np.asarray(ref_y, dtype=np.int32),
                  ((0, ph - height), (0, pw - width)), mode="edge")
-    ref_pad = np.pad(ref, R, mode="edge")
-    idx, sad = full_search_sads(jnp.asarray(cur), jnp.asarray(ref_pad),
-                                S=S, R=R, step=step)
+    nby, nbx = ph // S, pw // S
+    N = nby * nbx
+
+    lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
+
+    # --- integer search ---
+    n = 2 * R + 1
+    dys, dxs = np.mgrid[-R:R + 1, -R:R + 1]
+    mvcost = lam * (_mv_bits(4 * dxs.ravel()) + _mv_bits(4 * dys.ravel()))
+    ref_pad_i = np.pad(ref, R, mode="edge")
+    idx, cost, sad = _int_search(jnp.asarray(cur), jnp.asarray(ref_pad_i),
+                                 jnp.asarray(mvcost), S, R)
     idx = np.asarray(idx)
-    sad = np.asarray(sad)
-    n = 2 * R // step + 1
-    dy = (idx // n) * step - R
-    dx = (idx % n) * step - R
-    mv = np.stack([dx * 4, dy * 4], axis=-1).astype(np.int32)  # quarter-pel
-    return mv, sad
+    mv_int = np.stack([(idx % n) - R, (idx // n) - R], axis=-1)  # (dx, dy)
+
+    if subme <= 0:
+        mv = (mv_int * 4).astype(np.int32)
+        return mv, np.asarray(cost).astype(np.float32)
+
+    # --- subpel refinement on quarter-pel phase planes ---
+    margin = R + 2            # int-pel padding available in the planes
+    ref_pad_s = np.pad(ref, ((margin + 3, margin + 4),
+                             (margin + 3, margin + 4)), mode="edge")
+    planes = _phase_planes(jnp.asarray(ref_pad_s))
+
+    bx, by = np.meshgrid(np.arange(nbx), np.arange(nby))
+    cur_blocks = jnp.asarray(
+        cur.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3).reshape(N, S, S))
+    state = np.concatenate([(mv_int * 4).reshape(N, 2),
+                            bx.reshape(N, 1), by.reshape(N, 1)],
+                           axis=1).astype(np.int32)
+    mv_q = jnp.asarray(state)
+    best2 = mv_q[:, :2]
+    cost2 = None
+    rounds = [_HALF_OFFS] + ([_QUARTER_OFFS] if subme >= 2 else [])
+    for offs in rounds:
+        best2, cost2 = _refine(cur_blocks, planes,
+                               jnp.concatenate([best2, mv_q[:, 2:]], axis=1),
+                               jnp.asarray(offs), lam, jnp.float32(1.0),
+                               S, margin)
+    mv = np.asarray(best2).reshape(nby, nbx, 2)
+    cost = np.asarray(cost2).reshape(nby, nbx)
+    return mv.astype(np.int32), cost.astype(np.float32)
