@@ -47,15 +47,47 @@ def test_mvd_roundtrip():
 def test_merge_amvp_shared_derivation():
     ic = InterCtx(64, 64)
     avail = np.zeros((16, 16), dtype=bool)
-    # left neighbor CU with mv (8, 4)
-    ic.mv4[0:4, 0:4] = (8, 4)
-    ic.ref4[0:4, 0:4] = 0
+    # left neighbor CU, uni L0 mv (8, 4) ref 0
+    ic.set_block(0, 0, 16, 16, (1, (8, 4), (0, 0), 0, -1), False)
     avail[0:4, 0:4] = True
-    cands = merge_candidates(ic, avail, 16, 0, 16, 16, 64, 64, 5, 32)
-    assert cands[0] == (8, 4)
-    assert cands[1] == (0, 0)
-    am = amvp_candidates(ic, avail, 16, 0, 16, 16, 64, 64)
+    cands = merge_candidates(ic, avail, 16, 0, 16, 16, 64, 64, 5, 32,
+                             is_b=False, ref_poc=((0,), ()))
+    assert cands[0] == (1, (8, 4), (0, 0), 0, -1)
+    assert cands[1] == (1, (0, 0), (0, 0), 0, -1)
+    am = amvp_candidates(ic, avail, 16, 0, 16, 16, 64, 64,
+                         lx=0, ref_idx=0, cur_poc=1, ref_poc=((0,), ()))
     assert am[0] == (8, 4)
+
+
+def test_amvp_scaling():
+    """Neighbor referencing a farther picture scales toward the target:
+    neighbor mv (16, 8) at ref distance 2 predicts (8, 4) at distance 1."""
+    ic = InterCtx(64, 64)
+    avail = np.zeros((16, 16), dtype=bool)
+    ic.set_block(0, 0, 16, 16, (1, (16, 8), (0, 0), 1, -1), False)
+    avail[0:4, 0:4] = True
+    # cur_poc=2, L0 refs at POC 1 (idx 0) and POC 0 (idx 1)
+    am = amvp_candidates(ic, avail, 16, 0, 16, 16, 64, 64,
+                         lx=0, ref_idx=0, cur_poc=2, ref_poc=((1, 0), ()))
+    assert am[0] == (8, 4)
+
+
+def test_merge_combined_bi():
+    """B-slice merge list appends combined L0+L1 candidates (8.5.3.2.4)."""
+    ic = InterCtx(64, 64)
+    avail = np.zeros((16, 16), dtype=bool)
+    ic.set_block(0, 0, 16, 16, (1, (8, 4), (0, 0), 0, -1), False)   # A1: L0
+    ic.set_block(16, 0, 16, 16, (2, (0, 0), (-4, 2), -1, 0), False)  # B1: L1
+    avail[0:4, 0:8] = True
+    cands = merge_candidates(ic, avail, 16, 16, 16, 16, 64, 64, 5, 32,
+                             is_b=True, ref_poc=((0,), (2,)))
+    # CU at (16,16): B1=(31,15) is the L1 block, B2=(15,15) the L0 block;
+    # A1/A0/B0 fall outside the available area
+    assert cands[0] == (2, (0, 0), (-4, 2), -1, 0)     # B1
+    assert cands[1] == (1, (8, 4), (0, 0), 0, -1)      # B2
+    assert cands[2] == (3, (8, 4), (-4, 2), 0, 0)      # combined(1,0)
+    # zero-fill candidates are bi in B slices
+    assert cands[-1][0] == 3
 
 
 @pytest.mark.parametrize("lossless", [True, False])
@@ -64,6 +96,7 @@ def test_ippp_roundtrip(lossless):
     frames = _moving_frames(w, h, 3)
     p = param_default_preset("ultrafast")
     p.width, p.height = w, h
+    p.bframes = 0                      # this test targets IPPP (config #2)
     if lossless:
         param_parse(p, "lossless")
     else:
@@ -95,6 +128,7 @@ def test_ippp_conformance_libde265(lossless):
     frames = _moving_frames(w, h, 4)
     p = param_default_preset("ultrafast")
     p.width, p.height = w, h
+    p.bframes = 0                      # this test targets IPPP (config #2)
     if lossless:
         param_parse(p, "lossless")
     else:

@@ -15,11 +15,12 @@ from x265_tpu.api.params import Param, check_params
 from x265_tpu.engine.ctu_writer import FrameDecisions, FrameSyntaxWriter
 from x265_tpu.engine.mode_decision import decide_intra_frame
 from x265_tpu.hevc.bitstream import (
-    annexb, make_nal, NAL_IDR_W_RADL, NAL_TRAIL_R, NAL_VPS, NAL_SPS, NAL_PPS,
+    annexb, make_nal, NAL_IDR_W_RADL, NAL_TRAIL_N, NAL_TRAIL_R,
+    NAL_VPS, NAL_SPS, NAL_PPS,
 )
 from x265_tpu.hevc.headers import (
     PPS, SPS, VPS, ProfileTierLevel, ShortTermRPS, SliceHeader,
-    SLICE_I, SLICE_P,
+    SLICE_B, SLICE_I, SLICE_P,
     write_pps, write_sps, write_vps, write_slice_header,
 )
 
@@ -52,20 +53,22 @@ class Encoder:
             tier_flag=1 if p.high_tier else 0,
             level_idc=p.level_idc or _level_for(p.width, p.height, fps),
         )
-        # IPPP GOP (config #2): one negative reference, no reordering
+        # GOP structure (config #3): IDR + P anchors every bframes+1 pics,
+        # non-reference B frames in between (RPS written inline per slice)
         self.ipp = p.keyint != 1
-        rps = ([ShortTermRPS(num_negative=1, delta_poc_s0=[-1],
-                             used_s0=[True])] if self.ipp else [])
-        dpb = 2 if self.ipp else 1
-        self.vps = VPS(max_dec_pic_buffering=dpb, num_reorder_pics=0, ptl=ptl)
+        self.bframes = p.bframes if self.ipp else 0
+        reorder = 1 if self.bframes else 0
+        dpb = (3 if self.bframes else 2) if self.ipp else 1
+        self.vps = VPS(max_dec_pic_buffering=dpb, num_reorder_pics=reorder,
+                       ptl=ptl)
         self.sps = SPS(
             chroma_format_idc=1,
             width=p.width, height=p.height,
             bit_depth=p.bit_depth,
             log2_max_poc_lsb=8,
             max_dec_pic_buffering=dpb,
-            num_reorder_pics=0,
-            short_term_rps=rps,
+            num_reorder_pics=reorder,
+            short_term_rps=[],
             log2_min_cb=p.min_cb_log2,
             log2_diff_max_min_cb=p.ctb_log2 - p.min_cb_log2,
             log2_min_tb=2,
@@ -93,8 +96,10 @@ class Encoder:
             tc_offset_div2=p.deblock_tc_offset,
             loop_filter_across_slices=True,
         )
-        self.poc = 0
-        self.frame_count = 0
+        self.poc = 0                 # POC of the next display-order frame
+        self.frame_count = 0         # display-order intake counter
+        self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
+        self.pending = []            # queued (poc, frame) awaiting an anchor
         # analysis backend: batched TPU graph by default; numpy reference
         # path retained for differential testing (engine.mode_decision)
         self.use_tpu_analysis = True
@@ -115,20 +120,65 @@ class Encoder:
     def encode_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray,
                      decisions: Optional[FrameDecisions] = None) -> bytes:
-        """Encode one picture -> Annex-B access unit bytes (slice NAL)."""
+        """Submit one display-order picture; returns any access units that
+        completed (decode order) — possibly none while B frames queue, or
+        several when an anchor closes a mini-GOP (x265_encoder_encode
+        latency contract, api.cpp:410)."""
         p = self.param
         assert y.shape == (p.height, p.width), y.shape
+        frame = (np.asarray(y), np.asarray(cb), np.asarray(cr))
+        out = b""
         is_idr = (self.frame_count == 0 or
-                  (p.keyint > 0 and self.frame_count % p.keyint == 0) or
-                  getattr(self, "_last_recon", None) is None)
+                  (p.keyint > 0 and self.frame_count % p.keyint == 0))
+        self.frame_count += 1
         if is_idr:
+            out += self.flush()               # close any open mini-GOP
             self.poc = 0
-            return self._encode_intra_frame(y, cb, cr, decisions)
-        return self._encode_p_frame(y, cb, cr, decisions)
+            out += self._encode_intra_frame(*frame, decisions)
+            self.anchor = (0, self._last_recon)
+            self.poc = 1
+            return out
+        self.pending.append((self.poc, frame))
+        self.poc += 1
+        if len(self.pending) >= self.bframes + 1:
+            out += self._emit_minigop()
+        return out
+
+    def flush(self) -> bytes:
+        """Encode all queued frames (end of stream / before an IDR)."""
+        return self._emit_minigop() if self.pending else b""
+
+    def _emit_minigop(self) -> bytes:
+        """Last queued frame becomes the P anchor (coded first), earlier
+        frames become non-reference B pictures between the two anchors."""
+        anchor_poc, anchor_frame = self.pending[-1]
+        bs = self.pending[:-1]
+        self.pending = []
+        prev_anchor = self.anchor
+        out = self._encode_p_frame(anchor_frame, anchor_poc, prev_anchor)
+        new_anchor = (anchor_poc, self._last_recon)
+        for (poc_b, frame_b) in bs:
+            out += self._encode_b_frame(frame_b, poc_b, prev_anchor,
+                                        new_anchor)
+        self.anchor = new_anchor
+        return out
+
+    def _slice_qp(self, slice_type: int) -> int:
+        """CQP per-type QP ladder (x265 ip/pb factor 1.4/1.3 analog,
+        ratecontrol.cpp CQP path: I ~ qp-3, P = qp, non-ref B ~ qp+3)."""
+        p = self.param
+        if p.lossless:
+            return p.qp
+        if slice_type == SLICE_I:
+            return max(0, p.qp - 3)
+        if slice_type == SLICE_B:
+            return min(51, p.qp + 3)
+        return p.qp
 
     def _encode_intra_frame(self, y, cb, cr, decisions=None) -> bytes:
         p = self.param
-        sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=p.qp)
+        sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I,
+                         qp=self._slice_qp(SLICE_I))
         if decisions is None:
             decisions = self._intra_decisions(y)
         slice_data = None
@@ -138,7 +188,7 @@ class Encoder:
                 np.asarray(y), np.asarray(cb), np.asarray(cr),
                 decisions.cu_log2_map, decisions.luma_mode8,
                 decisions.chroma_mode8,
-                p.ctb_log2, p.min_cb_log2, p.qp, p.lossless,
+                p.ctb_log2, p.min_cb_log2, sh.qp, p.lossless,
                 self.pps.sign_data_hiding, p.intra_smoothing,
                 p.cb_qp_offset, p.cr_qp_offset, want_recon=True)
             if res is not None:
@@ -152,8 +202,6 @@ class Encoder:
             self._last_recon = (writer.y, writer.cb, writer.cr)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
-        self.poc += 1
-        self.frame_count += 1
         return annexb([nal])
 
     def _deblock_intra_recon(self, recon, decisions):
@@ -179,7 +227,7 @@ class Encoder:
         yy, cbb, crr = deblock_frame(
             recon[0].astype(np.int32), recon[1].astype(np.int32),
             recon[2].astype(np.int32), st, is_intra4, None, None,
-            p.qp, p.deblock_beta_offset, p.deblock_tc_offset,
+            self._slice_qp(SLICE_I), p.deblock_beta_offset, p.deblock_tc_offset,
             p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
         return yy, cbb, crr
 
@@ -194,60 +242,138 @@ class Encoder:
             np.asarray(y), p.width, p.height, p.ctb_log2, cu_log2=cu_log2,
             strong_smoothing=p.intra_smoothing, bit_depth=p.bit_depth)
 
-    def _encode_p_frame(self, y, cb, cr, decisions=None) -> bytes:
+    def _encode_p_frame(self, frame, poc, anchor) -> bytes:
         p = self.param
+        y, cb, cr = frame
+        ref_poc, ref_recon = anchor
         sh = SliceHeader(
             first_slice_in_pic=True,
             slice_type=SLICE_P,
-            qp=p.qp,
-            pic_order_cnt_lsb=self.poc & 0xFF,
-            rps_in_sps=True,
-            short_term_rps_idx=0,
-            max_num_merge_cand=2,
+            qp=self._slice_qp(SLICE_P),
+            pic_order_cnt_lsb=poc & 0xFF,
+            rps_in_sps=False,
+            short_term_rps=ShortTermRPS(
+                num_negative=1, delta_poc_s0=[ref_poc - poc],
+                used_s0=[True]),
+            max_num_merge_cand=5,
         )
-        if decisions is None:
-            decisions = self._p_decisions(y)
+        decisions = self._p_decisions(y, ref_recon[0])
         writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
-                                   ref_planes=self._last_recon)
-        slice_data = writer.encode_slice_data(
-            np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+                                   refs=([ref_recon], []),
+                                   ref_poc=((ref_poc,), ()), cur_poc=poc)
+        slice_data = writer.encode_slice_data(y, cb, cr, decisions)
         writer.apply_loop_filters()
         self._last_recon = (writer.y, writer.cb, writer.cr)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
-        self.poc += 1
-        self.frame_count += 1
         return annexb([nal])
 
-    def _p_decisions(self, y) -> FrameDecisions:
-        """Inter/intra split + MVs for a P frame (TPU ME + intra bank)."""
-        from x265_tpu.engine.me import motion_decide
-        from x265_tpu.models.intra_frame import (
-            decide_intra_frame_tpu, frame_intra_analysis)
-        import jax.numpy as jnp
-
+    def _encode_b_frame(self, frame, poc, anchor0, anchor1) -> bytes:
+        """Non-reference B picture between two anchors (TRAIL_N)."""
         p = self.param
-        S = 16
-        dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
-        ref_y = self._last_recon[0]
-        mv_blk, mcost = motion_decide(
-            np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
-            R=p.me_range if p.me_range <= 24 else 16, qp=p.qp,
-            subme=p.sub_me)
-        # intra costs on the same padded grid (both SATD + bit-bias domain)
+        y, cb, cr = frame
+        p0, rec0 = anchor0
+        p1, rec1 = anchor1
+        sh = SliceHeader(
+            first_slice_in_pic=True,
+            slice_type=SLICE_B,
+            qp=self._slice_qp(SLICE_B),
+            pic_order_cnt_lsb=poc & 0xFF,
+            rps_in_sps=False,
+            short_term_rps=ShortTermRPS(
+                num_negative=1, delta_poc_s0=[p0 - poc], used_s0=[True],
+                num_positive=1, delta_poc_s1=[p1 - poc], used_s1=[True]),
+            max_num_merge_cand=5,
+        )
+        decisions = self._b_decisions(y, rec0[0], rec1[0])
+        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
+                                   refs=([rec0], [rec1]),
+                                   ref_poc=((p0,), (p1,)), cur_poc=poc)
+        slice_data = writer.encode_slice_data(y, cb, cr, decisions)
+        # non-reference: recon only needed if someone asks for it; still
+        # run the loop filter for PSNR-faithful stats
+        writer.apply_loop_filters()
+        hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_N)
+        nal = make_nal(NAL_TRAIL_N, hdr_bw.data() + slice_data)
+        return annexb([nal])
+
+    def _intra_cost_grid(self, y, S=16):
+        from x265_tpu.models.intra_frame import frame_intra_analysis
+        import jax.numpy as jnp
+        p = self.param
         ph = -(-p.height // S) * S
         pw = -(-p.width // S) * S
         yp = np.pad(np.asarray(y, dtype=np.int32),
                     ((0, ph - p.height), (0, pw - p.width)), mode="edge")
         _, icost = frame_intra_analysis(jnp.asarray(yp), S=S)
-        icost = np.asarray(icost).reshape(ph // S, pw // S)
+        return np.asarray(icost).reshape(ph // S, pw // S)
+
+    @staticmethod
+    def _to8(grid, h8, w8, rep):
+        return np.ascontiguousarray(
+            np.repeat(np.repeat(grid, rep, 0), rep, 1)[:h8, :w8])
+
+    def _p_decisions(self, y, ref_y) -> FrameDecisions:
+        """Inter/intra split + MVs for a P frame (TPU ME + intra bank)."""
+        from x265_tpu.engine.me import motion_decide
+
+        p = self.param
+        S = 16
+        dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
+        mv_blk, mcost = motion_decide(
+            np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
+            R=p.me_range if p.me_range <= 24 else 16,
+            qp=self._slice_qp(SLICE_P),
+            subme=p.sub_me)
+        icost = self._intra_cost_grid(y, S)
         inter_blk = mcost < icost
         h8, w8 = p.height >> 3, p.width >> 3
         rep = S >> 3
-        inter8 = np.repeat(np.repeat(inter_blk, rep, 0), rep, 1)[:h8, :w8]
-        mv8 = np.repeat(np.repeat(mv_blk, rep, 0), rep, 1)[:h8, :w8]
-        dec.inter8 = np.ascontiguousarray(inter8)
-        dec.mv8 = np.ascontiguousarray(mv8)
+        nby, nbx = mv_blk.shape[:2]
+        mv2 = np.zeros((nby, nbx, 2, 2), dtype=np.int32)
+        mv2[:, :, 0] = mv_blk
+        dec.inter8 = self._to8(inter_blk, h8, w8, rep)
+        dec.dir8 = self._to8(np.ones((nby, nbx), np.int32), h8, w8, rep)
+        dec.mv8 = self._to8(mv2, h8, w8, rep)
+        return dec
+
+    def _b_decisions(self, y, ref0_y, ref1_y) -> FrameDecisions:
+        """B-frame analysis: ME vs both anchors + bi-prediction trial
+        (x265 checkBidir2Nx2N analog) + intra fallback, as batched argmin."""
+        from x265_tpu.engine.me import bi_cost, motion_decide
+
+        p = self.param
+        S = 16
+        R = p.me_range if p.me_range <= 24 else 16
+        dec = self._intra_decisions(y)
+        mv0, c0, aux0 = motion_decide(np.asarray(y), np.asarray(ref0_y),
+                                      p.width, p.height, S=S, R=R,
+                                      qp=self._slice_qp(SLICE_B),
+                                      subme=max(1, p.sub_me),
+                                      return_aux=True)
+        mv1, c1, aux1 = motion_decide(np.asarray(y), np.asarray(ref1_y),
+                                      p.width, p.height, S=S, R=R,
+                                      qp=self._slice_qp(SLICE_B),
+                                      subme=max(1, p.sub_me),
+                                      return_aux=True)
+        cbi = bi_cost(mv0, aux0, mv1, aux1, S=S)
+        icost = self._intra_cost_grid(y, S)
+
+        costs = np.stack([icost, c0, c1, cbi])      # choice 0..3
+        choice = np.argmin(costs, axis=0)
+        inter_blk = choice > 0
+        dir_blk = np.where(choice == 1, 1, np.where(choice == 2, 2, 3))
+        nby, nbx = mv0.shape[:2]
+        mv2 = np.zeros((nby, nbx, 2, 2), dtype=np.int32)
+        use0 = (choice == 1) | (choice == 3)
+        use1 = (choice == 2) | (choice == 3)
+        mv2[:, :, 0] = np.where(use0[..., None], mv0, 0)
+        mv2[:, :, 1] = np.where(use1[..., None], mv1, 0)
+        h8, w8 = p.height >> 3, p.width >> 3
+        rep = S >> 3
+        dec.inter8 = self._to8(inter_blk, h8, w8, rep)
+        dec.dir8 = self._to8(dir_blk.astype(np.int32), h8, w8, rep)
+        dec.mv8 = self._to8(mv2, h8, w8, rep)
         return dec
 
     def encode(self, frames) -> bytes:
@@ -255,4 +381,5 @@ class Encoder:
         out = [self.headers()]
         for (y, cb, cr) in frames:
             out.append(self.encode_frame(y, cb, cr))
+        out.append(self.flush())
         return b"".join(out)

@@ -81,6 +81,9 @@ def main(argv=None) -> int:
             nframes += 1
             if args.frames and nframes >= args.frames:
                 break
+        tail = enc.flush()                # drain queued B frames
+        out.write(tail)
+        total_bytes += len(tail)
     el = time.time() - t_start
     if csv:
         csv.close()

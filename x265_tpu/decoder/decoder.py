@@ -66,7 +66,9 @@ class PictureDecodeState:
         self.depth4 = np.zeros((h4, w4), dtype=np.int32)
         self.is_intra4 = np.zeros((h4, w4), dtype=bool)
         self.ic = InterCtx(h, w)
-        self.ref_pad = None       # padded reference planes for P slices
+        self.ref_pads = ([], [])  # padded reference planes per list
+        self.ref_poc = ((), ())   # POC of each reference per list
+        self.poc = 0
         self.dbs = DeblockState(h, w)
         self.deblock_params = None  # (qp, beta_off, tc_off, cbqp, crqp)
         self.filtered = False
@@ -222,21 +224,34 @@ class SliceDecoder:
             idx += 1
         return idx
 
-    def _mc_pred(self, pic, c_idx, x0, y0, nt, mv):
-        from x265_tpu.ops.ref.interp import mc_chroma, mc_luma
-        if c_idx == 0:
-            return mc_luma(pic.ref_pad[0], 80, x0, y0, nt, nt, mv, self.bd)
-        return mc_chroma(pic.ref_pad[c_idx], 40, x0, y0, nt, nt, mv, self.bd)
+    def _mc_pred(self, pic, c_idx, x0, y0, nt, motion):
+        from x265_tpu.ops.ref.interp import (
+            bipred, mc_chroma_14, mc_luma_14, unipred)
+        dir_, mv0, mv1, r0, r1 = motion
+
+        def one(lx, mv, r):
+            ref = pic.ref_pads[lx][r][c_idx]
+            if c_idx == 0:
+                return mc_luma_14(ref, 80, x0, y0, nt, nt, mv, self.bd)
+            return mc_chroma_14(ref, 40, x0, y0, nt, nt, mv, self.bd)
+
+        if dir_ == 3:
+            return bipred(one(0, mv0, r0), one(1, mv1, r1), self.bd)
+        if dir_ == 1:
+            return unipred(one(0, mv0, r0), self.bd)
+        return unipred(one(1, mv1, r1), self.bd)
 
     def _inter_cu(self, pic, x0, y0, log2_cb, depth, tqb, skip) -> None:
         sps, pps, cab, sh = self.sps, self.pps, self.cab, self.sh
         size = 1 << log2_cb
+        is_b = sh.slice_type == SLICE_B
         if skip:
             idx = self._decode_merge_idx()
             cands = merge_candidates(pic.ic, pic.avail4, x0, y0, size, size,
                                      sps.width, sps.height,
-                                     sh.max_num_merge_cand, sps.ctb_size)
-            mv = cands[idx]
+                                     sh.max_num_merge_cand, sps.ctb_size,
+                                     is_b=is_b, ref_poc=pic.ref_poc)
+            motion = cands[idx]
             cbf_y = cbf_cb = cbf_cr = 0
             merge = True
         else:
@@ -247,15 +262,33 @@ class SliceDecoder:
                 idx = self._decode_merge_idx()
                 cands = merge_candidates(pic.ic, pic.avail4, x0, y0, size,
                                          size, sps.width, sps.height,
-                                         sh.max_num_merge_cand, sps.ctb_size)
-                mv = cands[idx]
+                                         sh.max_num_merge_cand, sps.ctb_size,
+                                         is_b=is_b, ref_poc=pic.ref_poc)
+                motion = cands[idx]
                 merge = True
             else:
-                mvd = decode_mvd(cab, CTX_OFF["mvd"])
-                mvp_idx = cab.decode_bin(CTX_OFF["mvp_flag"])
-                amvp = amvp_candidates(pic.ic, pic.avail4, x0, y0, size, size,
-                                       sps.width, sps.height)
-                mv = (amvp[mvp_idx][0] + mvd[0], amvp[mvp_idx][1] + mvd[1])
+                dir_ = 1
+                if is_b:
+                    if cab.decode_bin(CTX_OFF["inter_pred_idc"] + depth):
+                        dir_ = 3
+                    else:
+                        dir_ = 2 if cab.decode_bin(
+                            CTX_OFF["inter_pred_idc"] + 4) else 1
+                mvs = [(0, 0), (0, 0)]
+                for lx in (0, 1):
+                    if not (dir_ & (1 << lx)):
+                        continue
+                    # num_ref_idx_active == 1: ref_idx inferred 0
+                    mvd = decode_mvd(cab, CTX_OFF["mvd"])
+                    mvp_idx = cab.decode_bin(CTX_OFF["mvp_flag"])
+                    amvp = amvp_candidates(pic.ic, pic.avail4, x0, y0, size,
+                                           size, sps.width, sps.height,
+                                           lx=lx, ref_idx=0, cur_poc=pic.poc,
+                                           ref_poc=pic.ref_poc)
+                    mvs[lx] = (amvp[mvp_idx][0] + mvd[0],
+                               amvp[mvp_idx][1] + mvd[1])
+                motion = (dir_, mvs[0], mvs[1],
+                          0 if (dir_ & 1) else -1, 0 if (dir_ & 2) else -1)
                 merge = False
             root_cbf = 1
             if not merge:
@@ -275,28 +308,25 @@ class SliceDecoder:
         pic.dbs.mark_block(x0, y0, size)
         pic.dbs.set_tu(x0, y0, size, bool(cbf_y), tqb)
         maxv = (1 << self.bd) - 1
-        pred_y = self._mc_pred(pic, 0, x0, y0, size, mv)
+        pred_y = self._mc_pred(pic, 0, x0, y0, size, motion)
         res_y = (self._decode_tb_residual_inter(cu, log2_cb, 0)
                  if cbf_y else 0)
         pic.y[y0:y0 + size, x0:x0 + size] = np.clip(pred_y + res_y, 0, maxv)
         hs = size >> 1
-        pred_cb = self._mc_pred(pic, 1, x0 >> 1, y0 >> 1, hs, mv)
+        pred_cb = self._mc_pred(pic, 1, x0 >> 1, y0 >> 1, hs, motion)
         res_cb = (self._decode_tb_residual_inter(cu, log2_cb - 1, 1)
                   if cbf_cb else 0)
         pic.cb[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
             np.clip(pred_cb + res_cb, 0, maxv)
-        pred_cr = self._mc_pred(pic, 2, x0 >> 1, y0 >> 1, hs, mv)
+        pred_cr = self._mc_pred(pic, 2, x0 >> 1, y0 >> 1, hs, motion)
         res_cr = (self._decode_tb_residual_inter(cu, log2_cb - 1, 2)
                   if cbf_cr else 0)
         pic.cr[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
             np.clip(pred_cr + res_cr, 0, maxv)
 
+        pic.ic.set_block(x0, y0, size, size, motion, skip)
         s4 = (slice(y0 >> 2, (y0 + size) >> 2),
               slice(x0 >> 2, (x0 + size) >> 2))
-        pic.ic.mv4[s4[0], s4[1], 0] = mv[0]
-        pic.ic.mv4[s4[0], s4[1], 1] = mv[1]
-        pic.ic.ref4[s4] = 0
-        pic.ic.skip4[s4] = skip
         pic.depth4[s4] = depth
         pic.avail4[s4] = True
 
@@ -463,16 +493,72 @@ class _CuCtx:
 
 
 class HEVCDecoder:
-    """Top-level decoder: Annex-B stream -> list of DecodedPicture."""
+    """Top-level decoder: Annex-B stream -> pictures in display order.
+
+    Maintains a POC-keyed DPB, derives POC with MSB wrap (spec 8.3.1) and
+    builds RefPicList0/1 from the slice RPS (8.3.2-8.3.4): L0 = stCurrBefore
+    then stCurrAfter, L1 = stCurrAfter then stCurrBefore.
+    """
 
     def __init__(self) -> None:
         self.sps: Dict[int, SPS] = {}
         self.pps: Dict[int, PPS] = {}
+        self.dpb: Dict[int, PictureDecodeState] = {}
+        self.prev_poc_lsb = 0
+        self.prev_poc_msb = 0
+        self.seg_base = 0          # display-order base of the current CVS
+        self.max_poc_seen = -1
+
+    def _derive_poc(self, sh, sps, nal_type) -> int:
+        if is_idr(nal_type):
+            self.prev_poc_lsb = 0
+            self.prev_poc_msb = 0
+            return 0
+        max_lsb = 1 << sps.log2_max_poc_lsb
+        lsb = sh.pic_order_cnt_lsb
+        if lsb < self.prev_poc_lsb and \
+                (self.prev_poc_lsb - lsb) >= max_lsb // 2:
+            msb = self.prev_poc_msb + max_lsb
+        elif lsb > self.prev_poc_lsb and \
+                (lsb - self.prev_poc_lsb) > max_lsb // 2:
+            msb = self.prev_poc_msb - max_lsb
+        else:
+            msb = self.prev_poc_msb
+        return msb + lsb
+
+    def _build_ref_lists(self, pic, sh, poc) -> None:
+        rps = sh.short_term_rps
+        before = [poc + d for d, u in zip(rps.delta_poc_s0, rps.used_s0) if u]
+        after = [poc + d for d, u in zip(rps.delta_poc_s1, rps.used_s1) if u]
+        l0 = (before + after)[:sh.num_ref_idx_l0_active]
+        l1 = (after + before)[:sh.num_ref_idx_l1_active] \
+            if sh.slice_type == SLICE_B else []
+        pic.ref_poc = (tuple(l0), tuple(l1))
+        pic.ref_pads = ([], [])
+        for lx, lst in ((0, l0), (1, l1)):
+            for rpoc in lst:
+                if rpoc not in self.dpb:
+                    raise ValueError(f"reference POC {rpoc} not in DPB")
+                ref = self.dpb[rpoc]
+                pic.ref_pads[lx].append((
+                    np.pad(ref.y, 80, mode="edge"),
+                    np.pad(ref.cb, 40, mode="edge"),
+                    np.pad(ref.cr, 40, mode="edge")))
 
     def decode(self, stream: bytes) -> List[DecodedPicture]:
         pictures: List[DecodedPicture] = []
         cur_pic: Optional[PictureDecodeState] = None
-        poc = 0
+
+        def flush_current():
+            nonlocal cur_pic
+            if cur_pic is None:
+                return
+            self._finish(cur_pic)
+            self.dpb[cur_pic.poc] = cur_pic
+            pictures.append(self._emit(cur_pic, self.seg_base + cur_pic.poc))
+            self.max_poc_seen = max(self.max_poc_seen, cur_pic.poc)
+            cur_pic = None
+
         for nal in split_annexb(stream):
             if len(nal) < 2:
                 continue
@@ -497,26 +583,28 @@ class HEVCDecoder:
                 pps = self.pps[sh.pps_id]
                 sps = self.sps[pps.sps_id]
                 if sh.first_slice_in_pic:
-                    if cur_pic is not None:
-                        self._finish(cur_pic)
-                        pictures.append(self._emit(cur_pic, poc))
-                        poc += 1
-                        prev = cur_pic
-                    else:
-                        prev = None
+                    flush_current()
+                    poc = self._derive_poc(sh, sps, nal_type)
+                    if is_idr(nal_type):
+                        # new coded video sequence: reset DPB, bump the
+                        # display-order base past everything emitted
+                        self.dpb.clear()
+                        self.seg_base += self.max_poc_seen + 1
+                        self.max_poc_seen = -1
+                    # prevTid0Poc (8.3.1): only TemporalId-0 pics that are
+                    # not RASL/RADL/sub-layer-non-reference update the state
+                    slnr_or_radl = nal_type in (0, 2, 4, 6, 7, 8, 9)
+                    if not slnr_or_radl:
+                        self.prev_poc_lsb = sh.pic_order_cnt_lsb
+                        self.prev_poc_msb = poc - sh.pic_order_cnt_lsb
                     cur_pic = PictureDecodeState(sps)
+                    cur_pic.poc = poc
                     if sh.slice_type != SLICE_I:
-                        if prev is None:
-                            raise ValueError("P slice without reference")
-                        cur_pic.ref_pad = (
-                            np.pad(prev.y, 80, mode="edge"),
-                            np.pad(prev.cb, 40, mode="edge"),
-                            np.pad(prev.cr, 40, mode="edge"))
+                        self._build_ref_lists(cur_pic, sh, poc)
                 sd = SliceDecoder(sps, pps, sh, rbsp[off:])
                 sd.decode(cur_pic)
-        if cur_pic is not None:
-            self._finish(cur_pic)
-            pictures.append(self._emit(cur_pic, poc))
+        flush_current()
+        pictures.sort(key=lambda p: p.poc)
         return pictures
 
     @staticmethod
@@ -525,10 +613,15 @@ class HEVCDecoder:
         picture is both the output and the reference)."""
         if pic.filtered or pic.deblock_params is None:
             return
+        from x265_tpu.hevc.deblock import NOPOC
+        refpoc4 = np.full(pic.ic.ref4.shape, NOPOC, dtype=np.int64)
+        for lx in (0, 1):
+            for r, rpoc in enumerate(pic.ref_poc[lx]):
+                refpoc4[..., lx][pic.ic.ref4[..., lx] == r] = rpoc
         qp, boff, toff, cbo, cro = pic.deblock_params
         pic.y, pic.cb, pic.cr = deblock_frame(
             pic.y, pic.cb, pic.cr, pic.dbs, pic.is_intra4,
-            pic.ic.mv4, pic.ic.ref4, qp, boff, toff, cbo, cro,
+            pic.ic.mv4, refpoc4, qp, boff, toff, cbo, cro,
             pic.sps.bit_depth)
         pic.filtered = True
 

@@ -21,9 +21,12 @@ import numpy as np
 from x265_tpu.hevc.cabac import CabacEncoder
 from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
 from x265_tpu.hevc.deblock import DeblockState, deblock_frame
-from x265_tpu.hevc.headers import PPS, SPS, SliceHeader, SLICE_I, SLICE_P
+from x265_tpu.hevc.headers import (
+    PPS, SPS, SliceHeader, SLICE_B, SLICE_I, SLICE_P,
+)
 from x265_tpu.hevc.inter_tools import (
-    InterCtx, amvp_candidates, encode_mvd, merge_candidates,
+    InterCtx, Motion, amvp_candidates, encode_mvd, merge_candidates,
+    _same_motion,
 )
 from x265_tpu.hevc.residual import encode_residual
 from x265_tpu.hevc.tables import CTX_OFF, SCANS, chroma_qp, coeff_scan_index
@@ -51,25 +54,35 @@ class FrameDecisions:
     luma_mode8: np.ndarray
     chroma_mode8: Optional[np.ndarray] = None
     inter8: Optional[np.ndarray] = None
-    mv8: Optional[np.ndarray] = None
+    dir8: Optional[np.ndarray] = None        # 1=L0, 2=L1, 3=BI
+    mv8: Optional[np.ndarray] = None         # [h8, w8, 2(list), 2(xy)]
 
 
 class FrameSyntaxWriter:
     def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, lossless: bool,
-                 ref_planes=None):
-        """ref_planes: (y, cb, cr) int32 reconstructed reference for P
-        slices (single reference, refIdx 0)."""
+                 ref_planes=None, refs=None, ref_poc=((), ()),
+                 cur_poc: int = 0):
+        """refs: ([ (y,cb,cr) per L0 ref ], [ per L1 ref ]) reconstructed
+        reference planes; ref_poc the matching POC lists; legacy
+        ref_planes= keeps the single-L0-reference call shape."""
         self.sps, self.pps, self.sh = sps, pps, sh
         self.lossless = lossless
         self.bd = sps.bit_depth
         self.qp_y = sh.qp
-        self.ref_planes = ref_planes
-        if ref_planes is not None:
-            self.pad = 80
-            self.ref_pad = (
-                np.pad(ref_planes[0].astype(np.int32), self.pad, mode="edge"),
-                np.pad(ref_planes[1].astype(np.int32), self.pad >> 1, mode="edge"),
-                np.pad(ref_planes[2].astype(np.int32), self.pad >> 1, mode="edge"))
+        self.cur_poc = cur_poc
+        if ref_planes is not None and refs is None:
+            refs = ([ref_planes], [])
+            ref_poc = ((max(0, cur_poc - 1),), ())
+        self.ref_poc = ref_poc
+        self.pad = 80
+        self.ref_pad = ([], [])
+        if refs is not None:
+            for lx in (0, 1):
+                for planes in refs[lx]:
+                    self.ref_pad[lx].append(tuple(
+                        np.pad(planes[i].astype(np.int32),
+                               self.pad >> (0 if i == 0 else 1), mode="edge")
+                        for i in range(3)))
 
     def encode_slice_data(self, src_y: np.ndarray, src_cb: np.ndarray,
                           src_cr: np.ndarray, dec: FrameDecisions) -> bytes:
@@ -92,7 +105,8 @@ class FrameSyntaxWriter:
         self.ic = InterCtx(h, w)
         self.dbs = DeblockState(h, w)
         cab = CabacEncoder()
-        cab.init_slice({SLICE_I: 0, SLICE_P: 1}[self.sh.slice_type], self.sh.qp)
+        cab.init_slice({SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[self.sh.slice_type],
+                       self.sh.qp)
         self.cab = cab
 
         ctb = sps.ctb_size
@@ -139,7 +153,7 @@ class FrameSyntaxWriter:
     def _coding_unit(self, x0, y0, log2_cb, depth) -> None:
         sps, pps, cab = self.sps, self.pps, self.cab
         size = 1 << log2_cb
-        p_slice = self.sh.slice_type == SLICE_P
+        p_slice = self.sh.slice_type in (SLICE_P, SLICE_B)
         is_inter = (p_slice and self.dec.inter8 is not None and
                     bool(self.dec.inter8[y0 >> 3, x0 >> 3]))
 
@@ -265,25 +279,51 @@ class FrameSyntaxWriter:
             if idx < cmax:
                 self.cab.encode_bin_ep(0)
 
-    def _mc_pred(self, c_idx, x0, y0, nt, mv):
+    def _mc_pred(self, c_idx, x0, y0, nt, motion):
         """Motion compensation at quarter-pel (luma 8-tap) / eighth-pel
-        (chroma 4-tap) — spec 8.5.4.2.2, ops/ref/interp."""
-        from x265_tpu.ops.ref.interp import mc_chroma, mc_luma
-        if c_idx == 0:
-            return mc_luma(self.ref_pad[0], self.pad, x0, y0, nt, nt, mv,
-                           self.bd)
-        return mc_chroma(self.ref_pad[c_idx], self.pad >> 1, x0, y0, nt, nt,
-                         mv, self.bd)
+        (chroma 4-tap), uni or bi — spec 8.5.4.2.2-8.5.4.2.3."""
+        from x265_tpu.ops.ref.interp import (
+            bipred, mc_chroma_14, mc_luma_14, unipred)
+        dir_, mv0, mv1, r0, r1 = motion
+
+        def one(lx, mv, r):
+            ref = self.ref_pad[lx][r][c_idx]
+            if c_idx == 0:
+                return mc_luma_14(ref, self.pad, x0, y0, nt, nt, mv, self.bd)
+            return mc_chroma_14(ref, self.pad >> 1, x0, y0, nt, nt, mv,
+                                self.bd)
+
+        if dir_ == 3:
+            return bipred(one(0, mv0, r0), one(1, mv1, r1), self.bd)
+        if dir_ == 1:
+            return unipred(one(0, mv0, r0), self.bd)
+        return unipred(one(1, mv1, r1), self.bd)
+
+    def _block_motion(self, x0, y0) -> Motion:
+        dir_ = (int(self.dec.dir8[y0 >> 3, x0 >> 3])
+                if self.dec.dir8 is not None else 1)
+        mv8 = self.dec.mv8[y0 >> 3, x0 >> 3]
+        if mv8.ndim == 1:      # legacy single-list layout
+            mv0 = (int(mv8[0]), int(mv8[1]))
+            mv1 = (0, 0)
+        else:
+            mv0 = (int(mv8[0, 0]), int(mv8[0, 1]))
+            mv1 = (int(mv8[1, 0]), int(mv8[1, 1]))
+        if not (dir_ & 1):
+            mv0 = (0, 0)
+        if not (dir_ & 2):
+            mv1 = (0, 0)
+        return (dir_, mv0, mv1, 0 if (dir_ & 1) else -1,
+                0 if (dir_ & 2) else -1)
 
     def _inter_cu(self, x0, y0, log2_cb, depth) -> None:
         sps, pps, cab, sh = self.sps, self.pps, self.cab, self.sh
         size = 1 << log2_cb
-        mv = (int(self.dec.mv8[y0 >> 3, x0 >> 3, 0]),
-              int(self.dec.mv8[y0 >> 3, x0 >> 3, 1]))
+        motion = self._block_motion(x0, y0)
 
-        pred_y = self._mc_pred(0, x0, y0, size, mv)
-        pred_cb = self._mc_pred(1, x0 >> 1, y0 >> 1, size >> 1, mv)
-        pred_cr = self._mc_pred(2, x0 >> 1, y0 >> 1, size >> 1, mv)
+        pred_y = self._mc_pred(0, x0, y0, size, motion)
+        pred_cb = self._mc_pred(1, x0 >> 1, y0 >> 1, size >> 1, motion)
+        pred_cr = self._mc_pred(2, x0 >> 1, y0 >> 1, size >> 1, motion)
         y_lvl, y_res = self._coeffs_from_pred(0, x0, y0, log2_cb, pred_y, False)
         cb_lvl, cb_res = self._coeffs_from_pred(1, x0 >> 1, y0 >> 1,
                                                 log2_cb - 1, pred_cb, False)
@@ -294,16 +334,19 @@ class FrameSyntaxWriter:
         cbf_cr = 1 if np.any(cr_lvl) else 0
         all_zero = not (cbf_y or cbf_cb or cbf_cr)
 
+        is_b = sh.slice_type == SLICE_B
         cands = merge_candidates(self.ic, self.avail4, x0, y0, size, size,
                                  sps.width, sps.height,
-                                 sh.max_num_merge_cand, sps.ctb_size)
-        merge_idx = cands.index(mv) if mv in cands else -1
+                                 sh.max_num_merge_cand, sps.ctb_size,
+                                 is_b=is_b, ref_poc=self.ref_poc)
+        merge_idx = next((i for i, c in enumerate(cands)
+                          if _same_motion(c, motion)), -1)
         skip = merge_idx >= 0 and all_zero
 
         self._encode_skip_flag(x0, y0, 1 if skip else 0)
         if skip:
             self._encode_merge_idx(merge_idx)
-            self._finish_inter(x0, y0, size, depth, mv, True,
+            self._finish_inter(x0, y0, size, depth, motion, True,
                                pred_y, pred_cb, pred_cr, 0, 0, 0)
             return
         cab.encode_bin(CTX_OFF["pred_mode"], 0)          # inter
@@ -313,18 +356,33 @@ class FrameSyntaxWriter:
             self._encode_merge_idx(merge_idx)
         else:
             cab.encode_bin(CTX_OFF["merge_flag"], 0)
-            # P slice, 1 reference: no inter_pred_idc, no ref_idx
-            amvp = amvp_candidates(self.ic, self.avail4, x0, y0, size, size,
-                                   sps.width, sps.height)
-            costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in amvp]
-            mvp_idx = 0 if costs[0] <= costs[1] else 1
-            mvd = (mv[0] - amvp[mvp_idx][0], mv[1] - amvp[mvp_idx][1])
-            encode_mvd(cab, CTX_OFF["mvd"], mvd[0], mvd[1])
-            cab.encode_bin(CTX_OFF["mvp_flag"], mvp_idx)
+            dir_ = motion[0]
+            if is_b:
+                # inter_pred_idc (9.3.3.7): bin0 BI? ctx=CtDepth, bin1 ctx 4
+                cab.encode_bin(CTX_OFF["inter_pred_idc"] + depth,
+                               1 if dir_ == 3 else 0)
+                if dir_ != 3:
+                    cab.encode_bin(CTX_OFF["inter_pred_idc"] + 4,
+                                   0 if dir_ == 1 else 1)
+            # num_ref_idx_active == 1 per list: no ref_idx coded
+            for lx in (0, 1):
+                if not (dir_ & (1 << lx)):
+                    continue
+                mv = motion[1 + lx]
+                amvp = amvp_candidates(self.ic, self.avail4, x0, y0, size,
+                                       size, sps.width, sps.height,
+                                       lx=lx, ref_idx=0,
+                                       cur_poc=self.cur_poc,
+                                       ref_poc=self.ref_poc)
+                costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in amvp]
+                mvp_idx = 0 if costs[0] <= costs[1] else 1
+                mvd = (mv[0] - amvp[mvp_idx][0], mv[1] - amvp[mvp_idx][1])
+                encode_mvd(cab, CTX_OFF["mvd"], mvd[0], mvd[1])
+                cab.encode_bin(CTX_OFF["mvp_flag"], mvp_idx)
         if merge_idx < 0:
             cab.encode_bin(CTX_OFF["rqt_root_cbf"], 0 if all_zero else 1)
             if all_zero:
-                self._finish_inter(x0, y0, size, depth, mv, False,
+                self._finish_inter(x0, y0, size, depth, motion, False,
                                    pred_y, pred_cb, pred_cr, 0, 0, 0)
                 return
         # transform tree, single TU (hierarchy depth 0)
@@ -345,11 +403,11 @@ class FrameSyntaxWriter:
             encode_residual(cab, cr_lvl, log2_cb - 1, 2, 0,
                             sign_hiding=pps.sign_data_hiding,
                             transquant_bypass=self.lossless)
-        self._finish_inter(x0, y0, size, depth, mv, False,
+        self._finish_inter(x0, y0, size, depth, motion, False,
                            pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,
                            cbf_luma=cbf_y)
 
-    def _finish_inter(self, x0, y0, size, depth, mv, skip,
+    def _finish_inter(self, x0, y0, size, depth, motion, skip,
                       pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,
                       cbf_luma=0):
         self.dbs.mark_block(x0, y0, size)
@@ -361,11 +419,8 @@ class FrameSyntaxWriter:
             np.clip(pred_cb + cb_res, 0, maxv)
         self.cr[y0 >> 1:(y0 >> 1) + hs, x0 >> 1:(x0 >> 1) + hs] = \
             np.clip(pred_cr + cr_res, 0, maxv)
+        self.ic.set_block(x0, y0, size, size, motion, skip)
         s4 = slice(y0 >> 2, (y0 + size) >> 2), slice(x0 >> 2, (x0 + size) >> 2)
-        self.ic.mv4[s4[0], s4[1], 0] = mv[0]
-        self.ic.mv4[s4[0], s4[1], 1] = mv[1]
-        self.ic.ref4[s4] = 0
-        self.ic.skip4[s4] = skip
         self.depth4[s4] = depth
         self.avail4[s4] = True
 
@@ -381,8 +436,18 @@ class FrameSyntaxWriter:
         tc_off = pps.tc_offset_div2
         self.y, self.cb, self.cr = deblock_frame(
             self.y, self.cb, self.cr, self.dbs, self.is_intra4,
-            self.ic.mv4, self.ic.ref4, self.qp_y, beta_off, tc_off,
+            self.ic.mv4, self._refpoc4(), self.qp_y, beta_off, tc_off,
             pps.cb_qp_offset, pps.cr_qp_offset, self.bd)
+
+    def _refpoc4(self) -> np.ndarray:
+        """Per-4x4 POC of the referenced picture per list (NOPOC unused)."""
+        from x265_tpu.hevc.deblock import NOPOC
+        out = np.full(self.ic.ref4.shape, NOPOC, dtype=np.int64)
+        for lx in (0, 1):
+            pocs = self.ref_poc[lx]
+            for r, poc in enumerate(pocs):
+                out[..., lx][self.ic.ref4[..., lx] == r] = poc
+        return out
 
     def _coeffs_from_pred(self, c_idx, x0, y0, log2, pred, is_intra_tb):
         """Transform+quant (or bypass) of src-pred; returns (levels, recon_resi)."""

@@ -144,13 +144,39 @@ _QUARTER_OFFS = np.array([(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
                           (-1, -1), (-1, 1), (1, -1), (1, 1)], dtype=np.int32)
 
 
+@partial(jax.jit, static_argnames=("S", "margin"))
+def _bi_satd(cur_blocks, planes0, planes1, mv0, mv1, bxy, S, margin):
+    """SATD of the averaged bi-prediction per block (x265 checkBidir2Nx2N
+    analog, analysis.cpp:3145): pixel-domain avg of the two phase-plane
+    preds."""
+    N = cur_blocks.shape[0]
+
+    def gather(planes, mv):
+        fx = mv[:, 0] & 3
+        fy = mv[:, 1] & 3
+        ix = (mv[:, 0] >> 2) + bxy[:, 0] * S + margin
+        iy = (mv[:, 1] >> 2) + bxy[:, 1] * S + margin
+
+        def one(i):
+            blk = jax.lax.dynamic_slice(
+                planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
+            return blk[0, 0]
+
+        return jax.vmap(one)(jnp.arange(N))
+
+    avg = (gather(planes0, mv0) + gather(planes1, mv1) + 1) >> 1
+    return satd8_batched(cur_blocks, avg)
+
+
 def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
                   height: int, S: int = 16, R: int = 16, qp: int = 32,
-                  subme: int = 2):
+                  subme: int = 2, return_aux: bool = False):
     """Full-search + subpel-refined ME vs one reference frame.
 
     Returns (mv [nby,nbx,2] quarter-pel, cost [nby,nbx] satd+lambda*bits).
     subme: 0 = integer only, 1 = +half, >=2 = +quarter (x265 --subme dial).
+    With return_aux, additionally returns the phase planes + block geometry
+    for bi-prediction cost evaluation (bi_cost).
     """
     ph = -(-height // S) * S
     pw = -(-width // S) * S
@@ -175,6 +201,8 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
 
     if subme <= 0:
         mv = (mv_int * 4).astype(np.int32)
+        if return_aux:
+            raise ValueError("return_aux requires subme >= 1 (phase planes)")
         return mv, np.asarray(cost).astype(np.float32)
 
     # --- subpel refinement on quarter-pel phase planes ---
@@ -200,4 +228,24 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
                                S, margin)
     mv = np.asarray(best2).reshape(nby, nbx, 2)
     cost = np.asarray(cost2).reshape(nby, nbx)
+    if return_aux:
+        aux = dict(planes=planes, cur_blocks=cur_blocks,
+                   bxy=np.stack([bx.reshape(-1), by.reshape(-1)], axis=1),
+                   margin=margin, lam=lam)
+        return mv.astype(np.int32), cost.astype(np.float32), aux
     return mv.astype(np.int32), cost.astype(np.float32)
+
+
+def bi_cost(mv0, aux0, mv1, aux1, S: int = 16):
+    """Bi-prediction cost per block from two motion_decide aux bundles:
+    SATD of the averaged prediction + lambda * mv bits of both MVs."""
+    nby, nbx = mv0.shape[:2]
+    bxy = jnp.asarray(aux0["bxy"])
+    satd = _bi_satd(aux0["cur_blocks"], aux0["planes"], aux1["planes"],
+                    jnp.asarray(mv0.reshape(-1, 2)),
+                    jnp.asarray(mv1.reshape(-1, 2)),
+                    bxy, S, aux0["margin"])
+    bits = (_mv_bits(mv0.reshape(-1, 2)).sum(1) +
+            _mv_bits(mv1.reshape(-1, 2)).sum(1))
+    cost = np.asarray(satd).astype(np.float32) + aux0["lam"] * bits
+    return cost.reshape(nby, nbx)

@@ -63,21 +63,62 @@ class DeblockState:
         self.bypass4[s] = bypass
 
 
+NOPOC = -(1 << 20)   # sentinel POC for an unused reference list
+
+
 def derive_bs(edge: np.ndarray, is_intra4: np.ndarray, cbf4: np.ndarray,
-              mv4: np.ndarray, ref4: np.ndarray, vertical: bool) -> np.ndarray:
+              mv4: np.ndarray, refpoc4: np.ndarray,
+              vertical: bool) -> np.ndarray:
     """Boundary strength per 4x4 edge segment (spec 8.7.2.4; x265
     getBoundaryStrength deblock.cpp:191). Returns [h4, w4] int array:
     bS of the edge at the left (vertical) / top (horizontal) of each block.
+
+    mv4 [h4,w4,2(list),2(xy)] quarter-pel; refpoc4 [h4,w4,2] POC of the
+    reference picture per list, NOPOC where the list is unused. The MV
+    term compares reference *pictures* and handles the bi-pred
+    both-orderings rule.
     """
     ax = 1 if vertical else 0
     q_intra = is_intra4
     p_intra = np.roll(is_intra4, 1, axis=ax)
     q_cbf = cbf4
     p_cbf = np.roll(cbf4, 1, axis=ax)
-    mvd = np.abs(mv4 - np.roll(mv4, 1, axis=ax)).max(axis=-1)
-    refd = ref4 != np.roll(ref4, 1, axis=ax)
+
+    qmv, pmv = mv4, np.roll(mv4, 1, axis=ax)
+    qpoc, ppoc = refpoc4, np.roll(refpoc4, 1, axis=ax)
+    q_used = qpoc != NOPOC
+    p_used = ppoc != NOPOC
+    q_n = q_used.sum(-1)
+    p_n = p_used.sum(-1)
+
+    # uni-pred sides: collapse to the single used list
+    def _uni(poc, mv, used):
+        sel = np.where(used[..., 0:1], poc[..., 0:1], poc[..., 1:2])[..., 0]
+        selmv = np.where(used[..., 0:1, None], mv[..., 0:1, :],
+                         mv[..., 1:2, :])[..., 0, :]
+        return sel, selmv
+
+    p1poc, p1mv = _uni(ppoc, pmv, p_used)
+    q1poc, q1mv = _uni(qpoc, qmv, q_used)
+    uni_bs1 = (p1poc != q1poc) | \
+        (np.abs(p1mv - q1mv).max(-1) >= 4)
+
+    # bi-pred sides: straight and crossed matchings
+    def _match(pi, qi, pj, qj):
+        refs_ok = (ppoc[..., pi] == qpoc[..., qi]) & \
+                  (ppoc[..., pj] == qpoc[..., qj])
+        mv_ok = (np.abs(pmv[..., pi, :] - qmv[..., qi, :]).max(-1) < 4) & \
+                (np.abs(pmv[..., pj, :] - qmv[..., qj, :]).max(-1) < 4)
+        return refs_ok & mv_ok
+    bi_ok = _match(0, 0, 1, 1) | _match(0, 1, 1, 0)
+
+    both_uni = (p_n == 1) & (q_n == 1)
+    both_bi = (p_n == 2) & (q_n == 2)
+    mv_bs1 = np.where(both_uni, uni_bs1,
+                      np.where(both_bi, ~bi_ok, True))  # count mismatch -> 1
+
     bs = np.where(p_intra | q_intra, 2,
-                  np.where(p_cbf | q_cbf | (mvd >= 4) | refd, 1, 0))
+                  np.where(p_cbf | q_cbf | mv_bs1, 1, 0))
     bs = np.where(edge, bs, 0)
     # picture boundary: no edge at x==0 / y==0
     if vertical:
@@ -252,7 +293,7 @@ def _filter_chroma_vertical(c: np.ndarray, bs4: np.ndarray, qp_c: int,
 
 def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                   st: DeblockState, is_intra4: np.ndarray,
-                  mv4: np.ndarray, ref4: np.ndarray, qp: int,
+                  mv4: np.ndarray, refpoc4: np.ndarray, qp: int,
                   beta_off: int = 0, tc_off: int = 0,
                   cb_qp_off: int = 0, cr_qp_off: int = 0, bd: int = 8):
     """Full-frame deblock: vertical edges first, then horizontal (8.7.2.1).
@@ -260,12 +301,14 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     Returns new (y, cb, cr) int32 planes.
     """
     if mv4 is None:
-        mv4 = np.zeros((*is_intra4.shape, 2), dtype=np.int32)
-    if ref4 is None:
-        ref4 = np.zeros(is_intra4.shape, dtype=np.int32)
+        mv4 = np.zeros((*is_intra4.shape, 2, 2), dtype=np.int32)
+    if refpoc4 is None:
+        refpoc4 = np.full((*is_intra4.shape, 2), NOPOC, dtype=np.int64)
 
-    bs_v = derive_bs(st.edge_v, is_intra4, st.cbf4, mv4, ref4, vertical=True)
-    bs_h = derive_bs(st.edge_h, is_intra4, st.cbf4, mv4, ref4, vertical=False)
+    bs_v = derive_bs(st.edge_v, is_intra4, st.cbf4, mv4, refpoc4,
+                     vertical=True)
+    bs_h = derive_bs(st.edge_h, is_intra4, st.cbf4, mv4, refpoc4,
+                     vertical=False)
 
     qp_cb = chroma_qp(qp, cb_qp_off, bd)
     qp_cr = chroma_qp(qp, cr_qp_off, bd)

@@ -1,88 +1,251 @@
 """Inter prediction derivations shared by encoder finalizer and decoder:
-merge candidate list (spec 8.5.3.2.2-8.5.3.2.5), AMVP predictor list
-(8.5.3.2.6-8.5.3.2.7) and MVD binarization (7.3.8.9 / 9.3.3.8).
+merge candidate list (spec 8.5.3.2.3-8.5.3.2.5), AMVP predictor list
+(8.5.3.2.6-8.5.3.2.8 incl. spatial MV scaling) and MVD binarization
+(7.3.8.9 / 9.3.3.8).
 
-Scope (current feature set): P slices, single reference picture, no TMVP,
-so all candidates share refIdx 0 and no MV scaling ever applies. x265
-analog: mergeEstimation/getInterMergeCandidates + AMVP in
-source/common/cudata.cpp and encoder/search.cpp:1891.
+Two reference lists (P uses L0 only, B uses L0+L1), multiple refs per
+list, no TMVP (SPS temporal_mvp off). x265 analog:
+getInterMergeCandidates/fillMvpCand in source/common/cudata.cpp and
+mergeEstimation in encoder/search.cpp:1891.
+
+Motion is represented as a tuple
+    (dir, mv0, mv1, ref0, ref1)
+with dir a bitmask (1=L0, 2=L1), mvN quarter-pel (x, y) tuples and refN
+reference *indices* into the slice's ref list (-1: list unused).
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-MV = Tuple[int, int]  # (x, y) in quarter-pel units
+MV = Tuple[int, int]
+Motion = Tuple[int, MV, MV, int, int]
+
+ZERO_MV: MV = (0, 0)
 
 
 class InterCtx:
-    """Per-picture inter state at 4x4 granularity."""
+    """Per-picture inter state at 4x4 granularity (two lists)."""
 
     def __init__(self, h: int, w: int):
         h4, w4 = (h + 3) // 4, (w + 3) // 4
-        self.mv4 = np.zeros((h4, w4, 2), dtype=np.int32)
-        self.ref4 = np.full((h4, w4), -1, dtype=np.int32)   # -1 = intra/unset
+        self.mv4 = np.zeros((h4, w4, 2, 2), dtype=np.int32)   # [list][x,y]
+        self.ref4 = np.full((h4, w4, 2), -1, dtype=np.int32)  # -1 = unused
         self.skip4 = np.zeros((h4, w4), dtype=bool)
+
+    def set_block(self, x0: int, y0: int, nw: int, nh: int, m: Motion,
+                  skip: bool) -> None:
+        s = (slice(y0 >> 2, (y0 + nh) >> 2), slice(x0 >> 2, (x0 + nw) >> 2))
+        dir_, mv0, mv1, r0, r1 = m
+        self.mv4[s[0], s[1], 0] = mv0 if (dir_ & 1) else (0, 0)
+        self.mv4[s[0], s[1], 1] = mv1 if (dir_ & 2) else (0, 0)
+        self.ref4[s[0], s[1], 0] = r0 if (dir_ & 1) else -1
+        self.ref4[s[0], s[1], 1] = r1 if (dir_ & 2) else -1
+        self.skip4[s] = skip
 
 
 def _neighbor(ic: InterCtx, avail4: np.ndarray, x: int, y: int,
-              width: int, height: int) -> Optional[MV]:
-    """Return the MV at luma position (x, y) if available and inter."""
+              width: int, height: int) -> Optional[Motion]:
+    """Full motion of the 4x4 block at luma (x, y), or None."""
     if x < 0 or y < 0 or x >= width or y >= height:
         return None
     i, j = y >> 2, x >> 2
-    if not avail4[i, j] or ic.ref4[i, j] < 0:
+    if not avail4[i, j]:
         return None
-    return (int(ic.mv4[i, j, 0]), int(ic.mv4[i, j, 1]))
+    r0, r1 = int(ic.ref4[i, j, 0]), int(ic.ref4[i, j, 1])
+    if r0 < 0 and r1 < 0:
+        return None            # intra
+    dir_ = (1 if r0 >= 0 else 0) | (2 if r1 >= 0 else 0)
+    return (dir_,
+            (int(ic.mv4[i, j, 0, 0]), int(ic.mv4[i, j, 0, 1])),
+            (int(ic.mv4[i, j, 1, 0]), int(ic.mv4[i, j, 1, 1])),
+            r0, r1)
+
+
+def _same_motion(a: Motion, b: Motion) -> bool:
+    """Spec compares per-list mv + refIdx (8.5.3.2.3 candidate pruning)."""
+    if a[0] != b[0]:
+        return False
+    if (a[0] & 1) and (a[1] != b[1] or a[3] != b[3]):
+        return False
+    if (a[0] & 2) and (a[2] != b[2] or a[4] != b[4]):
+        return False
+    return True
+
+
+# combined bi-pred candidate index pairs (Table 8-8 combCandList)
+_COMB_PAIRS = ((0, 1), (1, 0), (0, 2), (2, 0), (1, 2), (2, 1),
+               (0, 3), (3, 0), (1, 3), (3, 1), (2, 3), (3, 2))
 
 
 def merge_candidates(ic: InterCtx, avail4: np.ndarray, x0: int, y0: int,
                      nw: int, nh: int, width: int, height: int,
-                     max_cand: int, ctb_size: int) -> List[MV]:
-    """Spatial merge list (A1,B1,B0,A0,B2) + zero fill. refIdx always 0."""
+                     max_cand: int, ctb_size: int, is_b: bool = False,
+                     ref_poc: Sequence[Sequence[int]] = ((0,), ()),
+                     ) -> List[Motion]:
+    """Merge list: spatial A1,B1,B0,A0,B2 + (B) combined bi + zero fill."""
     a1 = _neighbor(ic, avail4, x0 - 1, y0 + nh - 1, width, height)
     b1 = _neighbor(ic, avail4, x0 + nw - 1, y0 - 1, width, height)
     b0 = _neighbor(ic, avail4, x0 + nw, y0 - 1, width, height)
     a0 = _neighbor(ic, avail4, x0 - 1, y0 + nh, width, height)
     b2 = _neighbor(ic, avail4, x0 - 1, y0 - 1, width, height)
 
-    cands: List[MV] = []
+    cands: List[Motion] = []
     if a1 is not None:
         cands.append(a1)
-    if b1 is not None and b1 != a1:
+    if b1 is not None and not (a1 is not None and _same_motion(b1, a1)):
         cands.append(b1)
-    if b0 is not None and b0 != b1:
+    if b0 is not None and not (b1 is not None and _same_motion(b0, b1)):
         cands.append(b0)
-    if a0 is not None and a0 != a1:
+    if a0 is not None and not (a1 is not None and _same_motion(a0, a1)):
         cands.append(a0)
-    if len(cands) < 4 and b2 is not None and b2 != a1 and b2 != b1:
+    if len(cands) < 4 and b2 is not None and \
+            not (a1 is not None and _same_motion(b2, a1)) and \
+            not (b1 is not None and _same_motion(b2, b1)):
         cands.append(b2)
-    # no TMVP (SPS temporal_mvp off); zero-MV fill
+
+    # combined bi-predictive candidates (8.5.3.2.4), B slices only
+    if is_b and len(cands) > 1 and len(cands) < max_cand:
+        n_orig = len(cands)
+        for (i, j) in _COMB_PAIRS:
+            if len(cands) >= max_cand:
+                break
+            if i >= n_orig or j >= n_orig:
+                continue
+            ci, cj = cands[i], cands[j]
+            if not (ci[0] & 1) or not (cj[0] & 2):
+                continue
+            poc_l0 = ref_poc[0][ci[3]]
+            poc_l1 = ref_poc[1][cj[4]]
+            if poc_l0 != poc_l1 or ci[1] != cj[2]:
+                cands.append((3, ci[1], cj[2], ci[3], cj[4]))
+
+    # zero candidates (8.5.3.2.5)
+    nref = (min(len(ref_poc[0]), len(ref_poc[1])) if is_b
+            else len(ref_poc[0]))
+    zero_idx = 0
     while len(cands) < max_cand:
-        cands.append((0, 0))
+        r = zero_idx if zero_idx < nref else 0
+        if is_b:
+            cands.append((3, ZERO_MV, ZERO_MV, r, r))
+        else:
+            cands.append((1, ZERO_MV, ZERO_MV, r, -1))
+        zero_idx += 1
     return cands[:max_cand]
 
 
+# ---------------------------------------------------------------------------
+# AMVP (8.5.3.2.6-8.5.3.2.8)
+# ---------------------------------------------------------------------------
+
+def _scale_mv(mv: MV, tb: int, td: int) -> MV:
+    """Temporal-distance MV scaling (8.5.3.2.8 equations 8-175..8-177)."""
+    if td == tb:
+        return mv
+    td = max(-128, min(127, td))
+    tb = max(-128, min(127, tb))
+    q = 16384 + (abs(td) >> 1)
+    tx = (q // td) if td > 0 else -(q // -td)
+    dsf = max(-4096, min(4095, (tb * tx + 32) >> 6))
+
+    def sc(v):
+        p = dsf * v
+        s = (abs(p) + 127) >> 8
+        return max(-32768, min(32767, s if p >= 0 else -s))
+
+    return (sc(mv[0]), sc(mv[1]))
+
+
+def _cand_same_poc(m: Motion, lx: int, target_poc: int,
+                   ref_poc: Sequence[Sequence[int]]) -> Optional[MV]:
+    """First-pass AMVP condition: neighbor motion in list lx, then the
+    other list, whose reference picture IS the target picture."""
+    for ly in (lx, 1 - lx):
+        if m[0] & (1 << ly):
+            r = m[3 + ly]
+            if r >= 0 and r < len(ref_poc[ly]) and ref_poc[ly][r] == target_poc:
+                return m[1 + ly]
+    return None
+
+
+def _cand_scaled(m: Motion, lx: int, target_poc: int, cur_poc: int,
+                 ref_poc: Sequence[Sequence[int]]) -> Optional[MV]:
+    """Second-pass: any motion from list lx then other list, scaled."""
+    for ly in (lx, 1 - lx):
+        if m[0] & (1 << ly):
+            r = m[3 + ly]
+            if 0 <= r < len(ref_poc[ly]):
+                tb = cur_poc - target_poc
+                td = cur_poc - ref_poc[ly][r]
+                return _scale_mv(m[1 + ly], tb, td)
+    return None
+
+
 def amvp_candidates(ic: InterCtx, avail4: np.ndarray, x0: int, y0: int,
-                    nw: int, nh: int, width: int, height: int) -> List[MV]:
-    """AMVP list: candidate A from {A0, A1}, B from {B0, B1, B2}; dedup;
-    zero fill to 2. All refs identical => no scaling branches."""
+                    nw: int, nh: int, width: int, height: int,
+                    lx: int = 0, ref_idx: int = 0, cur_poc: int = 0,
+                    ref_poc: Sequence[Sequence[int]] = ((0,), ()),
+                    ) -> List[MV]:
+    """AMVP list for (list lx, ref_idx): A from {A0,A1}, B from {B0,B1,B2},
+    with the normative scaling/fallback structure; dedup; zero-fill to 2."""
+    target_poc = ref_poc[lx][ref_idx]
     a0 = _neighbor(ic, avail4, x0 - 1, y0 + nh, width, height)
     a1 = _neighbor(ic, avail4, x0 - 1, y0 + nh - 1, width, height)
     b0 = _neighbor(ic, avail4, x0 + nw, y0 - 1, width, height)
     b1 = _neighbor(ic, avail4, x0 + nw - 1, y0 - 1, width, height)
     b2 = _neighbor(ic, avail4, x0 - 1, y0 - 1, width, height)
 
-    cand_a = a0 if a0 is not None else a1
-    cand_b = next((c for c in (b0, b1, b2) if c is not None), None)
+    is_scaled = a0 is not None or a1 is not None
+
+    # --- A: same-poc pass then scaled pass over {A0, A1} ---
+    mvp_a: Optional[MV] = None
+    for m in (a0, a1):
+        if m is None:
+            continue
+        v = _cand_same_poc(m, lx, target_poc, ref_poc)
+        if v is not None:
+            mvp_a = v
+            break
+    if mvp_a is None:
+        for m in (a0, a1):
+            if m is None:
+                continue
+            v = _cand_scaled(m, lx, target_poc, cur_poc, ref_poc)
+            if v is not None:
+                mvp_a = v
+                break
+
+    # --- B: same-poc pass over {B0, B1, B2} ---
+    mvp_b: Optional[MV] = None
+    for m in (b0, b1, b2):
+        if m is None:
+            continue
+        v = _cand_same_poc(m, lx, target_poc, ref_poc)
+        if v is not None:
+            mvp_b = v
+            break
+
+    if not is_scaled:
+        # no left neighbors (steps 6-7): B's same-poc result is promoted
+        # into A's slot (A found nothing — it had no neighbors), then B is
+        # re-derived with the scaled pass
+        mvp_a, mvp_b = mvp_b, None
+        for m in (b0, b1, b2):
+            if m is None:
+                continue
+            v = _cand_scaled(m, lx, target_poc, cur_poc, ref_poc)
+            if v is not None:
+                mvp_b = v
+                break
+
     out: List[MV] = []
-    if cand_a is not None:
-        out.append(cand_a)
-    if cand_b is not None and cand_b != cand_a:
-        out.append(cand_b)
+    if mvp_a is not None:
+        out.append(mvp_a)
+    if mvp_b is not None and mvp_b != mvp_a:
+        out.append(mvp_b)
     while len(out) < 2:
-        out.append((0, 0))
+        out.append(ZERO_MV)
     return out[:2]
 
 
@@ -141,8 +304,6 @@ def _decode_eg1(cab) -> int:
     while cab.decode_bin_ep():
         value += 1 << k
         k += 1
-    for _ in range(k):
-        value = value  # suffix below
     suffix = 0
     for _ in range(k):
         suffix = (suffix << 1) | cab.decode_bin_ep()
