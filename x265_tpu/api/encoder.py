@@ -258,15 +258,92 @@ class Encoder:
             max_num_merge_cand=5,
         )
         decisions = self._p_decisions(y, ref_recon[0])
-        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
-                                   refs=([ref_recon], []),
-                                   ref_poc=((ref_poc,), ()), cur_poc=poc)
-        slice_data = writer.encode_slice_data(y, cb, cr, decisions)
-        writer.apply_loop_filters()
-        self._last_recon = (writer.y, writer.cb, writer.cr)
+        slice_data, recon = self._inter_slice_data(
+            (y, cb, cr), sh, decisions, ([ref_recon], []),
+            ((ref_poc,), ()), poc, SLICE_P)
+        self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
         return annexb([nal])
+
+    def _inter_slice_data(self, frame, sh, decisions, refs, ref_poc, poc,
+                          slice_type):
+        """Encode P/B slice data: native C++ finalizer when available,
+        Python reference writer otherwise. Returns (bytes, deblocked recon).
+        """
+        p = self.param
+        y, cb, cr = frame
+        if self.use_native:
+            from x265_tpu import native
+            pad = 80
+            refs_padded = tuple(
+                [tuple(np.pad(np.asarray(pl).astype(np.int16),
+                              pad >> (0 if i == 0 else 1), mode="edge")
+                       for i, pl in enumerate(planes)) for planes in lst]
+                for lst in refs)
+            res = native.encode_slice_px(
+                np.asarray(y), np.asarray(cb), np.asarray(cr),
+                decisions.cu_log2_map, decisions.luma_mode8,
+                decisions.chroma_mode8, decisions.inter8, decisions.dir8,
+                decisions.mv8, slice_type, sh.max_num_merge_cand,
+                refs_padded, ref_poc, poc, pad,
+                p.ctb_log2, p.min_cb_log2, sh.qp, p.lossless,
+                self.pps.sign_data_hiding, p.intra_smoothing,
+                p.cb_qp_offset, p.cr_qp_offset)
+            if res is not None:
+                slice_data, recon, cbf4 = res
+                recon = self._deblock_inter_recon(recon, decisions, cbf4,
+                                                  ref_poc, sh.qp)
+                return slice_data, recon
+        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
+                                   refs=refs, ref_poc=ref_poc, cur_poc=poc)
+        slice_data = writer.encode_slice_data(
+            np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
+        writer.apply_loop_filters()
+        return slice_data, (writer.y, writer.cb, writer.cr)
+
+    def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp):
+        """Deblock a native-finalizer recon using the decision maps (CU ==
+        TU == PU boundaries) + the native cbf map."""
+        p = self.param
+        if not p.deblock or p.lossless:
+            return recon
+        from x265_tpu.hevc.deblock import (
+            DeblockState, NOPOC, deblock_frame)
+        h, w = p.height, p.width
+        h4, w4 = (h + 3) // 4, (w + 3) // 4
+
+        def to4(m):
+            return np.repeat(np.repeat(m, 2, 0), 2, 1)[:h4, :w4]
+
+        cl4 = to4(decisions.cu_log2_map)
+        st = DeblockState(h, w)
+        xs = (np.arange(w4) * 4)[None, :]
+        ys = (np.arange(h4) * 4)[:, None]
+        st.edge_v = (xs % (1 << cl4)) == 0
+        st.edge_h = (ys % (1 << cl4)) == 0
+        st.cbf4 = np.asarray(cbf4, dtype=bool)
+        inter4 = to4(decisions.inter8.astype(bool))
+        is_intra4 = ~inter4
+        dir4 = to4(decisions.dir8)
+        mv4 = np.zeros((h4, w4, 2, 2), dtype=np.int32)
+        mv4[..., 0, :] = np.where(((dir4 & 1) > 0)[..., None],
+                                  to4(decisions.mv8[:, :, 0]), 0)
+        mv4[..., 1, :] = np.where(((dir4 & 2) > 0)[..., None],
+                                  to4(decisions.mv8[:, :, 1]), 0)
+        mv4[is_intra4] = 0
+        refpoc4 = np.full((h4, w4, 2), NOPOC, dtype=np.int64)
+        if ref_poc[0]:
+            refpoc4[..., 0] = np.where(inter4 & ((dir4 & 1) > 0),
+                                       ref_poc[0][0], NOPOC)
+        if ref_poc[1]:
+            refpoc4[..., 1] = np.where(inter4 & ((dir4 & 2) > 0),
+                                       ref_poc[1][0], NOPOC)
+        yy, cbb, crr = deblock_frame(
+            recon[0], recon[1], recon[2], st, is_intra4, mv4, refpoc4,
+            qp, p.deblock_beta_offset, p.deblock_tc_offset,
+            p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
+        return yy, cbb, crr
 
     def _encode_b_frame(self, frame, poc, anchor0, anchor1) -> bytes:
         """Non-reference B picture between two anchors (TRAIL_N)."""
@@ -286,13 +363,9 @@ class Encoder:
             max_num_merge_cand=5,
         )
         decisions = self._b_decisions(y, rec0[0], rec1[0])
-        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
-                                   refs=([rec0], [rec1]),
-                                   ref_poc=((p0,), (p1,)), cur_poc=poc)
-        slice_data = writer.encode_slice_data(y, cb, cr, decisions)
-        # non-reference: recon only needed if someone asks for it; still
-        # run the loop filter for PSNR-faithful stats
-        writer.apply_loop_filters()
+        slice_data, _recon = self._inter_slice_data(
+            (y, cb, cr), sh, decisions, ([rec0], [rec1]),
+            ((p0,), (p1,)), poc, SLICE_B)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_N)
         nal = make_nal(NAL_TRAIL_N, hdr_bw.data() + slice_data)
         return annexb([nal])

@@ -70,6 +70,23 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int,                       # out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
         ]
+        lib.encode_slice_px.restype = ctypes.c_int
+        lib.encode_slice_px.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # src planes
+            ctypes.c_int, ctypes.c_int,                          # w, h
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # cu/luma/chroma maps
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # inter8/dir8/mv8
+            ctypes.c_int, ctypes.c_int,                          # slice_type, max_merge
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ref0 planes
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ref1 planes
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # pad, pocs, cur
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,            # ctb, mincb, qp
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,            # lossless, sdh, strong
+            ctypes.c_int, ctypes.c_int,                          # cb/cr qp off
+            ctypes.c_void_p, ctypes.c_int,                       # out, cap
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
+            ctypes.c_void_p,                                     # cbf4 out
+        ]
         _lib = lib
         return _lib
 
@@ -117,3 +134,73 @@ def encode_slice_intra(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         return data, (ry.astype(np.int32), rcb.astype(np.int32),
                       rcr.astype(np.int32))
     return data
+
+
+def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
+                    chroma_mode8, inter8, dir8, mv8, slice_type,
+                    max_merge_cand, refs, ref_poc, cur_poc, pad_luma,
+                    ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
+                    strong_smooth, cb_qp_off=0, cr_qp_off=0):
+    """Unified native I/P/B slice encode.
+
+    refs: ([(y,cb,cr) padded int16] per list) — at most one ref per list.
+    Returns (bytes, recon_planes, cbf4) or None if the lib is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    h, w = src_y.shape
+    c = np.ascontiguousarray
+    y = c(src_y, dtype=np.uint8)
+    cbp = c(src_cb, dtype=np.uint8)
+    crp = c(src_cr, dtype=np.uint8)
+    cmap = c(cu_log2_map, dtype=np.int32)
+    lmap = c(luma_mode8, dtype=np.int32)
+    cmode_p = None
+    if chroma_mode8 is not None:
+        cmode = c(chroma_mode8, dtype=np.int32)
+        cmode_p = cmode.ctypes.data
+    keep = []          # keep arrays alive across the call
+
+    def plane_ptrs(lx):
+        if lx >= len(refs) or not refs[lx]:
+            return (None, None, None)
+        ps = tuple(c(pl, dtype=np.int16) for pl in refs[lx][0])
+        keep.extend(ps)
+        return tuple(p.ctypes.data for p in ps)
+
+    r0 = plane_ptrs(0)
+    r1 = plane_ptrs(1)
+    i8 = c(inter8, dtype=np.uint8) if inter8 is not None else None
+    d8 = c(dir8, dtype=np.int32) if dir8 is not None else None
+    m8 = c(mv8, dtype=np.int32) if mv8 is not None else None
+    cap = w * h * 4 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    ry = np.empty((h, w), dtype=np.int16)
+    rcb = np.empty((h // 2, w // 2), dtype=np.int16)
+    rcr = np.empty((h // 2, w // 2), dtype=np.int16)
+    h4, w4 = (h + 3) // 4, (w + 3) // 4
+    cbf4 = np.zeros((h4, w4), dtype=np.uint8)
+    n = lib.encode_slice_px(
+        y.ctypes.data, cbp.ctypes.data, crp.ctypes.data, w, h,
+        cmap.ctypes.data, lmap.ctypes.data, cmode_p,
+        i8.ctypes.data if i8 is not None else None,
+        d8.ctypes.data if d8 is not None else None,
+        m8.ctypes.data if m8 is not None else None,
+        slice_type, max_merge_cand,
+        *r0, *r1,
+        pad_luma,
+        ref_poc[0][0] if ref_poc[0] else 0,
+        ref_poc[1][0] if ref_poc[1] else 0,
+        cur_poc,
+        ctb_log2, min_cb_log2, qp,
+        int(lossless), int(sign_hiding), int(strong_smooth),
+        cb_qp_off, cr_qp_off,
+        out.ctypes.data, cap,
+        ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
+        cbf4.ctypes.data)
+    if n < 0:
+        return None
+    return (out[:n].tobytes(),
+            (ry.astype(np.int32), rcb.astype(np.int32), rcr.astype(np.int32)),
+            cbf4.astype(bool))

@@ -360,12 +360,13 @@ static void inv_transform(const int32_t* coeff, int n, bool dst, int bd, int32_t
     }
 }
 
-static void quantize(const int32_t* coeff, int n, int qp, int bd, int32_t* lvl) {
+static void quantize(const int32_t* coeff, int n, int qp, int bd, int32_t* lvl,
+                     bool is_intra = true) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int tr_shift = 15 - bd - log2;
   int qbits = 14 + per + tr_shift;
-  int64_t offset = (int64_t)171 << (qbits - 9);   // intra rounding
+  int64_t offset = (int64_t)(is_intra ? 171 : 85) << (qbits - 9);
   for (int i = 0; i < n * n; i++) {
     int64_t a = coeff[i] < 0 ? -(int64_t)coeff[i] : coeff[i];
     int v = (int)std::min<int64_t>((a * kQuantScale[rem] + offset) >> qbits, 32767);
@@ -407,6 +408,125 @@ static void sbh_adjust(int32_t* lvl, int n, const uint16_t* scan) {
     }
   }
 }
+
+// ---------------- fractional-sample interpolation (8.5.4.2.2) -----------
+
+static const int kLumaFilt[4][8] = {
+    {0, 0, 0, 64, 0, 0, 0, 0},
+    {-1, 4, -10, 58, 17, -5, 1, 0},
+    {-1, 4, -11, 40, 40, -11, 4, -1},
+    {0, 1, -5, 17, 58, -10, 4, -1}};
+static const int kChromaFilt[8][4] = {
+    {0, 64, 0, 0},  {-2, 58, 10, -2}, {-4, 54, 16, -2}, {-6, 46, 28, -4},
+    {-4, 36, 36, -4}, {-4, 28, 46, -6}, {-2, 16, 54, -4}, {-2, 10, 58, -2}};
+
+// MC to 14-bit prediction. refp: padded plane (pad each side), stride =
+// plane width + 2*pad. mv in units of 1/2^fb pel. luma: fb=2, ntaps=8;
+// chroma: fb=3, ntaps=4 (mv is the luma quarter-pel value).
+static void mc_14(const int16_t* refp, int stride, int pad, int x0, int y0,
+                  int w, int h, int mvx, int mvy, int fb, bool luma, int bd,
+                  int32_t* out) {
+  int ntaps = luma ? 8 : 4;
+  int half = ntaps / 2;
+  int mask = (1 << fb) - 1;
+  int xi = x0 + (mvx >> fb), xf = mvx & mask;
+  int yi = y0 + (mvy >> fb), yf = mvy & mask;
+  int shift1 = bd - 8;
+  const int* fx = luma ? kLumaFilt[xf] : kChromaFilt[xf];
+  const int* fy = luma ? kLumaFilt[yf] : kChromaFilt[yf];
+  const int16_t* base = refp + (pad + yi) * stride + (pad + xi);
+  if (xf == 0 && yf == 0) {
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++)
+        out[j * w + i] = (int32_t)base[j * stride + i] << (14 - bd);
+    return;
+  }
+  if (yf == 0) {
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int64_t acc = 0;
+        const int16_t* p = base + j * stride + i - half + 1;
+        for (int t = 0; t < ntaps; t++) acc += (int64_t)fx[t] * p[t];
+        out[j * w + i] = (int32_t)(acc >> shift1);
+      }
+    return;
+  }
+  if (xf == 0) {
+    for (int j = 0; j < h; j++)
+      for (int i = 0; i < w; i++) {
+        int64_t acc = 0;
+        const int16_t* p = base + (j - half + 1) * stride + i;
+        for (int t = 0; t < ntaps; t++) acc += (int64_t)fy[t] * p[t * stride];
+        out[j * w + i] = (int32_t)(acc >> shift1);
+      }
+    return;
+  }
+  // horizontal into tmp rows (h + ntaps - 1), then vertical
+  std::vector<int32_t> tmp((h + ntaps - 1) * w);
+  for (int j = 0; j < h + ntaps - 1; j++)
+    for (int i = 0; i < w; i++) {
+      int64_t acc = 0;
+      const int16_t* p = base + (j - half + 1) * stride + i - half + 1;
+      for (int t = 0; t < ntaps; t++) acc += (int64_t)fx[t] * p[t];
+      tmp[j * w + i] = (int32_t)(acc >> shift1);
+    }
+  for (int j = 0; j < h; j++)
+    for (int i = 0; i < w; i++) {
+      int64_t acc = 0;
+      for (int t = 0; t < ntaps; t++) acc += (int64_t)fy[t] * tmp[(j + t) * w + i];
+      out[j * w + i] = (int32_t)(acc >> 6);
+    }
+}
+
+static void unipred_px(const int32_t* p14, int n, int bd, int32_t* out) {
+  int shift = 14 - bd, off = 1 << (shift - 1), maxv = (1 << bd) - 1;
+  for (int i = 0; i < n; i++) out[i] = clip3(0, maxv, (p14[i] + off) >> shift);
+}
+static void bipred_px(const int32_t* a, const int32_t* b, int n, int bd,
+                      int32_t* out) {
+  int shift = 15 - bd, off = 1 << (shift - 1), maxv = (1 << bd) - 1;
+  for (int i = 0; i < n; i++)
+    out[i] = clip3(0, maxv, (a[i] + b[i] + off) >> shift);
+}
+
+// ---------------- merge / AMVP (8.5.3.2.3-8.5.3.2.8) ---------------------
+
+struct Motion {
+  int dir = 0;            // bitmask 1=L0, 2=L1
+  int mv[2][2] = {{0, 0}, {0, 0}};
+  int ref[2] = {-1, -1};
+};
+
+static bool same_motion(const Motion& a, const Motion& b) {
+  if (a.dir != b.dir) return false;
+  for (int l = 0; l < 2; l++)
+    if (a.dir & (1 << l)) {
+      if (a.mv[l][0] != b.mv[l][0] || a.mv[l][1] != b.mv[l][1] ||
+          a.ref[l] != b.ref[l])
+        return false;
+    }
+  return true;
+}
+
+static void scale_mv(int mvx, int mvy, int tb, int td, int* ox, int* oy) {
+  if (td == tb) { *ox = mvx; *oy = mvy; return; }
+  td = clip3(-128, 127, td);
+  tb = clip3(-128, 127, tb);
+  int q = 16384 + (abs(td) >> 1);
+  int tx = td > 0 ? q / td : -(q / -td);
+  int dsf = clip3(-4096, 4095, (tb * tx + 32) >> 6);
+  auto sc = [&](int v) {
+    int64_t p = (int64_t)dsf * v;
+    int s = (int)((p < 0 ? -p : p) + 127 >> 8);
+    return clip3(-32768, 32767, p >= 0 ? s : -s);
+  };
+  *ox = sc(mvx);
+  *oy = sc(mvy);
+}
+
+static const int kCombPairs[12][2] = {{0, 1}, {1, 0}, {0, 2}, {2, 0},
+                                      {1, 2}, {2, 1}, {0, 3}, {3, 0},
+                                      {1, 3}, {3, 1}, {2, 3}, {3, 2}};
 
 // ---------------- residual_coding --------------------------------------
 
@@ -590,10 +710,24 @@ struct Writer {
   // maps
   const int32_t *cu_log2_map, *luma_mode8, *chroma_mode8;
   int w8;
+  // inter decision maps / references (slice_type != I)
+  int slice_type = 2;                 // 2=I, 1=P, 0=B (syntax values)
+  const uint8_t* inter8 = nullptr;    // [h8*w8]
+  const int32_t* dir8 = nullptr;      // [h8*w8]
+  const int32_t* mv8 = nullptr;       // [h8*w8*2*2] (list, x/y)
+  const int16_t* refp[2][3] = {{nullptr}};   // padded planes per list
+  int pad_luma = 80;
+  int ref_poc[2] = {0, 0};
+  int nref[2] = {0, 0};
+  int cur_poc = 0;
+  int max_merge = 5;
   // state
   std::vector<uint8_t> avail4, isintra4;
   std::vector<int16_t> mode4;
   std::vector<uint8_t> depth4;
+  std::vector<uint8_t> skip4, cbf4;
+  std::vector<int32_t> mv4;           // [h4*w4*2*2]
+  std::vector<int8_t> ref4;           // [h4*w4*2]
   int w4, h4;
   Cabac cab;
 
@@ -612,7 +746,12 @@ struct Writer {
     isintra4.assign(w4 * h4, 0);
     mode4.assign(w4 * h4, -1);
     depth4.assign(w4 * h4, 0);
-    cab.init_slice(0, qp);
+    skip4.assign(w4 * h4, 0);
+    cbf4.assign(w4 * h4, 0);
+    mv4.assign(w4 * h4 * 4, 0);
+    ref4.assign(w4 * h4 * 2, -1);
+    int init_type = slice_type == 2 ? 0 : (slice_type == 1 ? 1 : 2);
+    cab.init_slice(init_type, qp);
 
     int ctb = 1 << ctb_log2;
     int wc = (width + ctb - 1) / ctb, hc = (height + ctb - 1) / ctb;
@@ -676,11 +815,383 @@ struct Writer {
     }
   }
 
+  // --- inter helpers ---
+
+  bool neighbor_motion(int x, int yy, Motion* m) const {
+    if (x < 0 || yy < 0 || x >= width || yy >= height) return false;
+    int idx = (yy >> 2) * w4 + (x >> 2);
+    if (!avail4[idx]) return false;
+    int r0 = ref4[idx * 2], r1 = ref4[idx * 2 + 1];
+    if (r0 < 0 && r1 < 0) return false;
+    m->dir = (r0 >= 0 ? 1 : 0) | (r1 >= 0 ? 2 : 0);
+    for (int l = 0; l < 2; l++) {
+      m->mv[l][0] = mv4[idx * 4 + l * 2];
+      m->mv[l][1] = mv4[idx * 4 + l * 2 + 1];
+    }
+    m->ref[0] = r0; m->ref[1] = r1;
+    return true;
+  }
+
+  int merge_list(int x0, int y0, int nw, int nh, Motion* out) const {
+    Motion nb[5];
+    bool ok[5];
+    ok[0] = neighbor_motion(x0 - 1, y0 + nh - 1, &nb[0]);      // A1
+    ok[1] = neighbor_motion(x0 + nw - 1, y0 - 1, &nb[1]);      // B1
+    ok[2] = neighbor_motion(x0 + nw, y0 - 1, &nb[2]);          // B0
+    ok[3] = neighbor_motion(x0 - 1, y0 + nh, &nb[3]);          // A0
+    ok[4] = neighbor_motion(x0 - 1, y0 - 1, &nb[4]);           // B2
+    int n = 0;
+    if (ok[0]) out[n++] = nb[0];
+    if (ok[1] && !(ok[0] && same_motion(nb[1], nb[0]))) out[n++] = nb[1];
+    if (ok[2] && !(ok[1] && same_motion(nb[2], nb[1]))) out[n++] = nb[2];
+    if (ok[3] && !(ok[0] && same_motion(nb[3], nb[0]))) out[n++] = nb[3];
+    if (n < 4 && ok[4] && !(ok[0] && same_motion(nb[4], nb[0])) &&
+        !(ok[1] && same_motion(nb[4], nb[1])))
+      out[n++] = nb[4];
+    bool is_b = slice_type == 0;
+    if (is_b && n > 1 && n < max_merge) {
+      int n_orig = n;
+      for (auto& pr : kCombPairs) {
+        if (n >= max_merge) break;
+        int i = pr[0], j = pr[1];
+        if (i >= n_orig || j >= n_orig) continue;
+        if (!(out[i].dir & 1) || !(out[j].dir & 2)) continue;
+        int poc0 = ref_poc[0], poc1 = ref_poc[1];  // single ref per list
+        if (poc0 != poc1 || out[i].mv[0][0] != out[j].mv[1][0] ||
+            out[i].mv[0][1] != out[j].mv[1][1]) {
+          Motion c;
+          c.dir = 3;
+          c.mv[0][0] = out[i].mv[0][0]; c.mv[0][1] = out[i].mv[0][1];
+          c.mv[1][0] = out[j].mv[1][0]; c.mv[1][1] = out[j].mv[1][1];
+          c.ref[0] = out[i].ref[0]; c.ref[1] = out[j].ref[1];
+          out[n++] = c;
+        }
+      }
+    }
+    while (n < max_merge) {
+      Motion z;
+      if (is_b) { z.dir = 3; z.ref[0] = z.ref[1] = 0; }
+      else { z.dir = 1; z.ref[0] = 0; }
+      out[n++] = z;
+    }
+    return max_merge;
+  }
+
+  // first-pass: neighbor motion whose ref pic IS the target (lx then 1-lx)
+  bool cand_same_poc(const Motion& m, int lx, int target_poc, int* mv) const {
+    for (int pass = 0; pass < 2; pass++) {
+      int ly = pass == 0 ? lx : 1 - lx;
+      if ((m.dir & (1 << ly)) && m.ref[ly] >= 0 && m.ref[ly] < nref[ly] &&
+          ref_poc[ly] == target_poc) {
+        mv[0] = m.mv[ly][0]; mv[1] = m.mv[ly][1];
+        return true;
+      }
+    }
+    return false;
+  }
+  bool cand_scaled(const Motion& m, int lx, int target_poc, int* mv) const {
+    for (int pass = 0; pass < 2; pass++) {
+      int ly = pass == 0 ? lx : 1 - lx;
+      if ((m.dir & (1 << ly)) && m.ref[ly] >= 0 && m.ref[ly] < nref[ly]) {
+        int tb = cur_poc - target_poc;
+        int td = cur_poc - ref_poc[ly];
+        scale_mv(m.mv[ly][0], m.mv[ly][1], tb, td, &mv[0], &mv[1]);
+        return true;
+      }
+    }
+    return false;
+  }
+
+  void amvp(int x0, int y0, int nw, int nh, int lx, int amvp_out[2][2]) const {
+    int target_poc = ref_poc[lx];
+    Motion a0, a1, b0, b1, b2;
+    bool ok_a0 = neighbor_motion(x0 - 1, y0 + nh, &a0);
+    bool ok_a1 = neighbor_motion(x0 - 1, y0 + nh - 1, &a1);
+    bool ok_b0 = neighbor_motion(x0 + nw, y0 - 1, &b0);
+    bool ok_b1 = neighbor_motion(x0 + nw - 1, y0 - 1, &b1);
+    bool ok_b2 = neighbor_motion(x0 - 1, y0 - 1, &b2);
+    bool is_scaled = ok_a0 || ok_a1;
+
+    int mva[2], mvb[2];
+    bool have_a = false, have_b = false;
+    const Motion* As[2] = {&a0, &a1};
+    bool okA[2] = {ok_a0, ok_a1};
+    for (int k = 0; k < 2 && !have_a; k++)
+      if (okA[k]) have_a = cand_same_poc(*As[k], lx, target_poc, mva);
+    for (int k = 0; k < 2 && !have_a; k++)
+      if (okA[k]) have_a = cand_scaled(*As[k], lx, target_poc, mva);
+
+    const Motion* Bs[3] = {&b0, &b1, &b2};
+    bool okB[3] = {ok_b0, ok_b1, ok_b2};
+    for (int k = 0; k < 3 && !have_b; k++)
+      if (okB[k]) have_b = cand_same_poc(*Bs[k], lx, target_poc, mvb);
+
+    if (!is_scaled) {
+      // steps 6-7: promote B's same-poc result into A, re-derive B scaled
+      have_a = have_b;
+      if (have_b) { mva[0] = mvb[0]; mva[1] = mvb[1]; }
+      have_b = false;
+      for (int k = 0; k < 3 && !have_b; k++)
+        if (okB[k]) have_b = cand_scaled(*Bs[k], lx, target_poc, mvb);
+    }
+
+    int n = 0;
+    if (have_a) { amvp_out[n][0] = mva[0]; amvp_out[n][1] = mva[1]; n++; }
+    if (have_b && !(have_a && mvb[0] == mva[0] && mvb[1] == mva[1])) {
+      amvp_out[n][0] = mvb[0]; amvp_out[n][1] = mvb[1]; n++;
+    }
+    for (; n < 2; n++) { amvp_out[n][0] = 0; amvp_out[n][1] = 0; }
+  }
+
+  void encode_skip_flag(int x0, int y0, int val) {
+    int ctxi = 0;
+    if (x0 > 0 && avail4[(y0 >> 2) * w4 + ((x0 - 1) >> 2)])
+      ctxi += skip4[(y0 >> 2) * w4 + ((x0 - 1) >> 2)] ? 1 : 0;
+    if (y0 > 0 && avail4[((y0 - 1) >> 2) * w4 + (x0 >> 2)])
+      ctxi += skip4[((y0 - 1) >> 2) * w4 + (x0 >> 2)] ? 1 : 0;
+    cab.bin(CTX_CU_SKIP + ctxi, val);
+  }
+
+  void encode_merge_idx(int idx) {
+    int cmax = max_merge - 1;
+    if (cmax == 0) return;
+    cab.bin(CTX_MERGE_IDX, idx > 0 ? 1 : 0);
+    if (idx > 0) {
+      for (int i = 1; i < idx; i++) cab.ep(1);
+      if (idx < cmax) cab.ep(0);
+    }
+  }
+
+  void encode_mvd(int mvd_x, int mvd_y) {
+    int ax = abs(mvd_x), ay = abs(mvd_y);
+    cab.bin(CTX_MVD + 0, ax > 0);
+    cab.bin(CTX_MVD + 0, ay > 0);
+    if (ax > 0) cab.bin(CTX_MVD + 1, ax > 1);
+    if (ay > 0) cab.bin(CTX_MVD + 1, ay > 1);
+    auto eg1 = [&](int value) {
+      int k = 1;
+      while (value >= (1 << k)) { cab.ep(1); value -= 1 << k; k++; }
+      cab.ep(0);
+      for (int i = k - 1; i >= 0; i--) cab.ep((value >> i) & 1);
+    };
+    if (ax > 0) {
+      if (ax > 1) eg1(ax - 2);
+      cab.ep(mvd_x < 0 ? 1 : 0);
+    }
+    if (ay > 0) {
+      if (ay > 1) eg1(ay - 2);
+      cab.ep(mvd_y < 0 ? 1 : 0);
+    }
+  }
+
+  // MC prediction for the CU, pixel domain, all three planes
+  void mc_cu(int x0, int y0, int size, const Motion& m,
+             int32_t* py, int32_t* pcb, int32_t* pcr) const {
+    int hs = size >> 1;
+    int strideL = width + 2 * pad_luma;
+    int strideC = (width >> 1) + pad_luma;
+    auto pred_plane = [&](int pl, int32_t* dst) {
+      int n = pl == 0 ? size : hs;
+      int xx = pl == 0 ? x0 : x0 >> 1;
+      int yy = pl == 0 ? y0 : y0 >> 1;
+      int stride = pl == 0 ? strideL : strideC;
+      int padc = pl == 0 ? pad_luma : pad_luma >> 1;
+      int fb = pl == 0 ? 2 : 3;
+      std::vector<int32_t> t0(n * n), t1(n * n);
+      if (m.dir == 3) {
+        mc_14(refp[0][pl], stride, padc, xx, yy, n, n, m.mv[0][0], m.mv[0][1],
+              fb, pl == 0, bd, t0.data());
+        mc_14(refp[1][pl], stride, padc, xx, yy, n, n, m.mv[1][0], m.mv[1][1],
+              fb, pl == 0, bd, t1.data());
+        bipred_px(t0.data(), t1.data(), n * n, bd, dst);
+      } else {
+        int l = m.dir == 1 ? 0 : 1;
+        mc_14(refp[l][pl], stride, padc, xx, yy, n, n, m.mv[l][0], m.mv[l][1],
+              fb, pl == 0, bd, t0.data());
+        unipred_px(t0.data(), n * n, bd, dst);
+      }
+    };
+    pred_plane(0, py);
+    pred_plane(1, pcb);
+    pred_plane(2, pcr);
+  }
+
+  // transform+quant of (src - pred); returns cbf; fills levels + recon resi
+  bool coeffs_from_pred(int pl, int x0, int y0, int n, const int32_t* pred,
+                        int32_t* lvl, int32_t* rres) {
+    int pw = pl == 0 ? width : width >> 1;
+    const uint8_t* src = pl == 0 ? src_y : (pl == 1 ? src_cb : src_cr);
+    std::vector<int32_t> resi(n * n);
+    bool any = false;
+    for (int j = 0; j < n; j++)
+      for (int i = 0; i < n; i++) {
+        resi[j * n + i] = src[(y0 + j) * pw + (x0 + i)] - pred[j * n + i];
+        if (resi[j * n + i]) any = true;
+      }
+    if (lossless) {
+      memcpy(lvl, resi.data(), n * n * sizeof(int32_t));
+      memcpy(rres, resi.data(), n * n * sizeof(int32_t));
+      return any;
+    }
+    int qpc = pl == 0 ? qp : chroma_qp(qp, pl == 1 ? cb_qp_off : cr_qp_off);
+    std::vector<int32_t> cf(n * n);
+    fwd_transform(resi.data(), n, false, bd, cf.data());
+    quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false);
+    bool nz = false;
+    for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
+    if (nz && sign_hiding) {
+      int log2 = 0; while ((1 << log2) < n) log2++;
+      sbh_adjust(lvl, n, scan_tab(log2, 0));
+      nz = false;
+      for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
+    }
+    memset(rres, 0, n * n * sizeof(int32_t));
+    if (nz) {
+      std::vector<int32_t> deq(n * n);
+      dequantize(lvl, n, qpc, bd, deq.data());
+      inv_transform(deq.data(), n, false, bd, rres);
+    }
+    return nz;
+  }
+
+  void finish_inter(int x0, int y0, int size, int depth, const Motion& m,
+                    bool skip, bool cbf_y_set,
+                    const int32_t* py, const int32_t* pcb, const int32_t* pcr,
+                    const int32_t* ry, const int32_t* rcb, const int32_t* rcr) {
+    int maxv = (1 << bd) - 1;
+    int hs = size >> 1, cw = width >> 1;
+    for (int j = 0; j < size; j++)
+      for (int i = 0; i < size; i++)
+        y[(y0 + j) * width + (x0 + i)] = (int16_t)clip3(
+            0, maxv, py[j * size + i] + (ry ? ry[j * size + i] : 0));
+    for (int j = 0; j < hs; j++)
+      for (int i = 0; i < hs; i++) {
+        cb[((y0 >> 1) + j) * cw + ((x0 >> 1) + i)] = (int16_t)clip3(
+            0, maxv, pcb[j * hs + i] + (rcb ? rcb[j * hs + i] : 0));
+        cr[((y0 >> 1) + j) * cw + ((x0 >> 1) + i)] = (int16_t)clip3(
+            0, maxv, pcr[j * hs + i] + (rcr ? rcr[j * hs + i] : 0));
+      }
+    for (int yy = y0 >> 2; yy < (y0 + size) >> 2; yy++)
+      for (int xx = x0 >> 2; xx < (x0 + size) >> 2; xx++) {
+        int idx = yy * w4 + xx;
+        for (int l = 0; l < 2; l++) {
+          bool used = (m.dir >> l) & 1;
+          mv4[idx * 4 + l * 2] = used ? m.mv[l][0] : 0;
+          mv4[idx * 4 + l * 2 + 1] = used ? m.mv[l][1] : 0;
+          ref4[idx * 2 + l] = used ? (int8_t)m.ref[l] : -1;
+        }
+        skip4[idx] = skip;
+        cbf4[idx] = cbf_y_set;
+        depth4[idx] = (uint8_t)depth;
+        avail4[idx] = 1;
+      }
+  }
+
+  void inter_cu(int x0, int y0, int log2_cb, int depth) {
+    int size = 1 << log2_cb;
+    int hs = size >> 1;
+    int b8 = (y0 >> 3) * w8 + (x0 >> 3);
+    Motion m;
+    m.dir = dir8[b8];
+    for (int l = 0; l < 2; l++) {
+      bool used = (m.dir >> l) & 1;
+      m.mv[l][0] = used ? mv8[b8 * 4 + l * 2] : 0;
+      m.mv[l][1] = used ? mv8[b8 * 4 + l * 2 + 1] : 0;
+      m.ref[l] = used ? 0 : -1;
+    }
+
+    std::vector<int32_t> py(size * size), pcb(hs * hs), pcr(hs * hs);
+    mc_cu(x0, y0, size, m, py.data(), pcb.data(), pcr.data());
+    std::vector<int32_t> ylvl(size * size), yres(size * size);
+    std::vector<int32_t> cblvl(hs * hs), cbres(hs * hs);
+    std::vector<int32_t> crlvl(hs * hs), crres(hs * hs);
+    bool cbf_y = coeffs_from_pred(0, x0, y0, size, py.data(), ylvl.data(),
+                                  yres.data());
+    bool cbf_cb = coeffs_from_pred(1, x0 >> 1, y0 >> 1, hs, pcb.data(),
+                                   cblvl.data(), cbres.data());
+    bool cbf_cr = coeffs_from_pred(2, x0 >> 1, y0 >> 1, hs, pcr.data(),
+                                   crlvl.data(), crres.data());
+    bool all_zero = !(cbf_y || cbf_cb || cbf_cr);
+
+    Motion cands[5];
+    merge_list(x0, y0, size, size, cands);
+    int merge_idx = -1;
+    for (int i = 0; i < max_merge; i++)
+      if (same_motion(cands[i], m)) { merge_idx = i; break; }
+    bool skip = merge_idx >= 0 && all_zero;
+
+    encode_skip_flag(x0, y0, skip ? 1 : 0);
+    if (skip) {
+      encode_merge_idx(merge_idx);
+      finish_inter(x0, y0, size, depth, m, true, false,
+                   py.data(), pcb.data(), pcr.data(), nullptr, nullptr,
+                   nullptr);
+      return;
+    }
+    cab.bin(CTX_PRED_MODE, 0);
+    cab.bin(CTX_PART_MODE, 1);       // 2Nx2N
+    if (merge_idx >= 0) {
+      cab.bin(CTX_MERGE_FLAG, 1);
+      encode_merge_idx(merge_idx);
+    } else {
+      cab.bin(CTX_MERGE_FLAG, 0);
+      if (slice_type == 0) {          // B: inter_pred_idc
+        cab.bin(CTX_INTER_PRED_IDC + depth, m.dir == 3 ? 1 : 0);
+        if (m.dir != 3)
+          cab.bin(CTX_INTER_PRED_IDC + 4, m.dir == 1 ? 0 : 1);
+      }
+      for (int lx = 0; lx < 2; lx++) {
+        if (!((m.dir >> lx) & 1)) continue;
+        int am[2][2];
+        amvp(x0, y0, size, size, lx, am);
+        int c0 = abs(m.mv[lx][0] - am[0][0]) + abs(m.mv[lx][1] - am[0][1]);
+        int c1 = abs(m.mv[lx][0] - am[1][0]) + abs(m.mv[lx][1] - am[1][1]);
+        int mvp_idx = c0 <= c1 ? 0 : 1;
+        encode_mvd(m.mv[lx][0] - am[mvp_idx][0], m.mv[lx][1] - am[mvp_idx][1]);
+        cab.bin(CTX_MVP_FLAG, mvp_idx);
+      }
+    }
+    if (merge_idx < 0) {
+      cab.bin(CTX_RQT_ROOT_CBF, all_zero ? 0 : 1);
+      if (all_zero) {
+        finish_inter(x0, y0, size, depth, m, false, false,
+                     py.data(), pcb.data(), pcr.data(), nullptr, nullptr,
+                     nullptr);
+        return;
+      }
+    }
+    cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
+    cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
+    if (cbf_cb || cbf_cr)
+      cab.bin(CTX_CBF_LUMA + 1, cbf_y);
+    // else cbf_luma inferred 1
+    if (cbf_y)
+      encode_residual(cab, ylvl.data(), log2_cb, 0, 0, sign_hiding, lossless);
+    if (cbf_cb)
+      encode_residual(cab, cblvl.data(), log2_cb - 1, 1, 0, sign_hiding,
+                      lossless);
+    if (cbf_cr)
+      encode_residual(cab, crlvl.data(), log2_cb - 1, 2, 0, sign_hiding,
+                      lossless);
+    finish_inter(x0, y0, size, depth, m, false, cbf_y,
+                 py.data(), pcb.data(), pcr.data(), yres.data(), cbres.data(),
+                 crres.data());
+  }
+
   void coding_unit(int x0, int y0, int log2_cb, int depth) {
     int size = 1 << log2_cb;
     // cu_transquant_bypass_flag present iff PPS bypass enabled
     // (our PPS enables it exactly when the encode is lossless)
     if (lossless) cab.bin(CTX_CU_TRANSQUANT_BYPASS, 1);
+    if (slice_type != 2) {
+      bool is_inter = inter8 && inter8[(y0 >> 3) * w8 + (x0 >> 3)];
+      if (is_inter) {
+        inter_cu(x0, y0, log2_cb, depth);
+        return;
+      }
+      encode_skip_flag(x0, y0, 0);
+      cab.bin(CTX_PRED_MODE, 1);     // intra
+    }
     if (log2_cb == min_cb_log2) cab.bin(CTX_PART_MODE, 1);  // 2Nx2N
 
     int mode = luma_mode8[(y0 >> 3) * w8 + (x0 >> 3)];
@@ -867,6 +1378,61 @@ int encode_slice_intra(const uint8_t* src_y, const uint8_t* src_cb,
   if (rec_y) memcpy(rec_y, w.y.data(), w.y.size() * sizeof(int16_t));
   if (rec_cb) memcpy(rec_cb, w.cb.data(), w.cb.size() * sizeof(int16_t));
   if (rec_cr) memcpy(rec_cr, w.cr.data(), w.cr.size() * sizeof(int16_t));
+  return (int)w.cab.out.size();
+}
+
+// Unified entry: I/P/B slices. slice_type uses the HEVC syntax values
+// (0=B, 1=P, 2=I). Reference planes are int16, edge-padded by pad_luma
+// (luma) / pad_luma/2 (chroma) on every side; NULL lists are unused.
+// cbf4_out (uint8 [h4*w4], optional) exports the luma-cbf map for the
+// python-side deblocking stage.
+int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
+                    const uint8_t* src_cr, int width, int height,
+                    const int32_t* cu_log2_map, const int32_t* luma_mode8,
+                    const int32_t* chroma_mode8,
+                    const uint8_t* inter8, const int32_t* dir8,
+                    const int32_t* mv8,
+                    int slice_type, int max_merge_cand,
+                    const int16_t* ref0_y, const int16_t* ref0_cb,
+                    const int16_t* ref0_cr,
+                    const int16_t* ref1_y, const int16_t* ref1_cb,
+                    const int16_t* ref1_cr,
+                    int pad_luma, int ref0_poc, int ref1_poc, int cur_poc,
+                    int ctb_log2, int min_cb_log2, int slice_qp,
+                    int lossless, int sign_hiding, int strong_smooth,
+                    int cb_qp_off, int cr_qp_off,
+                    uint8_t* out, int out_cap,
+                    int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
+                    uint8_t* cbf4_out) {
+  Writer w;
+  w.width = width; w.height = height;
+  w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
+  w.qp = slice_qp; w.bd = 8;
+  w.lossless = lossless != 0;
+  w.sign_hiding = sign_hiding != 0;
+  w.strong_smooth = strong_smooth != 0;
+  w.cb_qp_off = cb_qp_off; w.cr_qp_off = cr_qp_off;
+  w.src_y = src_y; w.src_cb = src_cb; w.src_cr = src_cr;
+  w.cu_log2_map = cu_log2_map; w.luma_mode8 = luma_mode8;
+  w.chroma_mode8 = chroma_mode8;
+  w.w8 = width >> 3;
+  w.slice_type = slice_type;
+  w.inter8 = inter8; w.dir8 = dir8; w.mv8 = mv8;
+  w.max_merge = max_merge_cand;
+  w.pad_luma = pad_luma;
+  w.refp[0][0] = ref0_y; w.refp[0][1] = ref0_cb; w.refp[0][2] = ref0_cr;
+  w.refp[1][0] = ref1_y; w.refp[1][1] = ref1_cb; w.refp[1][2] = ref1_cr;
+  w.ref_poc[0] = ref0_poc; w.ref_poc[1] = ref1_poc;
+  w.nref[0] = ref0_y ? 1 : 0;
+  w.nref[1] = ref1_y ? 1 : 0;
+  w.cur_poc = cur_poc;
+  w.run();
+  if ((int)w.cab.out.size() > out_cap) return -1;
+  memcpy(out, w.cab.out.data(), w.cab.out.size());
+  if (rec_y) memcpy(rec_y, w.y.data(), w.y.size() * sizeof(int16_t));
+  if (rec_cb) memcpy(rec_cb, w.cb.data(), w.cb.size() * sizeof(int16_t));
+  if (rec_cr) memcpy(rec_cr, w.cr.data(), w.cr.size() * sizeof(int16_t));
+  if (cbf4_out) memcpy(cbf4_out, w.cbf4.data(), w.cbf4.size());
   return (int)w.cab.out.size();
 }
 
