@@ -100,6 +100,10 @@ class Encoder:
         self.frame_count = 0         # display-order intake counter
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
         self.pending = []            # queued (poc, frame) awaiting an anchor
+        from x265_tpu.engine.lookahead import Lookahead
+        from x265_tpu.engine.ratecontrol import RateControl
+        self.rc = RateControl(p)
+        self.la = Lookahead(p.width, p.height)
         # analysis backend: batched TPU graph by default; numpy reference
         # path retained for differential testing (engine.mode_decision)
         self.use_tpu_analysis = True
@@ -131,14 +135,18 @@ class Encoder:
         is_idr = (self.frame_count == 0 or
                   (p.keyint > 0 and self.frame_count % p.keyint == 0))
         self.frame_count += 1
+        cost = self.la.frame_cost(frame[0], is_idr)
         if is_idr:
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
-            out += self._encode_intra_frame(*frame, decisions)
+            qp = self.rc.start(SLICE_I, cost)
+            au = self._encode_intra_frame(*frame, decisions, qp=qp)
+            self.rc.end(len(au) * 8)
+            out += au
             self.anchor = (0, self._last_recon)
             self.poc = 1
             return out
-        self.pending.append((self.poc, frame))
+        self.pending.append((self.poc, frame, cost))
         self.poc += 1
         if len(self.pending) >= self.bframes + 1:
             out += self._emit_minigop()
@@ -151,15 +159,20 @@ class Encoder:
     def _emit_minigop(self) -> bytes:
         """Last queued frame becomes the P anchor (coded first), earlier
         frames become non-reference B pictures between the two anchors."""
-        anchor_poc, anchor_frame = self.pending[-1]
+        anchor_poc, anchor_frame, anchor_cost = self.pending[-1]
         bs = self.pending[:-1]
         self.pending = []
         prev_anchor = self.anchor
-        out = self._encode_p_frame(anchor_frame, anchor_poc, prev_anchor)
+        qp = self.rc.start(SLICE_P, anchor_cost)
+        out = self._encode_p_frame(anchor_frame, anchor_poc, prev_anchor, qp)
+        self.rc.end(len(out) * 8)
         new_anchor = (anchor_poc, self._last_recon)
-        for (poc_b, frame_b) in bs:
-            out += self._encode_b_frame(frame_b, poc_b, prev_anchor,
-                                        new_anchor)
+        for (poc_b, frame_b, cost_b) in bs:
+            qp = self.rc.start(SLICE_B, cost_b)
+            au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
+                                      new_anchor, qp)
+            self.rc.end(len(au) * 8)
+            out += au
         self.anchor = new_anchor
         return out
 
@@ -175,10 +188,11 @@ class Encoder:
             return min(51, p.qp + 3)
         return p.qp
 
-    def _encode_intra_frame(self, y, cb, cr, decisions=None) -> bytes:
+    def _encode_intra_frame(self, y, cb, cr, decisions=None, qp=None) -> bytes:
         p = self.param
-        sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I,
-                         qp=self._slice_qp(SLICE_I))
+        if qp is None:
+            qp = self._slice_qp(SLICE_I)
+        sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=qp)
         if decisions is None:
             decisions = self._intra_decisions(y)
         slice_data = None
@@ -193,7 +207,8 @@ class Encoder:
                 p.cb_qp_offset, p.cr_qp_offset, want_recon=True)
             if res is not None:
                 slice_data, recon = res
-                self._last_recon = self._deblock_intra_recon(recon, decisions)
+                self._last_recon = self._deblock_intra_recon(recon, decisions,
+                                                             sh.qp)
         if slice_data is None:
             writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
             slice_data = writer.encode_slice_data(
@@ -204,7 +219,7 @@ class Encoder:
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
         return annexb([nal])
 
-    def _deblock_intra_recon(self, recon, decisions):
+    def _deblock_intra_recon(self, recon, decisions, qp):
         """Deblock the recon returned by the native intra finalizer.
 
         All-intra ⇒ bS=2 at every CU(==TU/PU) boundary on the 8-grid
@@ -227,7 +242,7 @@ class Encoder:
         yy, cbb, crr = deblock_frame(
             recon[0].astype(np.int32), recon[1].astype(np.int32),
             recon[2].astype(np.int32), st, is_intra4, None, None,
-            self._slice_qp(SLICE_I), p.deblock_beta_offset, p.deblock_tc_offset,
+            qp, p.deblock_beta_offset, p.deblock_tc_offset,
             p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
         return yy, cbb, crr
 
@@ -242,14 +257,16 @@ class Encoder:
             np.asarray(y), p.width, p.height, p.ctb_log2, cu_log2=cu_log2,
             strong_smoothing=p.intra_smoothing, bit_depth=p.bit_depth)
 
-    def _encode_p_frame(self, frame, poc, anchor) -> bytes:
+    def _encode_p_frame(self, frame, poc, anchor, qp=None) -> bytes:
         p = self.param
         y, cb, cr = frame
         ref_poc, ref_recon = anchor
+        if qp is None:
+            qp = self._slice_qp(SLICE_P)
         sh = SliceHeader(
             first_slice_in_pic=True,
             slice_type=SLICE_P,
-            qp=self._slice_qp(SLICE_P),
+            qp=qp,
             pic_order_cnt_lsb=poc & 0xFF,
             rps_in_sps=False,
             short_term_rps=ShortTermRPS(
@@ -257,7 +274,7 @@ class Encoder:
                 used_s0=[True]),
             max_num_merge_cand=5,
         )
-        decisions = self._p_decisions(y, ref_recon[0])
+        decisions = self._p_decisions(y, ref_recon[0], qp)
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([ref_recon], []),
             ((ref_poc,), ()), poc, SLICE_P)
@@ -345,16 +362,18 @@ class Encoder:
             p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
         return yy, cbb, crr
 
-    def _encode_b_frame(self, frame, poc, anchor0, anchor1) -> bytes:
+    def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None) -> bytes:
         """Non-reference B picture between two anchors (TRAIL_N)."""
         p = self.param
         y, cb, cr = frame
         p0, rec0 = anchor0
         p1, rec1 = anchor1
+        if qp is None:
+            qp = self._slice_qp(SLICE_B)
         sh = SliceHeader(
             first_slice_in_pic=True,
             slice_type=SLICE_B,
-            qp=self._slice_qp(SLICE_B),
+            qp=qp,
             pic_order_cnt_lsb=poc & 0xFF,
             rps_in_sps=False,
             short_term_rps=ShortTermRPS(
@@ -362,7 +381,7 @@ class Encoder:
                 num_positive=1, delta_poc_s1=[p1 - poc], used_s1=[True]),
             max_num_merge_cand=5,
         )
-        decisions = self._b_decisions(y, rec0[0], rec1[0])
+        decisions = self._b_decisions(y, rec0[0], rec1[0], qp)
         slice_data, _recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
@@ -386,7 +405,7 @@ class Encoder:
         return np.ascontiguousarray(
             np.repeat(np.repeat(grid, rep, 0), rep, 1)[:h8, :w8])
 
-    def _p_decisions(self, y, ref_y) -> FrameDecisions:
+    def _p_decisions(self, y, ref_y, qp=None) -> FrameDecisions:
         """Inter/intra split + MVs for a P frame (TPU ME + intra bank)."""
         from x265_tpu.engine.me import motion_decide
 
@@ -396,7 +415,7 @@ class Encoder:
         mv_blk, mcost = motion_decide(
             np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
             R=p.me_range if p.me_range <= 24 else 16,
-            qp=self._slice_qp(SLICE_P),
+            qp=qp if qp is not None else self._slice_qp(SLICE_P),
             subme=p.sub_me)
         icost = self._intra_cost_grid(y, S)
         inter_blk = mcost < icost
@@ -410,7 +429,7 @@ class Encoder:
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         return dec
 
-    def _b_decisions(self, y, ref0_y, ref1_y) -> FrameDecisions:
+    def _b_decisions(self, y, ref0_y, ref1_y, qp=None) -> FrameDecisions:
         """B-frame analysis: ME vs both anchors + bi-prediction trial
         (x265 checkBidir2Nx2N analog) + intra fallback, as batched argmin."""
         from x265_tpu.engine.me import bi_cost, motion_decide
@@ -421,12 +440,12 @@ class Encoder:
         dec = self._intra_decisions(y)
         mv0, c0, aux0 = motion_decide(np.asarray(y), np.asarray(ref0_y),
                                       p.width, p.height, S=S, R=R,
-                                      qp=self._slice_qp(SLICE_B),
+                                      qp=qp if qp is not None else self._slice_qp(SLICE_B),
                                       subme=max(1, p.sub_me),
                                       return_aux=True)
         mv1, c1, aux1 = motion_decide(np.asarray(y), np.asarray(ref1_y),
                                       p.width, p.height, S=S, R=R,
-                                      qp=self._slice_qp(SLICE_B),
+                                      qp=qp if qp is not None else self._slice_qp(SLICE_B),
                                       subme=max(1, p.sub_me),
                                       return_aux=True)
         cbi = bi_cost(mv0, aux0, mv1, aux1, S=S)

@@ -23,6 +23,12 @@ def main(argv=None) -> int:
     ap.add_argument("--tune", default=None)
     ap.add_argument("--lossless", action="store_true")
     ap.add_argument("--qp", type=int, default=None)
+    ap.add_argument("--crf", type=float, default=None)
+    ap.add_argument("--bitrate", type=int, default=None, help="ABR kbps")
+    ap.add_argument("--vbv-maxrate", type=int, default=0)
+    ap.add_argument("--vbv-bufsize", type=int, default=0)
+    ap.add_argument("--bframes", type=int, default=None)
+    ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
     ap.add_argument("--recon", default=None, help="write recon Y4M")
     ap.add_argument("--no-tpu", action="store_true", help="numpy analysis path")
@@ -50,6 +56,20 @@ def main(argv=None) -> int:
         p.rc_mode = RC_CQP
         p.qp = args.qp
         p.lossless = False
+    if args.crf is not None:
+        from x265_tpu.api.params import RC_CRF
+        p.rc_mode = RC_CRF
+        p.crf = args.crf
+    if args.bitrate is not None:
+        from x265_tpu.api.params import RC_ABR
+        p.rc_mode = RC_ABR
+        p.bitrate = args.bitrate
+    p.vbv_maxrate = args.vbv_maxrate
+    p.vbv_bufsize = args.vbv_bufsize
+    if args.bframes is not None:
+        p.bframes = args.bframes
+    if args.keyint is not None:
+        p.keyint = args.keyint
 
     enc = Encoder(p)
     if args.no_tpu:

@@ -1,0 +1,186 @@
+"""Rate control: CRF / ABR / CQP with VBV clipping (x265 analog:
+encoder/ratecontrol.cpp — rateControlStart:1245, rateEstimateQscale:1742,
+clipQscale:2283, rateControlEnd:2778).
+
+The model is the x264-lineage single-pass controller:
+  qscale = blurred_complexity^(1-qcompress) / rate_factor
+with
+  * CRF: rate_factor is a constant derived from the CRF value and a
+    resolution-normalized base complexity (ratecontrol.cpp:1035-1050);
+  * ABR: rate_factor = wanted_bits_window / cplxr_sum, both running sums
+    updated per coded frame, plus the overflow feedback term with the
+    abrBuffer tolerance window (rateEstimateQscale:1960-2050);
+  * I/B pictures get the ipFactor/pbFactor qscale ratios (x265 defaults
+    1.4 / 1.3);
+  * VBV: a satd-based bits predictor clips qscale so the coded-picture
+    buffer neither underflows nor overflows (clipQscale/updateVbv).
+
+Frame-ordered contract: start() and end() are called in encode order
+(the m_startEndOrder gate, ratecontrol.h:209-221, enforced here simply
+because the GOP scheduler is serial).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from x265_tpu.api.params import RC_ABR, RC_CQP, RC_CRF
+
+I_SLICE, P_SLICE, B_SLICE = 2, 1, 0    # HEVC syntax values
+
+
+def qp2qscale(qp: float) -> float:
+    return 0.85 * 2.0 ** ((qp - 12.0) / 6.0)
+
+
+def qscale2qp(qscale: float) -> float:
+    return 12.0 + 6.0 * math.log2(qscale / 0.85)
+
+
+IP_FACTOR = 1.4
+PB_FACTOR = 1.3
+
+
+@dataclass
+class _Predictor:
+    """bits ~= (coeff * satd + offset) / qscale (x265 Predictor,
+    ratecontrol.h:105; updateVbv's damped update)."""
+    coeff: float = 1.0
+    count: float = 1.0
+    decay: float = 0.5
+    offset: float = 0.0
+
+    @property
+    def value(self) -> float:
+        return self.coeff / self.count
+
+    def update(self, bits: float, satd: float, qscale: float) -> None:
+        if satd < 1:
+            return
+        self.coeff = self.coeff * self.decay + bits * qscale / satd
+        self.count = self.count * self.decay + 1.0
+
+
+class RateControl:
+    def __init__(self, param):
+        p = param
+        self.mode = p.rc_mode
+        self.qp_const = p.qp
+        self.lossless = p.lossless
+        self.qcompress = 0.6
+        self.fps = p.fps_num / max(1, p.fps_den)
+        self.bitrate = p.bitrate * 1000.0      # kbps -> bps
+        self.tolerance = 1.0
+        ncu = ((p.width + 15) // 16) * ((p.height + 15) // 16)
+        base_cplx = ncu * (120 if p.bframes else 80)
+        self.crf_constant = (base_cplx ** (1 - self.qcompress) /
+                            qp2qscale(p.crf))
+        # ABR state (x264 ratecontrol_init values)
+        self.cplxr_sum = 0.01 * (7.0e5 ** self.qcompress) * (ncu ** 0.5)
+        self.wanted_bits_window = max(1.0, self.bitrate / self.fps)
+        self.total_bits = 0.0
+        self.frames_coded = 0
+        # blurred complexity (short-term decay)
+        self.short_cplx_sum = 0.0
+        self.short_cplx_count = 0.0
+        self.last_qscale = qp2qscale(p.qp)
+        # VBV
+        self.vbv_bufsize = p.vbv_bufsize * 1000.0
+        self.vbv_maxrate = p.vbv_maxrate * 1000.0
+        self.vbv = self.vbv_bufsize > 0 and self.vbv_maxrate > 0
+        self.buffer_fill = self.vbv_bufsize * 0.9
+        self.buffer_rate = self.vbv_maxrate / self.fps if self.vbv else 0.0
+        self.pred = {I_SLICE: _Predictor(coeff=0.3),
+                     P_SLICE: _Predictor(coeff=0.2),
+                     B_SLICE: _Predictor(coeff=0.15)}
+        self._pending = None
+
+    # ---- per-frame API (encode order) ----
+
+    def start(self, slice_type: int, satd_cost: float) -> int:
+        """Pick the slice QP for the next frame in encode order."""
+        if self.mode == RC_CQP:
+            qp = self.qp_const
+            if not self.lossless:
+                qp += (-3 if slice_type == I_SLICE else
+                       (3 if slice_type == B_SLICE else 0))
+            self._pending = (slice_type, satd_cost, qp2qscale(qp))
+            return max(0, min(51, qp))
+
+        # blurred complexity
+        self.short_cplx_sum *= 0.5
+        self.short_cplx_count *= 0.5
+        self.short_cplx_sum += satd_cost
+        self.short_cplx_count += 1
+        blurred = self.short_cplx_sum / self.short_cplx_count
+        rceq = blurred ** (1 - self.qcompress)
+
+        if self.mode == RC_CRF:
+            qscale = rceq / self.crf_constant
+        else:  # ABR
+            rate_factor = self.wanted_bits_window / self.cplxr_sum
+            qscale = rceq / rate_factor
+            # overflow compensation
+            wanted = (self.bitrate / self.fps) * (self.frames_coded + 1)
+            abr_buffer = 2 * self.tolerance * self.bitrate
+            overflow = 1.0 + (self.total_bits - wanted) / max(1.0, abr_buffer)
+            qscale *= min(2.0, max(0.5, overflow))
+
+        # slice-type modulation (applied in qscale domain)
+        if slice_type == I_SLICE:
+            qscale /= IP_FACTOR
+        elif slice_type == B_SLICE:
+            qscale *= PB_FACTOR
+
+        # temporal smoothing: limit step vs last frame (x264 lstep-ish)
+        lstep = 2.0 ** (4 / 6.0)
+        if self.frames_coded > 0 and slice_type != I_SLICE:
+            qscale = min(max(qscale, self.last_qscale / lstep),
+                         self.last_qscale * lstep)
+
+        qscale = self._clip_vbv(slice_type, satd_cost, qscale)
+        self.last_qscale = qscale
+        qp = int(round(qscale2qp(qscale)))
+        qp = max(0, min(51, qp))
+        self._pending = (slice_type, satd_cost, qp2qscale(qp), rceq)
+        return qp
+
+    def _clip_vbv(self, slice_type: int, satd: float, qscale: float) -> float:
+        if not self.vbv:
+            return qscale
+        pred = self.pred[slice_type]
+        for _ in range(32):
+            bits = pred.value * satd / qscale + pred.offset
+            fill_after = self.buffer_fill - bits + self.buffer_rate
+            if fill_after < 0.15 * self.vbv_bufsize:
+                qscale *= 1.15           # too many bits: coarser
+            elif (fill_after > 0.95 * self.vbv_bufsize and
+                  qscale > qp2qscale(8)):
+                qscale /= 1.1            # buffer overflowing: spend more
+            else:
+                break
+        return qscale
+
+    def end(self, bits: int) -> None:
+        """Account a coded frame (x265 rateControlEnd)."""
+        st = self._pending[0] if self._pending else P_SLICE
+        satd = self._pending[1] if self._pending else 1.0
+        qscale = self._pending[2] if self._pending else self.last_qscale
+        self.total_bits += bits
+        self.frames_coded += 1
+        if self.mode == RC_ABR and self._pending and len(self._pending) > 3:
+            rceq = self._pending[3]
+            # normalize P-frame equivalent qscale (undo I/B modulation)
+            q = qscale
+            if st == I_SLICE:
+                q *= IP_FACTOR
+            elif st == B_SLICE:
+                q /= PB_FACTOR
+            self.cplxr_sum += bits * q / max(1e-6, rceq)
+            self.wanted_bits_window += self.bitrate / self.fps
+        if self.vbv:
+            self.pred[st].update(bits, satd, qscale)
+            self.buffer_fill = min(
+                self.vbv_bufsize,
+                max(0.0, self.buffer_fill - bits + self.buffer_rate))
+        self._pending = None
