@@ -195,26 +195,9 @@ class Encoder:
         sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=qp)
         if decisions is None:
             decisions = self._intra_decisions(y)
-        slice_data = None
-        if self.use_native:
-            from x265_tpu import native
-            res = native.encode_slice_intra(
-                np.asarray(y), np.asarray(cb), np.asarray(cr),
-                decisions.cu_log2_map, decisions.luma_mode8,
-                decisions.chroma_mode8,
-                p.ctb_log2, p.min_cb_log2, sh.qp, p.lossless,
-                self.pps.sign_data_hiding, p.intra_smoothing,
-                p.cb_qp_offset, p.cr_qp_offset, want_recon=True)
-            if res is not None:
-                slice_data, recon = res
-                self._last_recon = self._deblock_intra_recon(recon, decisions,
-                                                             sh.qp)
-        if slice_data is None:
-            writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless)
-            slice_data = writer.encode_slice_data(
-                np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
-            writer.apply_loop_filters()
-            self._last_recon = (writer.y, writer.cb, writer.cr)
+        slice_data, recon = self._inter_slice_data(
+            (y, cb, cr), sh, decisions, ([], []), ((), ()), 0, SLICE_I)
+        self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
         return annexb([nal])
@@ -285,11 +268,15 @@ class Encoder:
 
     def _inter_slice_data(self, frame, sh, decisions, refs, ref_poc, poc,
                           slice_type):
-        """Encode P/B slice data: native C++ finalizer when available,
-        Python reference writer otherwise. Returns (bytes, deblocked recon).
-        """
+        """Encode slice data (I/P/B): native C++ finalizer when available,
+        Python reference writer otherwise. Two-phase when SAO is on
+        (x265 FrameFilter pipeline analog): phase 1 reconstructs, then
+        deblock + SAO analysis on the deblocked picture, then phase 2
+        re-emits the syntax with the per-CTU sao() parameters.
+        Returns (bytes, fully loop-filtered recon)."""
         p = self.param
         y, cb, cr = frame
+        sao_on = p.sao and not p.lossless
         if self.use_native:
             from x265_tpu import native
             pad = 80
@@ -298,26 +285,59 @@ class Encoder:
                               pad >> (0 if i == 0 else 1), mode="edge")
                        for i, pl in enumerate(planes)) for planes in lst]
                 for lst in refs)
-            res = native.encode_slice_px(
-                np.asarray(y), np.asarray(cb), np.asarray(cr),
-                decisions.cu_log2_map, decisions.luma_mode8,
-                decisions.chroma_mode8, decisions.inter8, decisions.dir8,
-                decisions.mv8, slice_type, sh.max_num_merge_cand,
-                refs_padded, ref_poc, poc, pad,
-                p.ctb_log2, p.min_cb_log2, sh.qp, p.lossless,
-                self.pps.sign_data_hiding, p.intra_smoothing,
-                p.cb_qp_offset, p.cr_qp_offset)
+
+            def run_native(sp=None):
+                return native.encode_slice_px(
+                    np.asarray(y), np.asarray(cb), np.asarray(cr),
+                    decisions.cu_log2_map, decisions.luma_mode8,
+                    decisions.chroma_mode8, decisions.inter8, decisions.dir8,
+                    decisions.mv8, slice_type, sh.max_num_merge_cand,
+                    refs_padded, ref_poc, poc, pad,
+                    p.ctb_log2, p.min_cb_log2, sh.qp, p.lossless,
+                    self.pps.sign_data_hiding, p.intra_smoothing,
+                    p.cb_qp_offset, p.cr_qp_offset,
+                    sao_params=sp, sao_luma=sp is not None,
+                    sao_chroma=sp is not None)
+
+            res = run_native()
             if res is not None:
                 slice_data, recon, cbf4 = res
-                recon = self._deblock_inter_recon(recon, decisions, cbf4,
-                                                  ref_poc, sh.qp)
+                if slice_type == SLICE_I:
+                    recon = self._deblock_intra_recon(recon, decisions,
+                                                      sh.qp)
+                else:
+                    recon = self._deblock_inter_recon(recon, decisions,
+                                                      cbf4, ref_poc, sh.qp)
+                if sao_on:
+                    from x265_tpu.hevc import sao as sao_mod
+                    sp = sao_mod.analyze_frame((y, cb, cr), recon,
+                                               p.ctb_log2, sh.qp,
+                                               p.bit_depth)
+                    sh.sao_luma = sh.sao_chroma = True
+                    slice_data = run_native(sp)[0]
+                    recon = sao_mod.apply_frame(recon, sp, p.ctb_log2,
+                                                p.bit_depth)
                 return slice_data, recon
-        writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
-                                   refs=refs, ref_poc=ref_poc, cur_poc=poc)
-        slice_data = writer.encode_slice_data(
-            np.asarray(y), np.asarray(cb), np.asarray(cr), decisions)
-        writer.apply_loop_filters()
-        return slice_data, (writer.y, writer.cb, writer.cr)
+
+        def run_py(sp=None):
+            writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
+                                       refs=refs, ref_poc=ref_poc,
+                                       cur_poc=poc)
+            data = writer.encode_slice_data(
+                np.asarray(y), np.asarray(cb), np.asarray(cr), decisions,
+                sao_params=sp)
+            writer.apply_loop_filters()
+            return data, (writer.y, writer.cb, writer.cr)
+
+        slice_data, recon = run_py()
+        if sao_on:
+            from x265_tpu.hevc import sao as sao_mod
+            sp = sao_mod.analyze_frame((y, cb, cr), recon, p.ctb_log2,
+                                       sh.qp, p.bit_depth)
+            sh.sao_luma = sh.sao_chroma = True
+            slice_data, _ = run_py(sp)
+            recon = sao_mod.apply_frame(recon, sp, p.ctb_log2, p.bit_depth)
+        return slice_data, recon
 
     def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp):
         """Deblock a native-finalizer recon using the decision maps (CU ==

@@ -71,6 +71,8 @@ class PictureDecodeState:
         self.poc = 0
         self.dbs = DeblockState(h, w)
         self.deblock_params = None  # (qp, beta_off, tc_off, cbqp, crqp)
+        self.sao_params = None      # SaoParams once a slice enables SAO
+        self.sao_flags = (False, False)
         self.filtered = False
 
 
@@ -98,10 +100,20 @@ class SliceDecoder:
         ctb = sps.ctb_size
         w_ctbs = sps.pic_width_in_ctbs
         n_ctbs = w_ctbs * sps.pic_height_in_ctbs
+        sao_on = sh.sao_luma or sh.sao_chroma
+        if sao_on and pic.sao_params is None:
+            from x265_tpu.hevc.sao import empty_params
+            pic.sao_params = empty_params(sps.pic_height_in_ctbs, w_ctbs)
+            pic.sao_flags = (sh.sao_luma, sh.sao_chroma)
         addr = self.sh.segment_address
         while True:
             x0 = (addr % w_ctbs) * ctb
             y0 = (addr // w_ctbs) * ctb
+            if sao_on:
+                from x265_tpu.hevc.sao import parse_sao_ctu
+                parse_sao_ctu(self.cab, CTX_OFF, pic.sao_params,
+                              addr // w_ctbs, addr % w_ctbs,
+                              sh.sao_luma, sh.sao_chroma, self.bd)
             self._coding_quadtree(pic, x0, y0, sps.ctb_log2, 0)
             addr += 1
             end = self.cab.decode_bin_trm()
@@ -609,20 +621,26 @@ class HEVCDecoder:
 
     @staticmethod
     def _finish(pic: PictureDecodeState) -> None:
-        """In-loop filters once the picture is complete (8.7: the filtered
-        picture is both the output and the reference)."""
-        if pic.filtered or pic.deblock_params is None:
+        """In-loop filters once the picture is complete (8.7: deblock then
+        SAO; the filtered picture is both the output and the reference)."""
+        if pic.filtered:
             return
-        from x265_tpu.hevc.deblock import NOPOC
-        refpoc4 = np.full(pic.ic.ref4.shape, NOPOC, dtype=np.int64)
-        for lx in (0, 1):
-            for r, rpoc in enumerate(pic.ref_poc[lx]):
-                refpoc4[..., lx][pic.ic.ref4[..., lx] == r] = rpoc
-        qp, boff, toff, cbo, cro = pic.deblock_params
-        pic.y, pic.cb, pic.cr = deblock_frame(
-            pic.y, pic.cb, pic.cr, pic.dbs, pic.is_intra4,
-            pic.ic.mv4, refpoc4, qp, boff, toff, cbo, cro,
-            pic.sps.bit_depth)
+        if pic.deblock_params is not None:
+            from x265_tpu.hevc.deblock import NOPOC
+            refpoc4 = np.full(pic.ic.ref4.shape, NOPOC, dtype=np.int64)
+            for lx in (0, 1):
+                for r, rpoc in enumerate(pic.ref_poc[lx]):
+                    refpoc4[..., lx][pic.ic.ref4[..., lx] == r] = rpoc
+            qp, boff, toff, cbo, cro = pic.deblock_params
+            pic.y, pic.cb, pic.cr = deblock_frame(
+                pic.y, pic.cb, pic.cr, pic.dbs, pic.is_intra4,
+                pic.ic.mv4, refpoc4, qp, boff, toff, cbo, cro,
+                pic.sps.bit_depth)
+        if pic.sao_params is not None:
+            from x265_tpu.hevc.sao import apply_frame
+            pic.y, pic.cb, pic.cr = apply_frame(
+                (pic.y, pic.cb, pic.cr), pic.sao_params,
+                pic.sps.ctb_log2, pic.sps.bit_depth)
         pic.filtered = True
 
     @staticmethod

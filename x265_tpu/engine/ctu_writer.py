@@ -85,10 +85,12 @@ class FrameSyntaxWriter:
                         for i in range(3)))
 
     def encode_slice_data(self, src_y: np.ndarray, src_cb: np.ndarray,
-                          src_cr: np.ndarray, dec: FrameDecisions) -> bytes:
+                          src_cr: np.ndarray, dec: FrameDecisions,
+                          sao_params=None) -> bytes:
         sps = self.sps
         h, w = sps.height, sps.width
         self.dec = dec
+        self.sao_params = sao_params
         # reconstruction state (lossless => recon == source, but we keep the
         # full loop so the CQP path works identically)
         self.y = np.zeros((h, w), dtype=np.int32)
@@ -112,8 +114,14 @@ class FrameSyntaxWriter:
         ctb = sps.ctb_size
         n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
         for addr in range(n_ctbs):
-            x0 = (addr % sps.pic_width_in_ctbs) * ctb
-            y0 = (addr // sps.pic_width_in_ctbs) * ctb
+            cx_i = addr % sps.pic_width_in_ctbs
+            cy_i = addr // sps.pic_width_in_ctbs
+            x0, y0 = cx_i * ctb, cy_i * ctb
+            if self.sao_params is not None and (self.sh.sao_luma or
+                                                self.sh.sao_chroma):
+                from x265_tpu.hevc.sao import write_sao_ctu
+                write_sao_ctu(cab, CTX_OFF, self.sao_params, cy_i, cx_i,
+                              self.sh.sao_luma, self.sh.sao_chroma, self.bd)
             self._coding_quadtree(x0, y0, sps.ctb_log2, 0)
             cab.encode_bin_trm(1 if addr == n_ctbs - 1 else 0)
         return cab.finish()

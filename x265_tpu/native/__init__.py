@@ -83,6 +83,10 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,            # ctb, mincb, qp
             ctypes.c_int, ctypes.c_int, ctypes.c_int,            # lossless, sdh, strong
             ctypes.c_int, ctypes.c_int,                          # cb/cr qp off
+            ctypes.c_int, ctypes.c_int,                          # sao luma/chroma
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # sao y maps
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # sao c maps
+            ctypes.c_void_p, ctypes.c_void_p,                    # sao c offsets
             ctypes.c_void_p, ctypes.c_int,                       # out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
             ctypes.c_void_p,                                     # cbf4 out
@@ -140,7 +144,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     chroma_mode8, inter8, dir8, mv8, slice_type,
                     max_merge_cand, refs, ref_poc, cur_poc, pad_luma,
                     ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
-                    strong_smooth, cb_qp_off=0, cr_qp_off=0):
+                    strong_smooth, cb_qp_off=0, cr_qp_off=0,
+                    sao_params=None, sao_luma=False, sao_chroma=False):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16] per list) — at most one ref per list.
@@ -181,6 +186,15 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
     rcr = np.empty((h // 2, w // 2), dtype=np.int16)
     h4, w4 = (h + 3) // 4, (w + 3) // 4
     cbf4 = np.zeros((h4, w4), dtype=np.uint8)
+    sao_ptrs = [None] * 8
+    if sao_params is not None:
+        sp = sao_params
+        arrs = [sp.type_y, sp.class_y, sp.off_y, sp.type_c,
+                sp.class_cb, sp.class_cr, sp.off_cb, sp.off_cr]
+        for i, a in enumerate(arrs):
+            a = c(a, dtype=np.int32)
+            keep.append(a)
+            sao_ptrs[i] = a.ctypes.data
     n = lib.encode_slice_px(
         y.ctypes.data, cbp.ctypes.data, crp.ctypes.data, w, h,
         cmap.ctypes.data, lmap.ctypes.data, cmode_p,
@@ -196,6 +210,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         ctb_log2, min_cb_log2, qp,
         int(lossless), int(sign_hiding), int(strong_smooth),
         cb_qp_off, cr_qp_off,
+        int(sao_luma), int(sao_chroma), *sao_ptrs,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data)

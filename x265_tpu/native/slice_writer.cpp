@@ -721,6 +721,13 @@ struct Writer {
   int nref[2] = {0, 0};
   int cur_poc = 0;
   int max_merge = 5;
+  // SAO parameter maps (per CTU; null => no SAO syntax)
+  int sao_luma = 0, sao_chroma = 0;
+  const int32_t *sao_type_y = nullptr, *sao_class_y = nullptr,
+                *sao_off_y = nullptr, *sao_type_c = nullptr,
+                *sao_class_cb = nullptr, *sao_class_cr = nullptr,
+                *sao_off_cb = nullptr, *sao_off_cr = nullptr;
+  int wc_ctbs = 0;
   // state
   std::vector<uint8_t> avail4, isintra4;
   std::vector<int16_t> mode4;
@@ -730,6 +737,63 @@ struct Writer {
   std::vector<int8_t> ref4;           // [h4*w4*2]
   int w4, h4;
   Cabac cab;
+
+  // ---- sao() syntax (7.3.8.3) ----
+  bool sao_params_equal(int a, int b) const {
+    if (sao_type_y[a] != sao_type_y[b] || sao_class_y[a] != sao_class_y[b])
+      return false;
+    if (sao_type_c[a] != sao_type_c[b] ||
+        sao_class_cb[a] != sao_class_cb[b] ||
+        sao_class_cr[a] != sao_class_cr[b])
+      return false;
+    for (int i = 0; i < 4; i++)
+      if (sao_off_y[a * 4 + i] != sao_off_y[b * 4 + i] ||
+          sao_off_cb[a * 4 + i] != sao_off_cb[b * 4 + i] ||
+          sao_off_cr[a * 4 + i] != sao_off_cr[b * 4 + i])
+        return false;
+    return true;
+  }
+
+  void write_tr_offset(int v, int cmax) {
+    for (int i = 0; i < v; i++) cab.ep(1);
+    if (v < cmax) cab.ep(0);
+  }
+
+  void write_sao(int cy_i, int cx_i) {
+    int idx = cy_i * wc_ctbs + cx_i;
+    int max_off = (1 << (std::min(bd, 10) - 5)) - 1;
+    if (cx_i > 0) {
+      if (sao_params_equal(idx, idx - 1)) { cab.bin(CTX_SAO_MERGE, 1); return; }
+      cab.bin(CTX_SAO_MERGE, 0);
+    }
+    if (cy_i > 0) {
+      if (sao_params_equal(idx, idx - wc_ctbs)) { cab.bin(CTX_SAO_MERGE, 1); return; }
+      cab.bin(CTX_SAO_MERGE, 0);
+    }
+    for (int c_idx = 0; c_idx < 3; c_idx++) {
+      if (c_idx == 0 && !sao_luma) continue;
+      if (c_idx > 0 && !sao_chroma) continue;
+      int typ = c_idx == 0 ? sao_type_y[idx] : sao_type_c[idx];
+      if (c_idx <= 1) {
+        cab.bin(CTX_SAO_TYPE, typ != 0);
+        if (typ != 0) cab.ep(typ == 2 ? 1 : 0);
+      }
+      if (typ == 0) continue;
+      const int32_t* offs = c_idx == 0 ? &sao_off_y[idx * 4]
+                          : (c_idx == 1 ? &sao_off_cb[idx * 4]
+                                        : &sao_off_cr[idx * 4]);
+      int cls = c_idx == 0 ? sao_class_y[idx]
+              : (c_idx == 1 ? sao_class_cb[idx] : sao_class_cr[idx]);
+      for (int i = 0; i < 4; i++) write_tr_offset(abs(offs[i]), max_off);
+      if (typ == 1) {                    // BO
+        for (int i = 0; i < 4; i++)
+          if (offs[i]) cab.ep(offs[i] < 0 ? 1 : 0);
+        cab.eps(cls, 5);
+      } else if (c_idx <= 1) {           // EO class
+        cab.eps(cls, 2);
+      }
+    }
+  }
 
   int chroma_qp(int qpy, int off) const {
     int q = clip3(0, 57, qpy + off);
@@ -755,9 +819,12 @@ struct Writer {
 
     int ctb = 1 << ctb_log2;
     int wc = (width + ctb - 1) / ctb, hc = (height + ctb - 1) / ctb;
+    wc_ctbs = wc;
     int n_ctbs = wc * hc;
+    bool sao_on = (sao_luma || sao_chroma) && sao_type_y;
     for (int addr = 0; addr < n_ctbs; addr++) {
       int x0 = (addr % wc) * ctb, y0 = (addr / wc) * ctb;
+      if (sao_on) write_sao(addr / wc, addr % wc);
       quadtree(x0, y0, ctb_log2, 0);
       cab.trm(addr == n_ctbs - 1 ? 1 : 0);
     }
@@ -1401,6 +1468,11 @@ int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
                     int ctb_log2, int min_cb_log2, int slice_qp,
                     int lossless, int sign_hiding, int strong_smooth,
                     int cb_qp_off, int cr_qp_off,
+                    int sao_luma, int sao_chroma,
+                    const int32_t* sao_type_y, const int32_t* sao_class_y,
+                    const int32_t* sao_off_y, const int32_t* sao_type_c,
+                    const int32_t* sao_class_cb, const int32_t* sao_class_cr,
+                    const int32_t* sao_off_cb, const int32_t* sao_off_cr,
                     uint8_t* out, int out_cap,
                     int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
                     uint8_t* cbf4_out) {
@@ -1426,6 +1498,11 @@ int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
   w.nref[0] = ref0_y ? 1 : 0;
   w.nref[1] = ref1_y ? 1 : 0;
   w.cur_poc = cur_poc;
+  w.sao_luma = sao_luma; w.sao_chroma = sao_chroma;
+  w.sao_type_y = sao_type_y; w.sao_class_y = sao_class_y;
+  w.sao_off_y = sao_off_y; w.sao_type_c = sao_type_c;
+  w.sao_class_cb = sao_class_cb; w.sao_class_cr = sao_class_cr;
+  w.sao_off_cb = sao_off_cb; w.sao_off_cr = sao_off_cr;
   w.run();
   if ((int)w.cab.out.size() > out_cap) return -1;
   memcpy(out, w.cab.out.data(), w.cab.out.size());
