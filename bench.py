@@ -23,7 +23,7 @@ def main():
     rng = np.random.default_rng(1)
     yy, xx = np.mgrid[0:h, 0:w]
     frames = []
-    for i in range(3):
+    for i in range(8):
         y = ((xx // 2 + yy // 3 + i * 11) % 256).astype(np.uint8)
         y = np.clip(y.astype(int) + rng.integers(-6, 6, (h, w)), 0, 255).astype(np.uint8)
         cb = ((xx[::2, ::2] // 5) % 256).astype(np.uint8)
@@ -39,10 +39,8 @@ def main():
     enc.encode_frame(*frames[0])
 
     t0 = time.time()
-    n = 0
-    for f in frames:
-        enc.encode_frame(*f)
-        n += 1
+    n = len(frames)
+    enc.encode(frames)        # pipelined: TPU analysis overlaps CPU entropy
     dt = time.time() - t0
     fps = n / dt
     baseline = 3.02  # x265 ultrafast lossless 720p, doc/reST/lossless.rst

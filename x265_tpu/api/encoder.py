@@ -135,7 +135,10 @@ class Encoder:
         is_idr = (self.frame_count == 0 or
                   (p.keyint > 0 and self.frame_count % p.keyint == 0))
         self.frame_count += 1
-        cost = self.la.frame_cost(frame[0], is_idr)
+        # CQP ignores the complexity signal — skip the lowres pass entirely
+        from x265_tpu.api.params import RC_CQP
+        cost = (1.0 if self.rc.mode == RC_CQP
+                else self.la.frame_cost(frame[0], is_idr))
         if is_idr:
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
@@ -490,8 +493,42 @@ class Encoder:
 
     def encode(self, frames) -> bytes:
         """Encode an iterable of (y, cb, cr) frames; returns full stream."""
+        p = self.param
+        if p.keyint == 1:
+            return self._encode_all_intra_pipelined(frames)
         out = [self.headers()]
         for (y, cb, cr) in frames:
             out.append(self.encode_frame(y, cb, cr))
         out.append(self.flush())
+        return b"".join(out)
+
+    def _encode_all_intra_pipelined(self, frames) -> bytes:
+        """All-intra fast path: the batched TPU analysis of frame N+1 is
+        dispatched (async) before the CPU finalizer of frame N runs — the
+        frame-pipeline re-imagining of x265's frame threads (SURVEY.md
+        §2.4 P2) on one chip."""
+        from collections import deque
+        from x265_tpu.models.intra_frame import (
+            finish_intra_analysis, submit_intra_analysis)
+        p = self.param
+        cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+        out = [self.headers()]
+
+        def emit(frame, handle):
+            dec = finish_intra_analysis(handle)
+            qp = self.rc.start(SLICE_I, 1.0)
+            au = self._encode_intra_frame(*frame, dec, qp=qp)
+            self.rc.end(len(au) * 8)
+            self.frame_count += 1
+            return au
+
+        pend = deque()
+        for f in frames:
+            f = tuple(np.asarray(pl) for pl in f)
+            pend.append((f, submit_intra_analysis(f[0], p.width, p.height,
+                                                  cu_log2)))
+            if len(pend) > 1:
+                out.append(emit(*pend.popleft()))
+        while pend:
+            out.append(emit(*pend.popleft()))
         return b"".join(out)

@@ -93,21 +93,45 @@ def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
     return best, jnp.min(cost, axis=1)
 
 
-def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
-                           cu_log2: int = 4) -> "FrameDecisions":
-    """Drop-in replacement for engine.mode_decision.decide_intra_frame:
-    batched TPU analysis at S=2^cu_log2 with 8x8 boundary fallback."""
-    from x265_tpu.engine.ctu_writer import FrameDecisions
-
+def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
+                          cu_log2: int = 4):
+    """Dispatch the batched analysis; returns an opaque handle whose device
+    buffers materialize asynchronously (frame-pipeline building block: the
+    TPU computes frame N+1 while the CPU finalizer writes frame N — the
+    x265 frame-parallelism analog, SURVEY.md §2.4 P2)."""
     S = 1 << cu_log2
-    # pad to multiples of S with edge replication
     ph = -(-height // S) * S
     pw = -(-width // S) * S
     # int32 on the wire: uint8 inputs trigger a pathological XLA compile
     # (~100x slower trace) on this TPU runtime
     y = np.asarray(src_y, dtype=np.int32)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
-    modes = np.asarray(frame_intra_analysis(jnp.asarray(yp), S=S)[0])
+    modes_dev, cost_dev = frame_intra_analysis(jnp.asarray(yp), S=S)
+    return (modes_dev, cost_dev, cu_log2, width, height)
+
+
+def finish_intra_analysis(handle) -> "FrameDecisions":
+    """Materialize a submit_intra_analysis result into decision maps."""
+    modes_dev, _cost, cu_log2, width, height = handle
+    S = 1 << cu_log2
+    ph = -(-height // S) * S
+    pw = -(-width // S) * S
+    modes = np.asarray(modes_dev)
+    return _build_decisions(modes, cu_log2, width, height, ph, pw)
+
+
+def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
+                           cu_log2: int = 4) -> "FrameDecisions":
+    """Drop-in replacement for engine.mode_decision.decide_intra_frame:
+    batched TPU analysis at S=2^cu_log2 with 8x8 boundary fallback."""
+    return finish_intra_analysis(
+        submit_intra_analysis(src_y, width, height, cu_log2))
+
+
+def _build_decisions(modes, cu_log2, width, height, ph, pw):
+    from x265_tpu.engine.ctu_writer import FrameDecisions
+
+    S = 1 << cu_log2
     nby, nbx = ph // S, pw // S
     h8, w8 = height >> 3, width >> 3
     rep = S >> 3

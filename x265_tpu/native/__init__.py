@@ -33,8 +33,8 @@ def _build() -> bool:
     if not os.path.exists(_HDR):
         gen = os.path.join(_DIR, "..", "..", "tools", "gen_native_tables.py")
         subprocess.run(["python3", gen], check=True)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-           "-o", _SO, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-fPIC",
+           "-shared", "-std=c++17", "-o", _SO, _SRC]
     r = subprocess.run(cmd, capture_output=True, text=True)
     if r.returncode != 0:
         import sys

@@ -47,6 +47,7 @@ struct Cabac {
     }
     low = 0; range = 510; bits_left = 23;
     num_buffered = 0; buffered_byte = 0xFF; out.clear();
+    out.reserve(1 << 20);
   }
 
   void write_out() {
