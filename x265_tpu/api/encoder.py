@@ -98,6 +98,7 @@ class Encoder:
         )
         self.poc = 0                 # POC of the next display-order frame
         self.frame_count = 0         # display-order intake counter
+        self.frames_since_idr = 0
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
         self.pending = []            # queued (poc, frame) awaiting an anchor
         from x265_tpu.engine.lookahead import Lookahead
@@ -133,15 +134,27 @@ class Encoder:
         frame = (np.asarray(y), np.asarray(cb), np.asarray(cr))
         out = b""
         is_idr = (self.frame_count == 0 or
-                  (p.keyint > 0 and self.frame_count % p.keyint == 0))
-        self.frame_count += 1
-        # CQP ignores the complexity signal — skip the lowres pass entirely
+                  (p.keyint > 0 and self.frames_since_idr >= p.keyint))
+        # lookahead: needed by rate control and/or scenecut detection
         from x265_tpu.api.params import RC_CQP
-        cost = (1.0 if self.rc.mode == RC_CQP
-                else self.la.frame_cost(frame[0], is_idr))
+        need_la = (self.rc.mode != RC_CQP or
+                   (p.scenecut > 0 and p.keyint != 1 and not p.lossless))
+        if need_la:
+            cost, icost, pcost = self.la.frame_costs(frame[0], is_idr)
+        else:
+            cost, icost, pcost = 1.0, 1.0, 0.0
+        # scenecut (slicetype.cpp:2186 analog): the inter path barely beats
+        # intra => new scene; respect min-keyint
+        min_ki = p.min_keyint or (self.bframes + 1)
+        if (not is_idr and p.scenecut > 0 and
+                self.frames_since_idr >= min_ki and
+                pcost >= (1.0 - p.scenecut / 400.0) * icost):
+            is_idr = True
+        self.frame_count += 1
         if is_idr:
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
+            self.frames_since_idr = 1
             qp = self.rc.start(SLICE_I, cost)
             au = self._encode_intra_frame(*frame, decisions, qp=qp)
             self.rc.end(len(au) * 8)
@@ -149,9 +162,16 @@ class Encoder:
             self.anchor = (0, self._last_recon)
             self.poc = 1
             return out
+        self.frames_since_idr += 1
         self.pending.append((self.poc, frame, cost))
         self.poc += 1
-        if len(self.pending) >= self.bframes + 1:
+        close = len(self.pending) >= self.bframes + 1
+        # adaptive B (b-adapt lite): high-motion frames anchor early —
+        # fewer Bs where bi-prediction will not carry (slicetypePath
+        # Viterbi collapsed to a per-frame motion-ratio gate)
+        if not close and p.b_adapt and need_la and pcost > 0.5 * icost:
+            close = True
+        if close:
             out += self._emit_minigop()
         return out
 

@@ -56,7 +56,8 @@ class Param:
 
     # --- GOP structure ---
     keyint: int = 250            # max keyframe interval
-    min_keyint: int = 0
+    min_keyint: int = 0          # 0 = auto (bframes+1)
+    scenecut: int = 40           # 0 = off (x265 --scenecut)
     bframes: int = 4
     b_adapt: int = 2
     b_pyramid: bool = True
@@ -212,6 +213,7 @@ _OPT_ALIASES = {
     "tu-inter-depth": "tu_inter_depth",
     "keyint": "keyint",
     "min-keyint": "min_keyint",
+    "scenecut": "scenecut",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
     "open-gop": "open_gop",

@@ -67,19 +67,26 @@ class Lookahead:
 
     def frame_cost(self, y: np.ndarray, is_intra: bool) -> float:
         """SATD-domain complexity of one frame (x265 m_currentSatd)."""
+        return self.frame_costs(y, is_intra)[0]
+
+    def frame_costs(self, y: np.ndarray, is_intra: bool):
+        """(cost, intra_cost, inter_cost) of one display-order frame; the
+        inter cost is vs the previous frame (the slicetype/scenecut
+        signal, slicetype.cpp:2186)."""
         low = np.asarray(lowres_downscale(jnp.asarray(
             np.asarray(y, dtype=np.int32))))
         ph, pw = self.lh - low.shape[0], self.lw - low.shape[1]
         low = np.pad(low, ((0, ph), (0, pw)), mode="edge")
-        if self.prev_low is None or is_intra:
-            prev = low
-        else:
-            prev = self.prev_low
+        first = self.prev_low is None
+        prev = low if first else self.prev_low
         icost, mcost = _lowres_costs(jnp.asarray(low), jnp.asarray(prev))
-        icost = np.asarray(icost)
-        if self.prev_low is None or is_intra:
-            cost = float(icost.sum())
-        else:
-            cost = float(np.minimum(icost, np.asarray(mcost) * 2).sum())
+        icost_sum = float(np.asarray(icost).sum())
+        pcost_sum = float(np.minimum(np.asarray(icost),
+                                     np.asarray(mcost) * 2).sum())
         self.prev_low = low
-        return max(1.0, cost)
+        if first or is_intra:
+            cost = icost_sum
+        else:
+            cost = pcost_sum
+        return (max(1.0, cost), max(1.0, icost_sum),
+                icost_sum if first else max(1.0, pcost_sum))
