@@ -166,10 +166,12 @@ class Encoder:
         self.pending.append((self.poc, frame, cost))
         self.poc += 1
         close = len(self.pending) >= self.bframes + 1
-        # adaptive B (b-adapt lite): high-motion frames anchor early —
-        # fewer Bs where bi-prediction will not carry (slicetypePath
-        # Viterbi collapsed to a per-frame motion-ratio gate)
-        if not close and p.b_adapt and need_la and pcost > 0.5 * icost:
+        # adaptive B (b-adapt lite): frames whose inter cost approaches
+        # intra (near-scenecut motion) anchor early — fewer Bs where
+        # bi-prediction will not carry. Conservative gate: bi-pred still
+        # wins on noisy-but-static content, so only clear prediction
+        # failures close the GOP (slicetypePath Viterbi approximation).
+        if not close and p.b_adapt and need_la and pcost > 0.85 * icost:
             close = True
         if close:
             out += self._emit_minigop()
