@@ -60,7 +60,7 @@ def test_native_p_slice_bin_exact():
                            refs=([anchor[1]], []), ref_poc=((0,), ()),
                            cur_poc=3)
     py = wr.encode_slice_data(*[np.asarray(x) for x in f], dec)
-    nat, recon, cbf4 = native.encode_slice_px(
+    nat, recon, cbf4, _qp4 = native.encode_slice_px(
         f[0], f[1], f[2], dec.cu_log2_map, dec.luma_mode8, dec.chroma_mode8,
         dec.inter8, dec.dir8, dec.mv8, 1, 5,
         _pad_refs(([anchor[1]], [])), ((0,), ()), 3, 80,
@@ -98,7 +98,7 @@ def test_native_b_slice_bin_exact():
                            refs=([a0[1]], [a1[1]]), ref_poc=((0,), (3,)),
                            cur_poc=1)
     py = wr.encode_slice_data(*[np.asarray(x) for x in f], dec)
-    nat, recon, _ = native.encode_slice_px(
+    nat, recon, _, _qp4 = native.encode_slice_px(
         f[0], f[1], f[2], dec.cu_log2_map, dec.luma_mode8, dec.chroma_mode8,
         dec.inter8, dec.dir8, dec.mv8, 0, 5,
         _pad_refs(([a0[1]], [a1[1]])), ((0,), (3,)), 1, 80,

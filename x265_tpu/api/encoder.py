@@ -88,6 +88,8 @@ class Encoder:
             cb_qp_offset=p.cb_qp_offset,
             cr_qp_offset=p.cr_qp_offset,
             transquant_bypass_enabled=p.lossless,
+            cu_qp_delta_enabled=(p.aq_mode > 0 and not p.lossless),
+            diff_cu_qp_delta_depth=0,          # QG == CTB
             deblocking_filter_control_present=(
                 not p.deblock or p.deblock_beta_offset != 0
                 or p.deblock_tc_offset != 0),
@@ -301,6 +303,10 @@ class Encoder:
         Returns (bytes, fully loop-filtered recon)."""
         p = self.param
         y, cb, cr = frame
+        if self.pps.cu_qp_delta_enabled and decisions.qp_map is None:
+            from x265_tpu.engine.aq import aq_qp_offsets
+            off = aq_qp_offsets(y, p.ctb_log2, p.aq_mode, p.aq_strength)
+            decisions.qp_map = np.clip(sh.qp + off, 0, 51).astype(np.int32)
         sao_on = p.sao and not p.lossless
         if self.use_native:
             from x265_tpu import native
@@ -322,17 +328,19 @@ class Encoder:
                     self.pps.sign_data_hiding, p.intra_smoothing,
                     p.cb_qp_offset, p.cr_qp_offset,
                     sao_params=sp, sao_luma=sp is not None,
-                    sao_chroma=sp is not None)
+                    sao_chroma=sp is not None, qp_map=decisions.qp_map)
 
             res = run_native()
             if res is not None:
-                slice_data, recon, cbf4 = res
+                slice_data, recon, cbf4, qp_actual = res
+                qp_arg = (qp_actual if decisions.qp_map is not None
+                          else sh.qp)
                 if slice_type == SLICE_I:
                     recon = self._deblock_intra_recon(recon, decisions,
-                                                      sh.qp)
+                                                      qp_arg)
                 else:
                     recon = self._deblock_inter_recon(recon, decisions,
-                                                      cbf4, ref_poc, sh.qp)
+                                                      cbf4, ref_poc, qp_arg)
                 if sao_on:
                     from x265_tpu.hevc import sao as sao_mod
                     sp = sao_mod.analyze_frame((y, cb, cr), recon,

@@ -28,7 +28,9 @@ from x265_tpu.hevc.headers import (
     SPS, PPS, SliceHeader, parse_vps, parse_sps, parse_pps,
     parse_slice_header, SLICE_I, SLICE_P, SLICE_B, is_idr,
 )
-from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.cu_tools import (
+    chroma_cand_list, decode_cu_qp_delta, mpm_list,
+)
 from x265_tpu.hevc.deblock import DeblockState, deblock_frame
 from x265_tpu.hevc.inter_tools import (
     InterCtx, amvp_candidates, decode_mvd, merge_candidates,
@@ -73,6 +75,7 @@ class PictureDecodeState:
         self.deblock_params = None  # (qp, beta_off, tc_off, cbqp, crqp)
         self.sao_params = None      # SaoParams once a slice enables SAO
         self.sao_flags = (False, False)
+        self.qp4 = None             # per-4x4 QP map once cu_qp_delta seen
         self.filtered = False
 
 
@@ -105,20 +108,42 @@ class SliceDecoder:
             from x265_tpu.hevc.sao import empty_params
             pic.sao_params = empty_params(sps.pic_height_in_ctbs, w_ctbs)
             pic.sao_flags = (sh.sao_luma, sh.sao_chroma)
+        self.dqp_on = pps.cu_qp_delta_enabled
+        self.qp_prev = sh.qp
+        if self.dqp_on and pic.qp4 is None:
+            h4, w4 = pic.avail4.shape
+            pic.qp4 = np.full((h4, w4), sh.qp, dtype=np.int32)
         addr = self.sh.segment_address
         while True:
             x0 = (addr % w_ctbs) * ctb
             y0 = (addr // w_ctbs) * ctb
+            if self.dqp_on:
+                self.qg_coded = False
+                self.qp_y = self.qp_prev        # until a delta is parsed
+                self.qg_pred = self.qp_prev
             if sao_on:
                 from x265_tpu.hevc.sao import parse_sao_ctu
                 parse_sao_ctu(self.cab, CTX_OFF, pic.sao_params,
                               addr // w_ctbs, addr % w_ctbs,
                               sh.sao_luma, sh.sao_chroma, self.bd)
             self._coding_quadtree(pic, x0, y0, sps.ctb_log2, 0)
+            if self.dqp_on:
+                self.qp_prev = self.qp_y
             addr += 1
             end = self.cab.decode_bin_trm()
             if end or addr >= n_ctbs:
                 break
+
+    def _maybe_parse_dqp(self, any_cbf: bool) -> None:
+        """cu_qp_delta at the first coded TU of the QG (7.3.8.10); with
+        QG == CTB, qPY_PRED is the previous QG's QP (8.6.1)."""
+        if not getattr(self, "dqp_on", False) or self.qg_coded or not any_cbf:
+            return
+        delta = decode_cu_qp_delta(self.cab, CTX_OFF["cu_qp_delta"])
+        bdo = 6 * (self.bd - 8)
+        self.qp_y = ((self.qp_prev + delta + 52 + 2 * bdo) %
+                     (52 + bdo)) - bdo
+        self.qg_coded = True
 
     # ---- coding tree ----
 
@@ -139,6 +164,9 @@ class SliceDecoder:
                     self._coding_quadtree(pic, x1, y1, log2_cb - 1, depth + 1)
         else:
             self._coding_unit(pic, x0, y0, log2_cb, depth)
+            if getattr(self, "dqp_on", False):
+                pic.qp4[y0 >> 2:(y0 + size) >> 2,
+                        x0 >> 2:(x0 + size) >> 2] = self.qp_y
 
     def _split_ctx(self, pic, x0, y0, depth) -> int:
         ctx = 0
@@ -317,6 +345,7 @@ class SliceDecoder:
 
         cu = _CuCtx(tqb=tqb, luma_modes=[0], chroma_mode=0, part_nxn=False,
                     cu_x=x0, cu_y=y0, log2_cb=log2_cb)
+        self._maybe_parse_dqp(bool(cbf_y or cbf_cb or cbf_cr))
         pic.dbs.mark_block(x0, y0, size)
         pic.dbs.set_tu(x0, y0, size, bool(cbf_y), tqb)
         maxv = (1 << self.bd) - 1
@@ -417,6 +446,8 @@ class SliceDecoder:
             mode = cu.luma_modes[blk_idx]
         else:
             mode = cu.luma_modes[0]
+
+        self._maybe_parse_dqp(bool(cbf_luma or cbf_cb or cbf_cr))
 
         # ---- luma: predict, decode residual, reconstruct ----
         pred = predict_block(pic.y, pic.avail4, x0, y0, nt, mode, 0,
@@ -632,9 +663,10 @@ class HEVCDecoder:
                 for r, rpoc in enumerate(pic.ref_poc[lx]):
                     refpoc4[..., lx][pic.ic.ref4[..., lx] == r] = rpoc
             qp, boff, toff, cbo, cro = pic.deblock_params
+            qp_arg = pic.qp4 if pic.qp4 is not None else qp
             pic.y, pic.cb, pic.cr = deblock_frame(
                 pic.y, pic.cb, pic.cr, pic.dbs, pic.is_intra4,
-                pic.ic.mv4, refpoc4, qp, boff, toff, cbo, cro,
+                pic.ic.mv4, refpoc4, qp_arg, boff, toff, cbo, cro,
                 pic.sps.bit_depth)
         if pic.sao_params is not None:
             from x265_tpu.hevc.sao import apply_frame

@@ -19,7 +19,9 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from x265_tpu.hevc.cabac import CabacEncoder
-from x265_tpu.hevc.cu_tools import chroma_cand_list, mpm_list
+from x265_tpu.hevc.cu_tools import (
+    chroma_cand_list, encode_cu_qp_delta, mpm_list,
+)
 from x265_tpu.hevc.deblock import DeblockState, deblock_frame
 from x265_tpu.hevc.headers import (
     PPS, SPS, SliceHeader, SLICE_B, SLICE_I, SLICE_P,
@@ -56,6 +58,7 @@ class FrameDecisions:
     inter8: Optional[np.ndarray] = None
     dir8: Optional[np.ndarray] = None        # 1=L0, 2=L1, 3=BI
     mv8: Optional[np.ndarray] = None         # [h8, w8, 2(list), 2(xy)]
+    qp_map: Optional[np.ndarray] = None      # [cty, ctx] per-CTB QP (AQ)
 
 
 class FrameSyntaxWriter:
@@ -111,18 +114,33 @@ class FrameSyntaxWriter:
                        self.sh.qp)
         self.cab = cab
 
+        # per-CU QP state (QG == CTB: qPY_PRED == previous QG's QP, 8.6.1)
+        self.dqp_on = (self.pps.cu_qp_delta_enabled and
+                       dec.qp_map is not None)
+        self.qp_prev = self.sh.qp
+        h4w, w4w = self.avail4.shape
+        self.qp4 = np.full((h4w, w4w), self.sh.qp, dtype=np.int32)
+
         ctb = sps.ctb_size
         n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
         for addr in range(n_ctbs):
             cx_i = addr % sps.pic_width_in_ctbs
             cy_i = addr // sps.pic_width_in_ctbs
             x0, y0 = cx_i * ctb, cy_i * ctb
+            if self.dqp_on:
+                self.qg_wanted = int(dec.qp_map[cy_i, cx_i])
+                self.qg_coded = False
+                self.qp_y = self.qg_wanted      # quantize with the target
             if self.sao_params is not None and (self.sh.sao_luma or
                                                 self.sh.sao_chroma):
                 from x265_tpu.hevc.sao import write_sao_ctu
                 write_sao_ctu(cab, CTX_OFF, self.sao_params, cy_i, cx_i,
                               self.sh.sao_luma, self.sh.sao_chroma, self.bd)
             self._coding_quadtree(x0, y0, sps.ctb_log2, 0)
+            if self.dqp_on:
+                # qPY_PREV for the next QG = QP of the last CU of this one
+                self.qp_prev = (self.qg_wanted if self.qg_coded
+                                else self.qp_prev)
             cab.encode_bin_trm(1 if addr == n_ctbs - 1 else 0)
         return cab.finish()
 
@@ -147,6 +165,12 @@ class FrameSyntaxWriter:
                     self._coding_quadtree(x1, y1, log2_cb - 1, depth + 1)
         else:
             self._coding_unit(x0, y0, log2_cb, depth)
+            if self.dqp_on:
+                # per-CU QpY (8.6.1): CUs before the QG's delta keep the
+                # prediction; the delta-bearing CU and later ones get it
+                cuqp = self.qg_wanted if self.qg_coded else self.qp_prev
+                self.qp4[y0 >> 2:(y0 + size) >> 2,
+                         x0 >> 2:(x0 + size) >> 2] = cuqp
 
     def _split_ctx(self, x0, y0, depth) -> int:
         ctx = 0
@@ -242,6 +266,7 @@ class FrameSyntaxWriter:
         cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
         cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
         cab.encode_bin(CTX_OFF["cbf_luma"] + 1, cbf_luma)
+        self._maybe_code_dqp(bool(cbf_luma or cbf_cb or cbf_cr))
 
         pps = self.pps
         if cbf_luma:
@@ -399,6 +424,7 @@ class FrameSyntaxWriter:
         if cbf_cb or cbf_cr:
             cab.encode_bin(CTX_OFF["cbf_luma"] + 1, cbf_y)
         # else cbf_luma inferred 1 (guaranteed: not all_zero, chroma zero)
+        self._maybe_code_dqp(True)
         if cbf_y:
             encode_residual(cab, y_lvl, log2_cb, 0, 0,
                             sign_hiding=pps.sign_data_hiding,
@@ -432,6 +458,15 @@ class FrameSyntaxWriter:
         self.depth4[s4] = depth
         self.avail4[s4] = True
 
+    def _maybe_code_dqp(self, any_cbf: bool) -> None:
+        """cu_qp_delta at the first TU with coded coefficients in the QG
+        (7.3.8.10); qPY_PRED == previous QG's QP since QG == CTB."""
+        if not getattr(self, "dqp_on", False) or self.qg_coded or not any_cbf:
+            return
+        encode_cu_qp_delta(self.cab, CTX_OFF["cu_qp_delta"],
+                           self.qg_wanted - self.qp_prev)
+        self.qg_coded = True
+
     def apply_loop_filters(self) -> None:
         """In-loop filter stage (x265 FrameFilter::processRow analog,
         framefilter.cpp:564): deblock the reconstruction in place. Must run
@@ -442,9 +477,11 @@ class FrameSyntaxWriter:
             return
         beta_off = pps.beta_offset_div2
         tc_off = pps.tc_offset_div2
+        qp_arg = (self.qp4 if getattr(self, "dqp_on", False)
+                  else self.sh.qp)
         self.y, self.cb, self.cr = deblock_frame(
             self.y, self.cb, self.cr, self.dbs, self.is_intra4,
-            self.ic.mv4, self._refpoc4(), self.qp_y, beta_off, tc_off,
+            self.ic.mv4, self._refpoc4(), qp_arg, beta_off, tc_off,
             pps.cb_qp_offset, pps.cr_qp_offset, self.bd)
 
     def _refpoc4(self) -> np.ndarray:

@@ -43,3 +43,47 @@ def chroma_cand_list(luma_mode: int) -> List[int]:
     if luma_mode in cand:
         cand[cand.index(luma_mode)] = 34
     return cand
+
+
+# ---------------------------------------------------------------------------
+# cu_qp_delta coding (7.3.8.10 / 9.3.3.10): TU prefix (cMax=5, ctx bins)
+# + EG0 bypass suffix + bypass sign
+# ---------------------------------------------------------------------------
+
+def encode_cu_qp_delta(cab, ctx_base: int, delta: int) -> None:
+    a = abs(delta)
+    prefix = min(a, 5)
+    for i in range(prefix):
+        cab.encode_bin(ctx_base + (0 if i == 0 else 1), 1)
+    if prefix < 5:
+        cab.encode_bin(ctx_base + (0 if prefix == 0 else 1), 0)
+    if a >= 5:
+        v = a - 5
+        k = 0
+        while v >= (1 << k):
+            cab.encode_bin_ep(1)
+            v -= 1 << k
+            k += 1
+        cab.encode_bin_ep(0)
+        for i in range(k - 1, -1, -1):
+            cab.encode_bin_ep((v >> i) & 1)
+    if a > 0:
+        cab.encode_bin_ep(1 if delta < 0 else 0)
+
+
+def decode_cu_qp_delta(cab, ctx_base: int) -> int:
+    a = 0
+    while a < 5 and cab.decode_bin(ctx_base + (0 if a == 0 else 1)):
+        a += 1
+    if a == 5:
+        k = 0
+        while cab.decode_bin_ep():
+            a += 1 << k
+            k += 1
+        suffix = 0
+        for _ in range(k):
+            suffix = (suffix << 1) | cab.decode_bin_ep()
+        a += suffix
+    if a > 0 and cab.decode_bin_ep():
+        return -a
+    return a

@@ -128,13 +128,15 @@ def derive_bs(edge: np.ndarray, is_intra4: np.ndarray, cbf4: np.ndarray,
     return bs.astype(np.int32)
 
 
-def _filter_luma_vertical(y: np.ndarray, bs4: np.ndarray, qp: int,
+def _filter_luma_vertical(y: np.ndarray, bs4: np.ndarray, qp,
                           beta_off: int, tc_off: int,
                           bypass4: np.ndarray, bd: int) -> np.ndarray:
     """Filter all vertical luma edges of the plane (in place on a copy).
 
     bs4[y4, x4] is the bS of the 4-row segment at luma column x4*4; only
     columns on the 8-sample grid (x4 even) are edges (8.7.2.2).
+    qp: scalar slice QP or a per-4x4 QP map [h4, w4] (cu_qp_delta); the
+    edge QP is the p/q average (8.7.2.5.3 qPL).
     """
     H, W = y.shape
     if W < 16:
@@ -152,9 +154,13 @@ def _filter_luma_vertical(y: np.ndarray, bs4: np.ndarray, qp: int,
     Q = y[:, qi].reshape(H4, 4, nE, 4)
 
     bs = bs4[:, cols4]                                   # [H4, nE]
-    qb = min(max(qp + (beta_off << 1), 0), 51)
-    beta = int(BETA_TABLE[qb]) << (bd - 8)
-    tq = np.clip(qp + 2 * (bs - 1) + (tc_off << 1), 0, 53)
+    if np.isscalar(qp) or np.ndim(qp) == 0:
+        qpl = np.full((H4, nE), int(qp), dtype=np.int32)
+    else:
+        qpl = ((qp[:, cols4 - 1] + qp[:, cols4] + 1) >> 1).astype(np.int32)
+    qb = np.clip(qpl + (beta_off << 1), 0, 51)
+    beta = (BETA_TABLE[qb] << (bd - 8)).astype(np.int32)  # [H4, nE]
+    tq = np.clip(qpl + 2 * (bs - 1) + (tc_off << 1), 0, 53)
     tc = (TC_TABLE[tq] << (bd - 8)).astype(np.int32)     # [H4, nE]
 
     # decision on segment lines 0 and 3 (8.7.2.5.3)
@@ -242,13 +248,16 @@ def _filter_luma_vertical(y: np.ndarray, bs4: np.ndarray, qp: int,
     return out
 
 
-def _filter_chroma_vertical(c: np.ndarray, bs4: np.ndarray, qp_c: int,
+def _filter_chroma_vertical(c: np.ndarray, bs4: np.ndarray, qp_c,
                             tc_off: int, bypass4: np.ndarray,
-                            bd: int) -> np.ndarray:
+                            bd: int, lut=None) -> np.ndarray:
     """Filter all vertical chroma edges (bS==2 only; 8.7.2.5.5).
 
     c is one chroma plane [Hc, Wc]; edges at chroma x multiple of 8
     (luma 16). bs4/bypass4 are the *luma* 4x4-granularity maps.
+    qp_c: scalar chroma QP, or the per-4x4 *luma* QP map together with
+    `lut` mapping averaged luma QP -> chroma QP (8.7.2.5.5 QpC order:
+    average first, then the chroma table).
     """
     Hc, Wc = c.shape
     if Wc < 16:
@@ -263,9 +272,15 @@ def _filter_chroma_vertical(c: np.ndarray, bs4: np.ndarray, qp_c: int,
     bs = bs4[::2, :][:Hc4, (xs >> 1)]        # [Hc4, nE]
     mask_seg = bs == 2
 
-    tq = min(max(qp_c + 2 + (tc_off << 1), 0), 53)
-    tc = int(TC_TABLE[tq]) << (bd - 8)
-    if tc == 0:
+    if np.isscalar(qp_c) or np.ndim(qp_c) == 0:
+        qpl = np.full((Hc4, nE), int(qp_c), dtype=np.int32)
+    else:
+        qgrid = qp_c[::2, :][:Hc4]
+        qpl = ((qgrid[:, (xs >> 1) - 1] + qgrid[:, (xs >> 1)] + 1) >> 1)
+        qpl = lut[np.clip(qpl, 0, 51)]
+    tq = np.clip(qpl + 2 + (tc_off << 1), 0, 53)
+    tc = (TC_TABLE[tq] << (bd - 8)).astype(np.int32)     # [Hc4, nE]
+    if not (tc > 0).any():
         return c
 
     pi = xs[:, None] + np.arange(-2, 0)[None, :]
@@ -275,7 +290,8 @@ def _filter_chroma_vertical(c: np.ndarray, bs4: np.ndarray, qp_c: int,
     p1, p0 = P[:, :, :, 0], P[:, :, :, 1]
     q0, q1 = Q[:, :, :, 0], Q[:, :, :, 1]
 
-    delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc, tc)
+    tc3 = tc[:, None, :]
+    delta = np.clip((((q0 - p0) << 2) + p1 - q1 + 4) >> 3, -tc3, tc3)
     maxv = (1 << bd) - 1
     m = np.broadcast_to(mask_seg[:, None, :], (Hc4, 4, nE))
     byp_p = np.broadcast_to(bypass4[::2, :][:Hc4, (xs >> 1) - 1][:, None, :],
@@ -310,18 +326,33 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     bs_h = derive_bs(st.edge_h, is_intra4, st.cbf4, mv4, refpoc4,
                      vertical=False)
 
-    qp_cb = chroma_qp(qp, cb_qp_off, bd)
-    qp_cr = chroma_qp(qp, cr_qp_off, bd)
+    scalar_qp = np.isscalar(qp) or np.ndim(qp) == 0
+    if scalar_qp:
+        qp_cb = chroma_qp(int(qp), cb_qp_off, bd)
+        qp_cr = chroma_qp(int(qp), cr_qp_off, bd)
+        lut_cb = lut_cr = None
+        qp_t = qp
+    else:
+        lut_cb = np.array([chroma_qp(q, cb_qp_off, bd) for q in range(52)],
+                          dtype=np.int32)
+        lut_cr = np.array([chroma_qp(q, cr_qp_off, bd) for q in range(52)],
+                          dtype=np.int32)
+        qp_cb = qp_cr = qp          # luma map; chroma funcs apply the LUT
+        qp_t = qp.T
 
     y = _filter_luma_vertical(y, bs_v, qp, beta_off, tc_off, st.bypass4, bd)
-    cb1 = _filter_chroma_vertical(cb, bs_v, qp_cb, tc_off, st.bypass4, bd)
-    cr1 = _filter_chroma_vertical(cr, bs_v, qp_cr, tc_off, st.bypass4, bd)
+    cb1 = _filter_chroma_vertical(cb, bs_v, qp_cb, tc_off, st.bypass4, bd,
+                                  lut_cb)
+    cr1 = _filter_chroma_vertical(cr, bs_v, qp_cr, tc_off, st.bypass4, bd,
+                                  lut_cr)
 
     # horizontal pass == vertical pass on the transpose
-    y = _filter_luma_vertical(y.T, bs_h.T, qp, beta_off, tc_off,
+    y = _filter_luma_vertical(y.T, bs_h.T, qp_t, beta_off, tc_off,
                               st.bypass4.T, bd).T
-    cb1 = _filter_chroma_vertical(cb1.T, bs_h.T, qp_cb, tc_off,
-                                  st.bypass4.T, bd).T
-    cr1 = _filter_chroma_vertical(cr1.T, bs_h.T, qp_cr, tc_off,
-                                  st.bypass4.T, bd).T
+    cb1 = _filter_chroma_vertical(cb1.T, bs_h.T,
+                                  qp_cb if scalar_qp else qp_t, tc_off,
+                                  st.bypass4.T, bd, lut_cb).T
+    cr1 = _filter_chroma_vertical(cr1.T, bs_h.T,
+                                  qp_cr if scalar_qp else qp_t, tc_off,
+                                  st.bypass4.T, bd, lut_cr).T
     return y, cb1, cr1

@@ -87,6 +87,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # sao y maps
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # sao c maps
             ctypes.c_void_p, ctypes.c_void_p,                    # sao c offsets
+            ctypes.c_void_p, ctypes.c_void_p,                    # qp map in/out
             ctypes.c_void_p, ctypes.c_int,                       # out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
             ctypes.c_void_p,                                     # cbf4 out
@@ -145,7 +146,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     max_merge_cand, refs, ref_poc, cur_poc, pad_luma,
                     ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
-                    sao_params=None, sao_luma=False, sao_chroma=False):
+                    sao_params=None, sao_luma=False, sao_chroma=False,
+                    qp_map=None):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16] per list) — at most one ref per list.
@@ -195,6 +197,12 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
             a = c(a, dtype=np.int32)
             keep.append(a)
             sao_ptrs[i] = a.ctypes.data
+    qp_actual = np.zeros(h4 * w4, dtype=np.int32)
+    qmp = None
+    if qp_map is not None:
+        qm = c(qp_map, dtype=np.int32)
+        keep.append(qm)
+        qmp = qm.ctypes.data
     n = lib.encode_slice_px(
         y.ctypes.data, cbp.ctypes.data, crp.ctypes.data, w, h,
         cmap.ctypes.data, lmap.ctypes.data, cmode_p,
@@ -211,6 +219,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         int(lossless), int(sign_hiding), int(strong_smooth),
         cb_qp_off, cr_qp_off,
         int(sao_luma), int(sao_chroma), *sao_ptrs,
+        qmp, qp_actual.ctypes.data,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data)
@@ -218,4 +227,4 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         return None
     return (out[:n].tobytes(),
             (ry.astype(np.int32), rcb.astype(np.int32), rcr.astype(np.int32)),
-            cbf4.astype(bool))
+            cbf4.astype(bool), qp_actual.reshape(h4, w4))

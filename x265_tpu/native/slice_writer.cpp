@@ -722,6 +722,31 @@ struct Writer {
   int nref[2] = {0, 0};
   int cur_poc = 0;
   int max_merge = 5;
+  // per-CTB QP map (cu_qp_delta; null => single slice QP)
+  const int32_t* qp_map = nullptr;
+  int qp_prev = 0, qg_wanted = 0;
+  bool qg_coded = false;
+  std::vector<int32_t> qp_actual;      // per-4x4 decoded-side QpY
+
+  void maybe_code_dqp(bool any_cbf) {
+    if (!qp_map || qg_coded || !any_cbf) return;
+    int delta = qg_wanted - qp_prev;
+    int a = abs(delta);
+    int prefix = std::min(a, 5);
+    for (int i = 0; i < prefix; i++)
+      cab.bin(CTX_CU_QP_DELTA + (i == 0 ? 0 : 1), 1);
+    if (prefix < 5)
+      cab.bin(CTX_CU_QP_DELTA + (prefix == 0 ? 0 : 1), 0);
+    if (a >= 5) {
+      int v = a - 5, k = 0;
+      while (v >= (1 << k)) { cab.ep(1); v -= 1 << k; k++; }
+      cab.ep(0);
+      for (int i = k - 1; i >= 0; i--) cab.ep((v >> i) & 1);
+    }
+    if (a > 0) cab.ep(delta < 0 ? 1 : 0);
+    qg_coded = true;
+  }
+
   // SAO parameter maps (per CTU; null => no SAO syntax)
   int sao_luma = 0, sao_chroma = 0;
   const int32_t *sao_type_y = nullptr, *sao_class_y = nullptr,
@@ -823,12 +848,23 @@ struct Writer {
     wc_ctbs = wc;
     int n_ctbs = wc * hc;
     bool sao_on = (sao_luma || sao_chroma) && sao_type_y;
+    qp_prev = qp;
+    qp_actual.assign(w4 * h4, qp);
+    int slice_qp = qp;
     for (int addr = 0; addr < n_ctbs; addr++) {
       int x0 = (addr % wc) * ctb, y0 = (addr / wc) * ctb;
+      if (qp_map) {
+        qg_wanted = qp_map[addr];
+        qg_coded = false;
+        qp = qg_wanted;                 // quantize with the target QP
+      }
       if (sao_on) write_sao(addr / wc, addr % wc);
       quadtree(x0, y0, ctb_log2, 0);
+      if (qp_map)   // qPY_PREV for the next QG = last CU's QpY
+        qp_prev = qg_coded ? qg_wanted : qp_prev;
       cab.trm(addr == n_ctbs - 1 ? 1 : 0);
     }
+    qp = slice_qp;
     cab.finish();
   }
 
@@ -856,6 +892,13 @@ struct Writer {
       }
     } else {
       coding_unit(x0, y0, log2_cb, depth);
+      if (qp_map) {
+        // per-CU QpY (8.6.1): pre-delta CUs keep the prediction
+        int cuqp = qg_coded ? qg_wanted : qp_prev;
+        for (int yy = y0 >> 2; yy < (y0 + size) >> 2 && yy < h4; yy++)
+          for (int xx = x0 >> 2; xx < (x0 + size) >> 2 && xx < w4; xx++)
+            qp_actual[yy * w4 + xx] = cuqp;
+      }
     }
   }
 
@@ -1233,6 +1276,7 @@ struct Writer {
     if (cbf_cb || cbf_cr)
       cab.bin(CTX_CBF_LUMA + 1, cbf_y);
     // else cbf_luma inferred 1
+    maybe_code_dqp(true);
     if (cbf_y)
       encode_residual(cab, ylvl.data(), log2_cb, 0, 0, sign_hiding, lossless);
     if (cbf_cb)
@@ -1396,6 +1440,7 @@ struct Writer {
     cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
     cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
     cab.bin(CTX_CBF_LUMA + 1, cbf_y);
+    maybe_code_dqp(cbf_y || cbf_cb || cbf_cr);
     if (cbf_y) {
       int si = scan_index(log2_tb, 0, mode, true);
       encode_residual(cab, ycf.data(), log2_tb, 0, si, sign_hiding, lossless);
@@ -1474,6 +1519,7 @@ int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
                     const int32_t* sao_off_y, const int32_t* sao_type_c,
                     const int32_t* sao_class_cb, const int32_t* sao_class_cr,
                     const int32_t* sao_off_cb, const int32_t* sao_off_cr,
+                    const int32_t* qp_map, int32_t* qp_actual_out,
                     uint8_t* out, int out_cap,
                     int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
                     uint8_t* cbf4_out) {
@@ -1504,7 +1550,11 @@ int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
   w.sao_off_y = sao_off_y; w.sao_type_c = sao_type_c;
   w.sao_class_cb = sao_class_cb; w.sao_class_cr = sao_class_cr;
   w.sao_off_cb = sao_off_cb; w.sao_off_cr = sao_off_cr;
+  w.qp_map = qp_map;
   w.run();
+  if (qp_actual_out)
+    memcpy(qp_actual_out, w.qp_actual.data(),
+           w.qp_actual.size() * sizeof(int32_t));
   if ((int)w.cab.out.size() > out_cap) return -1;
   memcpy(out, w.cab.out.data(), w.cab.out.size());
   if (rec_y) memcpy(rec_y, w.y.data(), w.y.size() * sizeof(int16_t));
