@@ -328,7 +328,8 @@ class Encoder:
                     self.pps.sign_data_hiding, p.intra_smoothing,
                     p.cb_qp_offset, p.cr_qp_offset,
                     sao_params=sp, sao_luma=sp is not None,
-                    sao_chroma=sp is not None, qp_map=decisions.qp_map)
+                    sao_chroma=sp is not None, qp_map=decisions.qp_map,
+                    bit_depth=p.bit_depth)
 
             res = run_native()
             if res is not None:
@@ -469,7 +470,7 @@ class Encoder:
             np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
             R=p.me_range if p.me_range <= 24 else 16,
             qp=qp if qp is not None else self._slice_qp(SLICE_P),
-            subme=p.sub_me)
+            subme=p.sub_me, bit_depth=p.bit_depth)
         icost = self._intra_cost_grid(y, S)
         inter_blk = mcost < icost
         h8, w8 = p.height >> 3, p.width >> 3
@@ -495,12 +496,12 @@ class Encoder:
                                       p.width, p.height, S=S, R=R,
                                       qp=qp if qp is not None else self._slice_qp(SLICE_B),
                                       subme=max(1, p.sub_me),
-                                      return_aux=True)
+                                      return_aux=True, bit_depth=p.bit_depth)
         mv1, c1, aux1 = motion_decide(np.asarray(y), np.asarray(ref1_y),
                                       p.width, p.height, S=S, R=R,
                                       qp=qp if qp is not None else self._slice_qp(SLICE_B),
                                       subme=max(1, p.sub_me),
-                                      return_aux=True)
+                                      return_aux=True, bit_depth=p.bit_depth)
         cbi = bi_cost(mv0, aux0, mv1, aux1, S=S)
         icost = self._intra_cost_grid(y, S)
 

@@ -47,6 +47,9 @@ def main(argv=None) -> int:
 
     p = param_default_preset(args.preset, args.tune)
     p.width, p.height = info.width, info.height
+    if info.bit_depth > 8:
+        p.bit_depth = info.bit_depth
+        p.input_depth = info.bit_depth
     p.fps_num, p.fps_den = info.fps_num, info.fps_den
     if args.fps:
         param_parse(p, "fps", args.fps)

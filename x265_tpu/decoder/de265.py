@@ -46,6 +46,9 @@ def _load():
     L.de265_get_image_width.argtypes = [ctypes.c_void_p, ctypes.c_int]
     L.de265_get_image_height.argtypes = [ctypes.c_void_p, ctypes.c_int]
     L.de265_get_bits_per_pixel = getattr(L, "de265_get_bits_per_pixel", None)
+    if L.de265_get_bits_per_pixel is not None:
+        L.de265_get_bits_per_pixel.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        L.de265_get_bits_per_pixel.restype = ctypes.c_int
     L.de265_get_image_plane.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                         ctypes.POINTER(ctypes.c_int)]
     L.de265_get_image_plane.restype = ctypes.POINTER(ctypes.c_ubyte)
@@ -74,10 +77,16 @@ def decode(stream: bytes) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
                 for ch in range(3):
                     w = L.de265_get_image_width(img, ch)
                     h = L.de265_get_image_height(img, ch)
+                    bpp = (L.de265_get_bits_per_pixel(img, ch)
+                           if L.de265_get_bits_per_pixel else 8)
                     stride = ctypes.c_int(0)
                     p = L.de265_get_image_plane(img, ch, ctypes.byref(stride))
                     buf = np.ctypeslib.as_array(p, shape=(h, stride.value))
-                    planes.append(buf[:, :w].copy())
+                    if bpp > 8:   # stride is in bytes; samples are uint16
+                        buf16 = buf[:, :].view(np.uint16)
+                        planes.append(buf16[:, :w].copy())
+                    else:
+                        planes.append(buf[:, :w].copy())
                 out.append(tuple(planes))
             if not more.value:
                 break

@@ -385,10 +385,10 @@ class SliceDecoder:
         if cu.tqb:
             return coeff
         if c_idx == 0:
-            qp = self.qp_y
+            qp = self.qp_y + 6 * (self.bd - 8)      # Qp'Y (8.6.1)
         else:
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
-            qp = chroma_qp(self.qp_y, off, self.bd)
+            qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
         deq = dequantize(coeff, qp, log2, self.bd)
         if ts:
             return transform_skip_residual(deq, self.bd)
@@ -497,10 +497,10 @@ class SliceDecoder:
         if cu.tqb:
             return coeff
         if c_idx == 0:
-            qp = self.qp_y
+            qp = self.qp_y + 6 * (self.bd - 8)      # Qp'Y (8.6.1)
         else:
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
-            qp = chroma_qp(self.qp_y, off, self.bd)
+            qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
         deq = dequantize(coeff, qp, log2, self.bd)
         if ts:
             return transform_skip_residual(deq, self.bd)

@@ -502,11 +502,11 @@ class FrameSyntaxWriter:
         if self.lossless:
             return resi, resi
         if c_idx == 0:
-            qp = self.qp_y
+            qp = self.qp_y + 6 * (self.bd - 8)      # Qp'Y (8.6.1)
         else:
             off = (self.pps.cb_qp_offset if c_idx == 1
                    else self.pps.cr_qp_offset)
-            qp = chroma_qp(self.qp_y, off, self.bd)
+            qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
         use_dst = is_intra_tb and c_idx == 0 and log2 == 2
         coeff = forward_transform(resi, use_dst, self.bd)
         level = quantize(coeff, qp, log2, is_intra_tb, self.bd)
@@ -547,11 +547,11 @@ class FrameSyntaxWriter:
         if self.lossless:
             return resi, resi
         if c_idx == 0:
-            qp = self.qp_y
+            qp = self.qp_y + 6 * (self.bd - 8)      # Qp'Y (8.6.1)
         else:
             off = (self.pps.cb_qp_offset if c_idx == 1
                    else self.pps.cr_qp_offset)
-            qp = chroma_qp(self.qp_y, off, self.bd)
+            qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
         use_dst = (c_idx == 0 and log2 == 2)
         coeff = forward_transform(resi, use_dst, self.bd)
         level = quantize(coeff, qp, log2, True, self.bd)

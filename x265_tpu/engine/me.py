@@ -80,8 +80,8 @@ def _int_search(cur, ref_pad, mvcost, S, R):
     return idx, cost, sad
 
 
-@jax.jit
-def _phase_planes(ref_pad: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("maxv",))
+def _phase_planes(ref_pad: jnp.ndarray, maxv: int = 255) -> jnp.ndarray:
     """[4,4,H+2m,W+2m] pixel-domain quarter-pel planes from a reference
     edge-padded by (m+3) left/top and (m+4) right/bottom, so that plane
     index i maps to integer position i-m (the 8-tap base sample is tap 3)."""
@@ -97,7 +97,7 @@ def _phase_planes(ref_pad: jnp.ndarray) -> jnp.ndarray:
     rows = jnp.stack([hor[:, t:t + H_out, :] for t in range(8)], axis=-1)
     out = jnp.einsum("pyxt,qt->qpyx", rows, f)            # [4(v),4(h),H,W]
     out = (out + 2048) >> 12                              # /64/64 rounded
-    return jnp.clip(out, 0, 255).astype(jnp.int32)
+    return jnp.clip(out, 0, maxv).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("S", "margin"))
@@ -170,7 +170,8 @@ def _bi_satd(cur_blocks, planes0, planes1, mv0, mv1, bxy, S, margin):
 
 def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
                   height: int, S: int = 16, R: int = 16, qp: int = 32,
-                  subme: int = 2, return_aux: bool = False):
+                  subme: int = 2, return_aux: bool = False,
+                  bit_depth: int = 8):
     """Full-search + subpel-refined ME vs one reference frame.
 
     Returns (mv [nby,nbx,2] quarter-pel, cost [nby,nbx] satd+lambda*bits).
@@ -209,7 +210,7 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
     margin = R + 2            # int-pel padding available in the planes
     ref_pad_s = np.pad(ref, ((margin + 3, margin + 4),
                              (margin + 3, margin + 4)), mode="edge")
-    planes = _phase_planes(jnp.asarray(ref_pad_s))
+    planes = _phase_planes(jnp.asarray(ref_pad_s), (1 << bit_depth) - 1)
 
     bx, by = np.meshgrid(np.arange(nbx), np.arange(nby))
     cur_blocks = jnp.asarray(

@@ -326,16 +326,23 @@ def deblock_frame(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     bs_h = derive_bs(st.edge_h, is_intra4, st.cbf4, mv4, refpoc4,
                      vertical=False)
 
+    # deblock QpC stays in the 0..51 domain (8.7.2.5.5): the chroma table
+    # WITHOUT the QpBdOffset that quantization's Qp'C carries
+    def _qpc_tab(qpl, off):
+        from x265_tpu.hevc.tables import CHROMA_QP_TABLE
+        q = min(max(0, qpl + off), 57)
+        return int(CHROMA_QP_TABLE[q])
+
     scalar_qp = np.isscalar(qp) or np.ndim(qp) == 0
     if scalar_qp:
-        qp_cb = chroma_qp(int(qp), cb_qp_off, bd)
-        qp_cr = chroma_qp(int(qp), cr_qp_off, bd)
+        qp_cb = _qpc_tab(int(qp), cb_qp_off)
+        qp_cr = _qpc_tab(int(qp), cr_qp_off)
         lut_cb = lut_cr = None
         qp_t = qp
     else:
-        lut_cb = np.array([chroma_qp(q, cb_qp_off, bd) for q in range(52)],
+        lut_cb = np.array([_qpc_tab(q, cb_qp_off) for q in range(52)],
                           dtype=np.int32)
-        lut_cr = np.array([chroma_qp(q, cr_qp_off, bd) for q in range(52)],
+        lut_cr = np.array([_qpc_tab(q, cr_qp_off) for q in range(52)],
                           dtype=np.int32)
         qp_cb = qp_cr = qp          # luma map; chroma funcs apply the LUT
         qp_t = qp.T

@@ -70,8 +70,9 @@ class Y4MReader:
 
 def write_y4m(path: str, frames, info: VideoInfo) -> None:
     with open(path, "wb") as f:
+        csp = "C420p10" if info.bit_depth > 8 else "C420mpeg2"
         f.write(f"YUV4MPEG2 W{info.width} H{info.height} "
-                f"F{info.fps_num}:{info.fps_den} Ip A1:1 C420mpeg2\n"
+                f"F{info.fps_num}:{info.fps_den} Ip A1:1 {csp}\n"
                 .encode("ascii"))
         for (y, cb, cr) in frames:
             f.write(b"FRAME\n")

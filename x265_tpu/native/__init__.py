@@ -88,6 +88,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # sao c maps
             ctypes.c_void_p, ctypes.c_void_p,                    # sao c offsets
             ctypes.c_void_p, ctypes.c_void_p,                    # qp map in/out
+            ctypes.c_int,                                        # bit depth
             ctypes.c_void_p, ctypes.c_int,                       # out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
             ctypes.c_void_p,                                     # cbf4 out
@@ -147,7 +148,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
-                    qp_map=None):
+                    qp_map=None, bit_depth=8):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16] per list) — at most one ref per list.
@@ -158,9 +159,9 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         return None
     h, w = src_y.shape
     c = np.ascontiguousarray
-    y = c(src_y, dtype=np.uint8)
-    cbp = c(src_cb, dtype=np.uint8)
-    crp = c(src_cr, dtype=np.uint8)
+    y = c(src_y, dtype=np.uint16)
+    cbp = c(src_cb, dtype=np.uint16)
+    crp = c(src_cr, dtype=np.uint16)
     cmap = c(cu_log2_map, dtype=np.int32)
     lmap = c(luma_mode8, dtype=np.int32)
     cmode_p = None
@@ -220,6 +221,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         cb_qp_off, cr_qp_off,
         int(sao_luma), int(sao_chroma), *sao_ptrs,
         qmp, qp_actual.ctypes.data,
+        bit_depth,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data)

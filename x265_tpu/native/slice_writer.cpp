@@ -707,7 +707,7 @@ struct Writer {
   int cb_qp_off, cr_qp_off;
   // planes (int16 working recon)
   std::vector<int16_t> y, cb, cr;
-  const uint8_t *src_y, *src_cb, *src_cr;
+  const uint16_t *src_y, *src_cb, *src_cr;
   // maps
   const int32_t *cu_log2_map, *luma_mode8, *chroma_mode8;
   int w8;
@@ -822,8 +822,10 @@ struct Writer {
   }
 
   int chroma_qp(int qpy, int off) const {
-    int q = clip3(0, 57, qpy + off);
-    return kChromaQp[q];
+    int bdo = 6 * (bd - 8);
+    int q = clip3(-bdo, 57, qpy + off);
+    if (q < 0) return q + bdo;
+    return kChromaQp[q] + bdo;
   }
 
   void run() {
@@ -1131,7 +1133,7 @@ struct Writer {
   bool coeffs_from_pred(int pl, int x0, int y0, int n, const int32_t* pred,
                         int32_t* lvl, int32_t* rres) {
     int pw = pl == 0 ? width : width >> 1;
-    const uint8_t* src = pl == 0 ? src_y : (pl == 1 ? src_cb : src_cr);
+    const uint16_t* src = pl == 0 ? src_y : (pl == 1 ? src_cb : src_cr);
     std::vector<int32_t> resi(n * n);
     bool any = false;
     for (int j = 0; j < n; j++)
@@ -1144,7 +1146,8 @@ struct Writer {
       memcpy(rres, resi.data(), n * n * sizeof(int32_t));
       return any;
     }
-    int qpc = pl == 0 ? qp : chroma_qp(qp, pl == 1 ? cb_qp_off : cr_qp_off);
+    int qpc = pl == 0 ? qp + 6 * (bd - 8)  // Qp'Y (8.6.1)
+                      : chroma_qp(qp, pl == 1 ? cb_qp_off : cr_qp_off);
     std::vector<int32_t> cf(n * n);
     fwd_transform(resi.data(), n, false, bd, cf.data());
     quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false);
@@ -1362,7 +1365,7 @@ struct Writer {
     int pw = plane == 0 ? width : width >> 1;
     int ph = plane == 0 ? height : height >> 1;
     int16_t* rec = plane == 0 ? y.data() : (plane == 1 ? cb.data() : cr.data());
-    const uint8_t* src = plane == 0 ? src_y : (plane == 1 ? src_cb : src_cr);
+    const uint16_t* src = plane == 0 ? src_y : (plane == 1 ? src_cb : src_cr);
     std::vector<int32_t> ref(4 * nt + 1), pred(nt * nt);
     if (plane == 0) {
       get_ref_samples(rec, pw, pw, ph, avail4.data(), w4, x0, y0, nt, bd, ref.data());
@@ -1398,7 +1401,8 @@ struct Writer {
               (int16_t)clip3(0, maxv, pred[j * nt + i] + resi[j * nt + i]);
       return any;
     }
-    int qpc = plane == 0 ? qp : chroma_qp(qp, plane == 1 ? cb_qp_off : cr_qp_off);
+    int qpc = plane == 0 ? qp + 6 * (bd - 8)  // Qp'Y (8.6.1)
+                         : chroma_qp(qp, plane == 1 ? cb_qp_off : cr_qp_off);
     bool use_dst = plane == 0 && log2 == 2;
     std::vector<int32_t> cf(nt * nt), lvl(nt * nt);
     fwd_transform(resi.data(), nt, use_dst, bd, cf.data());
@@ -1464,8 +1468,8 @@ struct Writer {
 extern "C" {
 
 // returns number of slice-data bytes written to out, or -1 on error
-int encode_slice_intra(const uint8_t* src_y, const uint8_t* src_cb,
-                       const uint8_t* src_cr, int width, int height,
+int encode_slice_intra(const uint8_t* src_y8, const uint8_t* src_cb8,
+                       const uint8_t* src_cr8, int width, int height,
                        const int32_t* cu_log2_map, const int32_t* luma_mode8,
                        const int32_t* chroma_mode8,  // may be NULL => DM
                        int ctb_log2, int min_cb_log2, int slice_qp,
@@ -1481,7 +1485,12 @@ int encode_slice_intra(const uint8_t* src_y, const uint8_t* src_cb,
   w.sign_hiding = sign_hiding != 0;
   w.strong_smooth = strong_smooth != 0;
   w.cb_qp_off = cb_qp_off; w.cr_qp_off = cr_qp_off;
-  w.src_y = src_y; w.src_cb = src_cb; w.src_cr = src_cr;
+  std::vector<uint16_t> y16(width * height), cb16((width / 2) * (height / 2)),
+      cr16((width / 2) * (height / 2));
+  for (size_t i = 0; i < y16.size(); i++) y16[i] = src_y8[i];
+  for (size_t i = 0; i < cb16.size(); i++) cb16[i] = src_cb8[i];
+  for (size_t i = 0; i < cr16.size(); i++) cr16[i] = src_cr8[i];
+  w.src_y = y16.data(); w.src_cb = cb16.data(); w.src_cr = cr16.data();
   w.cu_log2_map = cu_log2_map; w.luma_mode8 = luma_mode8;
   w.chroma_mode8 = chroma_mode8;
   w.w8 = width >> 3;
@@ -1499,8 +1508,8 @@ int encode_slice_intra(const uint8_t* src_y, const uint8_t* src_cb,
 // (luma) / pad_luma/2 (chroma) on every side; NULL lists are unused.
 // cbf4_out (uint8 [h4*w4], optional) exports the luma-cbf map for the
 // python-side deblocking stage.
-int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
-                    const uint8_t* src_cr, int width, int height,
+int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
+                    const uint16_t* src_cr, int width, int height,
                     const int32_t* cu_log2_map, const int32_t* luma_mode8,
                     const int32_t* chroma_mode8,
                     const uint8_t* inter8, const int32_t* dir8,
@@ -1520,13 +1529,14 @@ int encode_slice_px(const uint8_t* src_y, const uint8_t* src_cb,
                     const int32_t* sao_class_cb, const int32_t* sao_class_cr,
                     const int32_t* sao_off_cb, const int32_t* sao_off_cr,
                     const int32_t* qp_map, int32_t* qp_actual_out,
+                    int bit_depth,
                     uint8_t* out, int out_cap,
                     int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
                     uint8_t* cbf4_out) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
-  w.qp = slice_qp; w.bd = 8;
+  w.qp = slice_qp; w.bd = bit_depth;
   w.lossless = lossless != 0;
   w.sign_hiding = sign_hiding != 0;
   w.strong_smooth = strong_smooth != 0;
