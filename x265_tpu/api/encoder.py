@@ -113,6 +113,7 @@ class Encoder:
         # entropy backend: native C++ finalizer when buildable; Python
         # reference writer is the oracle (differential-tested)
         self.use_native = True
+        self.frame_stats = []        # per-frame records in encode order
 
     # -- public API --
 
@@ -215,6 +216,59 @@ class Encoder:
             return min(51, p.qp + 3)
         return p.qp
 
+    def _frame_stats(self, frame, recon, slice_type, qp, bits, poc):
+        """Per-frame quality/bit accounting (x265 x265_frame_stats /
+        csvlog_frame analog, api.cpp:1284)."""
+        from x265_tpu.utils.metrics import psnr, ssim
+        p = self.param
+        rec = tuple(np.asarray(x) for x in recon)
+        st = {
+            "poc": poc,
+            "type": {SLICE_I: "I", SLICE_P: "P", SLICE_B: "B"}[slice_type],
+            "qp": qp,
+            "bits": bits,
+            "psnr_y": psnr(frame[0], rec[0], p.bit_depth),
+            "psnr_u": psnr(frame[1], rec[1], p.bit_depth),
+            "psnr_v": psnr(frame[2], rec[2], p.bit_depth),
+            "ssim": ssim(frame[0], rec[0], p.bit_depth),
+        }
+        self.frame_stats.append(st)
+
+    def _hash_sei(self, recon) -> bytes:
+        """Decoded-picture-hash suffix SEI (MD5) of the loop-filtered
+        recon (x265 frameencoder.cpp:1167)."""
+        if self.param.decoded_picture_hash != 1:
+            return b""
+        from x265_tpu.hevc.sei import decoded_picture_hash_sei
+        return annexb([decoded_picture_hash_sei(
+            tuple(np.asarray(x) for x in recon), self.param.bit_depth)])
+
+    def get_stats(self):
+        """x265_encoder_get_stats analog: global summary."""
+        import math
+        n = len(self.frame_stats)
+        if n == 0:
+            return {"frames": 0}
+        fps = self.param.fps_num / max(1, self.param.fps_den)
+        tot_bits = sum(s["bits"] for s in self.frame_stats)
+        by_type = {}
+        for t in ("I", "P", "B"):
+            sub = [s for s in self.frame_stats if s["type"] == t]
+            if sub:
+                by_type[t] = {
+                    "count": len(sub),
+                    "avg_qp": sum(s["qp"] for s in sub) / len(sub),
+                    "avg_bits": sum(s["bits"] for s in sub) / len(sub),
+                    "avg_psnr_y": sum(s["psnr_y"] for s in sub) / len(sub),
+                }
+        return {
+            "frames": n,
+            "bitrate_kbps": tot_bits * fps / n / 1000.0,
+            "global_psnr_y": sum(s["psnr_y"] for s in self.frame_stats) / n,
+            "global_ssim": sum(s["ssim"] for s in self.frame_stats) / n,
+            "by_type": by_type,
+        }
+
     def _encode_intra_frame(self, y, cb, cr, decisions=None, qp=None) -> bytes:
         p = self.param
         if qp is None:
@@ -227,7 +281,10 @@ class Encoder:
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
-        return annexb([nal])
+        au = annexb([nal]) + self._hash_sei(recon)
+        self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
+                          len(au) * 8, 0)
+        return au
 
     def _deblock_intra_recon(self, recon, decisions, qp):
         """Deblock the recon returned by the native intra finalizer.
@@ -291,7 +348,10 @@ class Encoder:
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
-        return annexb([nal])
+        au = annexb([nal]) + self._hash_sei(recon)
+        self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
+                          len(au) * 8, poc)
+        return au
 
     def _inter_slice_data(self, frame, sh, decisions, refs, ref_poc, poc,
                           slice_type):
@@ -436,12 +496,15 @@ class Encoder:
             max_num_merge_cand=5,
         )
         decisions = self._b_decisions(y, rec0[0], rec1[0], qp)
-        slice_data, _recon = self._inter_slice_data(
+        slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_N)
         nal = make_nal(NAL_TRAIL_N, hdr_bw.data() + slice_data)
-        return annexb([nal])
+        au = annexb([nal]) + self._hash_sei(recon)
+        self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
+                          len(au) * 8, poc)
+        return au
 
     def _intra_cost_grid(self, y, S=16):
         from x265_tpu.models.intra_frame import frame_intra_analysis

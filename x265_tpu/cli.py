@@ -79,12 +79,14 @@ def main(argv=None) -> int:
         enc.use_tpu_analysis = False
 
     csv = open(args.csv, "w") if args.csv else None
-    if csv:
-        csv.write("frame,bytes,ms\n")
+    if csv:   # x265 csvlog_frame column set (api.cpp:1284)
+        csv.write("Encode Order, Type, POC, QP, Bits, "
+                  "Y PSNR, U PSNR, V PSNR, SSIM, Latency ms\n")
 
     recon_frames = []
     total_bytes = 0
     nframes = 0
+    csv_done = 0
     t_start = time.time()
     with open(args.output, "wb") as out:
         out.write(enc.headers())
@@ -95,7 +97,14 @@ def main(argv=None) -> int:
             out.write(au)
             total_bytes += len(au)
             if csv:
-                csv.write(f"{nframes},{len(au)},{dt:.1f}\n")
+                while csv_done < len(enc.frame_stats):
+                    s = enc.frame_stats[csv_done]
+                    csv.write(f"{csv_done}, {s['type']}, {s['poc']}, "
+                              f"{s['qp']}, {s['bits']}, "
+                              f"{s['psnr_y']:.3f}, {s['psnr_u']:.3f}, "
+                              f"{s['psnr_v']:.3f}, {s['ssim']:.5f}, "
+                              f"{dt:.1f}\n")
+                    csv_done += 1
             if args.recon and enc._last_recon is not None:
                 ry, rcb, rcr = enc._last_recon
                 recon_frames.append((np.clip(ry, 0, 255).astype(np.uint8),
@@ -114,8 +123,13 @@ def main(argv=None) -> int:
         write_y4m(args.recon, recon_frames, info)
     fps = nframes / el if el > 0 else 0.0
     kbps = total_bytes * 8 * (p.fps_num / max(1, p.fps_den)) / max(1, nframes) / 1000
+    st = enc.get_stats()
+    extra = ""
+    if st.get("frames"):
+        extra = (f", Global PSNR: {st['global_psnr_y']:.3f}"
+                 f", SSIM: {st['global_ssim']:.5f}")
     print(f"encoded {nframes} frames in {el:.2f}s ({fps:.2f} fps), "
-          f"{kbps:.0f} kb/s", file=sys.stderr)
+          f"{kbps:.0f} kb/s{extra}", file=sys.stderr)
     return 0
 
 

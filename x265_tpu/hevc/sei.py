@@ -1,0 +1,91 @@
+"""SEI messages (x265 analog: sei.{h,cpp} class tree, sei.h:36-327).
+
+Implemented: decoded_picture_hash (D.2.19/D.3.19, MD5 type) — the
+self-verification channel x265's regression suites rely on
+(frameencoder.cpp:1167), plus user_data_unregistered for encoder tags.
+"""
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from x265_tpu.hevc.bitstream import BitWriter, make_nal, NAL_SUFFIX_SEI
+
+SEI_USER_DATA_UNREGISTERED = 5
+SEI_DECODED_PICTURE_HASH = 132
+
+
+def _plane_md5(plane: np.ndarray, bd: int) -> bytes:
+    """MD5 of a plane in spec sample order (D.3.19: LSB-first bytes,
+    (bd+7)//8 bytes per sample)."""
+    if bd <= 8:
+        data = plane.astype(np.uint8).tobytes()
+    else:
+        data = plane.astype("<u2").tobytes()
+    return hashlib.md5(data).digest()
+
+
+def picture_hash_md5(planes, bd: int = 8) -> List[bytes]:
+    return [_plane_md5(p, bd) for p in planes]
+
+
+def _sei_payload(payload_type: int, payload: bytes) -> bytes:
+    out = bytearray()
+    t = payload_type
+    while t >= 255:
+        out.append(255)
+        t -= 255
+    out.append(t)
+    s = len(payload)
+    while s >= 255:
+        out.append(255)
+        s -= 255
+    out.append(s)
+    out += payload
+    out.append(0x80)               # rbsp_trailing_bits
+    return bytes(out)
+
+
+def decoded_picture_hash_sei(planes, bd: int = 8) -> bytes:
+    """Suffix-SEI NAL carrying the MD5 of the decoded picture."""
+    payload = bytes([0]) + b"".join(picture_hash_md5(planes, bd))  # type 0=MD5
+    return make_nal(NAL_SUFFIX_SEI, _sei_payload(SEI_DECODED_PICTURE_HASH,
+                                                 payload))
+
+
+def parse_sei(rbsp: bytes):
+    """Parse one SEI NAL rbsp -> list of (payload_type, payload bytes)."""
+    out = []
+    i = 0
+    while i < len(rbsp):
+        if rbsp[i] == 0x80 and i == len(rbsp) - 1:
+            break
+        t = 0
+        while i < len(rbsp) and rbsp[i] == 255:
+            t += 255
+            i += 1
+        if i >= len(rbsp):
+            break
+        t += rbsp[i]; i += 1
+        s = 0
+        while i < len(rbsp) and rbsp[i] == 255:
+            s += 255
+            i += 1
+        if i >= len(rbsp):
+            break
+        s += rbsp[i]; i += 1
+        out.append((t, rbsp[i:i + s]))
+        i += s
+    return out
+
+
+def check_picture_hash(sei_payload: bytes, planes, bd: int = 8) -> bool:
+    """Verify a decoded_picture_hash payload against decoded planes."""
+    if not sei_payload or sei_payload[0] != 0:   # only MD5 supported
+        return False
+    digests = picture_hash_md5(planes, bd)
+    want = sei_payload[1:]
+    got = b"".join(digests)
+    return want == got
