@@ -58,6 +58,7 @@ def test_aq_off_means_no_dqp():
     p = param_default_preset("medium")
     p.width, p.height = 176, 144
     p.qp, p.rc_mode, p.aq_mode = 32, RC_CQP, 0
+    p.cu_tree = False                 # cuTree also activates cu_qp_delta
     enc = Encoder(p)
     stream = enc.encode(frames)
     assert not enc.pps.cu_qp_delta_enabled

@@ -95,6 +95,7 @@ def test_bframes_beat_ippp_on_static_content():
     base = param_default_preset("medium")
     base.width, base.height = 96, 64
     base.qp, base.rc_mode = 30, RC_CQP
+    base.cu_tree = False   # isolate the B-frame economics from cuTree
     pb = base.copy(); pb.bframes = 3
     pp = base.copy(); pp.bframes = 0
     sb = Encoder(pb).encode(frames)

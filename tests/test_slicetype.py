@@ -62,3 +62,22 @@ def test_no_spurious_scenecut_on_smooth_motion():
     p.rc_mode, p.crf, p.bframes = RC_CRF, 30, 2
     stream = Encoder(p).encode(frames)
     assert _idr_count(stream) == 1
+
+
+def test_cutree_credits_referenced_blocks():
+    """Static well-predicted content must earn the anchor negative QP
+    offsets; pure-noise (unpredictable) content earns ~none."""
+    import numpy as np
+    from x265_tpu.engine.lookahead import cutree_propagate
+
+    shape = (8, 12)
+    static = [{"icost": np.full(shape, 1000, np.int64),
+               "mcost": np.full(shape, 10, np.int64),
+               "mv": np.zeros((*shape, 2), np.int32)} for _ in range(4)]
+    off = cutree_propagate(static, ctb_log2=6)
+    assert off.min() < 0              # anchor blocks credited
+    noise = [{"icost": np.full(shape, 1000, np.int64),
+              "mcost": np.full(shape, 2000, np.int64),
+              "mv": np.zeros((*shape, 2), np.int32)} for _ in range(4)]
+    off2 = cutree_propagate(noise, ctb_log2=6)
+    assert (off2 == 0).all()          # nothing propagates

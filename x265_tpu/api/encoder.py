@@ -88,7 +88,8 @@ class Encoder:
             cb_qp_offset=p.cb_qp_offset,
             cr_qp_offset=p.cr_qp_offset,
             transquant_bypass_enabled=p.lossless,
-            cu_qp_delta_enabled=(p.aq_mode > 0 and not p.lossless),
+            cu_qp_delta_enabled=((p.aq_mode > 0 or p.cu_tree)
+                                 and not p.lossless),
             diff_cu_qp_delta_depth=0,          # QG == CTB
             deblocking_filter_control_present=(
                 not p.deblock or p.deblock_beta_offset != 0
@@ -166,7 +167,8 @@ class Encoder:
             self.poc = 1
             return out
         self.frames_since_idr += 1
-        self.pending.append((self.poc, frame, cost))
+        rec = getattr(self.la, "last_blocks", None) if need_la else None
+        self.pending.append((self.poc, frame, cost, rec))
         self.poc += 1
         close = len(self.pending) >= self.bframes + 1
         # adaptive B (b-adapt lite): frames whose inter cost approaches
@@ -187,15 +189,31 @@ class Encoder:
     def _emit_minigop(self) -> bytes:
         """Last queued frame becomes the P anchor (coded first), earlier
         frames become non-reference B pictures between the two anchors."""
-        anchor_poc, anchor_frame, anchor_cost = self.pending[-1]
+        anchor_poc, anchor_frame, anchor_cost, anchor_rec = self.pending[-1]
         bs = self.pending[:-1]
         self.pending = []
         prev_anchor = self.anchor
+        # cuTree: credit the anchor for the mini-GOP frames that will
+        # reference it (its B frames via L1). Our lowres records hold
+        # prev-frame MVs, so the propagation chain runs over the reversed
+        # display order with mirrored MVs (slicetype.cpp:2479 analog).
+        self._cutree = {}
+        p = self.param
+        if (p.cu_tree and anchor_rec is not None and
+                self.pps.cu_qp_delta_enabled and
+                all(r is not None for (_, _, _, r) in bs)):
+            from x265_tpu.engine.lookahead import cutree_propagate
+            recs = [anchor_rec] + [
+                {"icost": r["icost"], "mcost": r["mcost"],
+                 "mv": -r["mv"]} for (_, _, _, r) in reversed(bs)]
+            off = cutree_propagate(recs, p.ctb_log2, self.rc.qcompress)
+            if off is not None:
+                self._cutree[anchor_poc] = off
         qp = self.rc.start(SLICE_P, anchor_cost)
         out = self._encode_p_frame(anchor_frame, anchor_poc, prev_anchor, qp)
         self.rc.end(len(out) * 8)
         new_anchor = (anchor_poc, self._last_recon)
-        for (poc_b, frame_b, cost_b) in bs:
+        for (poc_b, frame_b, cost_b, _rec_b) in bs:
             qp = self.rc.start(SLICE_B, cost_b)
             au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
                                       new_anchor, qp)
@@ -365,7 +383,15 @@ class Encoder:
         y, cb, cr = frame
         if self.pps.cu_qp_delta_enabled and decisions.qp_map is None:
             from x265_tpu.engine.aq import aq_qp_offsets
-            off = aq_qp_offsets(y, p.ctb_log2, p.aq_mode, p.aq_strength)
+            if p.aq_mode > 0:
+                off = aq_qp_offsets(y, p.ctb_log2, p.aq_mode, p.aq_strength)
+            else:
+                cy = -(-p.height // p.ctu_size)
+                cx = -(-p.width // p.ctu_size)
+                off = np.zeros((cy, cx), dtype=np.int32)
+            ct = getattr(self, "_cutree", {}).pop(poc, None)
+            if ct is not None and ct.shape == off.shape:
+                off = off + ct
             decisions.qp_map = np.clip(sh.qp + off, 0, 51).astype(np.int32)
         sao_on = p.sao and not p.lossless
         if self.use_native:
