@@ -115,6 +115,13 @@ class Encoder:
         # reference writer is the oracle (differential-tested)
         self.use_native = True
         self.frame_stats = []        # per-frame records in encode order
+        self._awriter = self._areader = None
+        if p.analysis_save:
+            from x265_tpu.api.analysis_io import AnalysisWriter
+            self._awriter = AnalysisWriter(p.analysis_save)
+        if p.analysis_load:
+            from x265_tpu.api.analysis_io import AnalysisReader
+            self._areader = AnalysisReader(p.analysis_load)
 
     # -- public API --
 
@@ -293,7 +300,8 @@ class Encoder:
             qp = self._slice_qp(SLICE_I)
         sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=qp)
         if decisions is None:
-            decisions = self._intra_decisions(y)
+            decisions = (self._areader.get() if self._areader
+                         else self._intra_decisions(y))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([], []), ((), ()), 0, SLICE_I)
         self._last_recon = recon
@@ -359,7 +367,8 @@ class Encoder:
                 used_s0=[True]),
             max_num_merge_cand=5,
         )
-        decisions = self._p_decisions(y, ref_recon[0], qp)
+        decisions = (self._areader.get() if self._areader
+                     else self._p_decisions(y, ref_recon[0], qp))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([ref_recon], []),
             ((ref_poc,), ()), poc, SLICE_P)
@@ -393,6 +402,8 @@ class Encoder:
             if ct is not None and ct.shape == off.shape:
                 off = off + ct
             decisions.qp_map = np.clip(sh.qp + off, 0, 51).astype(np.int32)
+        if self._awriter is not None:
+            self._awriter.put(decisions)
         sao_on = p.sao and not p.lossless
         if self.use_native:
             from x265_tpu import native
@@ -521,7 +532,8 @@ class Encoder:
                 num_positive=1, delta_poc_s1=[p1 - poc], used_s1=[True]),
             max_num_merge_cand=5,
         )
-        decisions = self._b_decisions(y, rec0[0], rec1[0], qp)
+        decisions = (self._areader.get() if self._areader
+                     else self._b_decisions(y, rec0[0], rec1[0], qp))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)

@@ -119,6 +119,10 @@ class Param:
     level_idc: int = 0           # 0 = auto
     high_tier: bool = False
 
+    # --- analysis reuse (x265 --analysis-save/load) ---
+    analysis_save: str = ""
+    analysis_load: str = ""
+
     # --- logging ---
     log_level: int = 2
     csv: str = ""
@@ -258,6 +262,8 @@ _OPT_ALIASES = {
     "log-level": "log_level",
     "csv": "csv",
     "csv-log-level": "csv_log_level",
+    "analysis-save": "analysis_save",
+    "analysis-load": "analysis_load",
     "fps": None,  # handled specially
     "frames": "total_frames",
 }
