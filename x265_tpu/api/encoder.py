@@ -193,6 +193,14 @@ class Encoder:
         """Encode all queued frames (end of stream / before an IDR)."""
         return self._emit_minigop() if self.pending else b""
 
+    def close(self) -> None:
+        """End of encode: write 2-pass stats / close analysis files
+        (x265_encoder_close analog)."""
+        self.rc.write_stats()
+        if self._awriter is not None:
+            self._awriter.close()
+            self._awriter = None
+
     def _emit_minigop(self) -> bytes:
         """Last queued frame becomes the P anchor (coded first), earlier
         frames become non-reference B pictures between the two anchors."""
@@ -632,6 +640,7 @@ class Encoder:
         for (y, cb, cr) in frames:
             out.append(self.encode_frame(y, cb, cr))
         out.append(self.flush())
+        self.close()
         return b"".join(out)
 
     def _encode_all_intra_pipelined(self, frames) -> bytes:
@@ -663,4 +672,5 @@ class Encoder:
                 out.append(emit(*pend.popleft()))
         while pend:
             out.append(emit(*pend.popleft()))
+        self.close()
         return b"".join(out)

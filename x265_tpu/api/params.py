@@ -123,6 +123,10 @@ class Param:
     analysis_save: str = ""
     analysis_load: str = ""
 
+    # --- multi-pass rate control (x265 --pass/--stats) ---
+    pass_num: int = 0            # 0=single pass, 1=analysis, 2=final
+    stats_file: str = "x265_tpu_2pass.log"
+
     # --- logging ---
     log_level: int = 2
     csv: str = ""
@@ -264,6 +268,8 @@ _OPT_ALIASES = {
     "csv-log-level": "csv_log_level",
     "analysis-save": "analysis_save",
     "analysis-load": "analysis_load",
+    "pass": "pass_num",
+    "stats": "stats_file",
     "fps": None,  # handled specially
     "frames": "total_frames",
 }

@@ -94,11 +94,65 @@ class RateControl:
                      P_SLICE: _Predictor(coeff=0.2),
                      B_SLICE: _Predictor(coeff=0.15)}
         self._pending = None
+        # --- two-pass (x265 --pass; initPass2 ratecontrol.cpp:994) ---
+        self.pass_num = p.pass_num
+        self.stats_file = p.stats_file
+        self.pass1_records = []
+        self.pass2_qp = None
+        self.pass2_idx = 0
+        if self.pass_num == 2:
+            self._init_pass2()
+
+    def _init_pass2(self):
+        """Global qscale allocation from the pass-1 stats: per-frame
+        bits model bits(q) ~= bits1*q1/q, target qscale q_i = rceq_i/RF
+        with RF solved in closed form so predicted total == target
+        (initPass2 / getQScale two-pass analog; VBV re-plan TODO)."""
+        import json
+        with open(self.stats_file) as f:
+            recs = [json.loads(line) for line in f if line.strip()]
+        if not recs:
+            return
+        n = len(recs)
+        target_total = self.bitrate / self.fps * n
+        denom = 0.0
+        rceqs = []
+        for rec in recs:
+            rceq = max(1.0, rec["cost"]) ** (1 - self.qcompress)
+            # undo slice-type modulation so RF applies uniformly
+            m = (1 / IP_FACTOR if rec["type"] == "I"
+                 else (PB_FACTOR if rec["type"] == "B" else 1.0))
+            rceqs.append((rceq, m))
+            denom += rec["bits"] * rec["qscale"] / (rceq * m)
+        rf = target_total / max(1e-9, denom)
+        self.pass2_qp = []
+        for (rceq, m) in rceqs:
+            q = rceq * m / max(1e-9, rf)
+            self.pass2_qp.append(max(0, min(51, int(round(qscale2qp(q))))))
+
+    def write_stats(self) -> None:
+        """Flush pass-1 per-frame records (x265 rateControlEnd's
+        writeRateControlFrameStats analog)."""
+        if self.pass_num != 1:
+            return
+        import json
+        with open(self.stats_file, "w") as f:
+            for rec in self.pass1_records:
+                f.write(json.dumps(rec) + "\n")
 
     # ---- per-frame API (encode order) ----
 
     def start(self, slice_type: int, satd_cost: float) -> int:
         """Pick the slice QP for the next frame in encode order."""
+        if self.pass2_qp is not None and self.pass2_idx < len(self.pass2_qp):
+            qp = self.pass2_qp[self.pass2_idx]
+            self.pass2_idx += 1
+            qscale = qp2qscale(qp)
+            qscale = self._clip_vbv(slice_type, satd_cost, qscale)
+            qp = max(0, min(51, int(round(qscale2qp(qscale)))))
+            self._pending = (slice_type, satd_cost, qp2qscale(qp))
+            self.last_qscale = qp2qscale(qp)
+            return qp
         if self.mode == RC_CQP:
             qp = self.qp_const
             if not self.lossless:
@@ -168,6 +222,10 @@ class RateControl:
         qscale = self._pending[2] if self._pending else self.last_qscale
         self.total_bits += bits
         self.frames_coded += 1
+        if self.pass_num == 1:
+            self.pass1_records.append({
+                "type": {I_SLICE: "I", P_SLICE: "P", B_SLICE: "B"}[st],
+                "cost": satd, "bits": bits, "qscale": qscale})
         if self.mode == RC_ABR and self._pending and len(self._pending) > 3:
             rceq = self._pending[3]
             # normalize P-frame equivalent qscale (undo I/B modulation)
