@@ -22,7 +22,7 @@ from x265_tpu.engine.ctu_writer import FrameDecisions
 MAGIC = b"X265TPUA1"
 
 _FIELDS = ("cu_log2_map", "luma_mode8", "chroma_mode8", "inter8", "dir8",
-           "mv8", "qp_map")
+           "mv8", "ref8", "qp_map")
 
 
 class AnalysisWriter:
@@ -81,6 +81,7 @@ def scale_decisions(dec: FrameDecisions, factor: int = 2) -> FrameDecisions:
         chroma_mode8=down(dec.chroma_mode8),
         inter8=down(dec.inter8),
         dir8=down(dec.dir8),
+        ref8=down(dec.ref8),
         mv8=None if dec.mv8 is None else
             (down(dec.mv8) // factor).astype(np.int32),
         qp_map=dec.qp_map,      # per-CTB grid is resolution-relative

@@ -103,6 +103,7 @@ class Encoder:
         self.frame_count = 0         # display-order intake counter
         self.frames_since_idr = 0
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
+        self.anchors = []            # retained anchors, nearest first
         self.pending = []            # queued (poc, frame) awaiting an anchor
         from x265_tpu.engine.lookahead import Lookahead
         from x265_tpu.engine.ratecontrol import RateControl
@@ -171,6 +172,7 @@ class Encoder:
             self.rc.end(len(au) * 8)
             out += au
             self.anchor = (0, self._last_recon)
+            self.anchors = [self.anchor]
             self.poc = 1
             return out
         self.frames_since_idr += 1
@@ -225,9 +227,12 @@ class Encoder:
             if off is not None:
                 self._cutree[anchor_poc] = off
         qp = self.rc.start(SLICE_P, anchor_cost)
-        out = self._encode_p_frame(anchor_frame, anchor_poc, prev_anchor, qp)
+        out = self._encode_p_frame(anchor_frame, anchor_poc,
+                                   list(self.anchors), qp)
         self.rc.end(len(out) * 8)
         new_anchor = (anchor_poc, self._last_recon)
+        self.anchors.insert(0, new_anchor)
+        del self.anchors[max(1, self.param.ref):]
         for (poc_b, frame_b, cost_b, _rec_b) in bs:
             qp = self.rc.start(SLICE_B, cost_b)
             au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
@@ -358,10 +363,13 @@ class Encoder:
             np.asarray(y), p.width, p.height, p.ctb_log2, cu_log2=cu_log2,
             strong_smoothing=p.intra_smoothing, bit_depth=p.bit_depth)
 
-    def _encode_p_frame(self, frame, poc, anchor, qp=None) -> bytes:
+    def _encode_p_frame(self, frame, poc, anchors, qp=None) -> bytes:
+        """anchors: retained reference anchors, nearest first (the L0
+        list; DPB::prepareEncode + computeRPS analog, dpb.cpp:126)."""
         p = self.param
         y, cb, cr = frame
-        ref_poc, ref_recon = anchor
+        if isinstance(anchors, tuple):      # legacy single-anchor call
+            anchors = [anchors]
         if qp is None:
             qp = self._slice_qp(SLICE_P)
         sh = SliceHeader(
@@ -371,15 +379,19 @@ class Encoder:
             pic_order_cnt_lsb=poc & 0xFF,
             rps_in_sps=False,
             short_term_rps=ShortTermRPS(
-                num_negative=1, delta_poc_s0=[ref_poc - poc],
-                used_s0=[True]),
+                num_negative=len(anchors),
+                delta_poc_s0=[a[0] - poc for a in anchors],
+                used_s0=[True] * len(anchors)),
+            num_ref_idx_l0_active=len(anchors),
             max_num_merge_cand=5,
         )
+        refs_l0 = [a[1] for a in anchors]
+        pocs_l0 = tuple(a[0] for a in anchors)
         decisions = (self._areader.get() if self._areader
-                     else self._p_decisions(y, ref_recon[0], qp))
+                     else self._p_decisions(y, refs_l0, qp))
         slice_data, recon = self._inter_slice_data(
-            (y, cb, cr), sh, decisions, ([ref_recon], []),
-            ((ref_poc,), ()), poc, SLICE_P)
+            (y, cb, cr), sh, decisions, (refs_l0, []),
+            (pocs_l0, ()), poc, SLICE_P)
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
@@ -420,7 +432,7 @@ class Encoder:
                 [tuple(np.pad(np.asarray(pl).astype(np.int16),
                               pad >> (0 if i == 0 else 1), mode="edge")
                        for i, pl in enumerate(planes)) for planes in lst]
-                for lst in refs)
+                for lst in refs)   # up to 4 refs per list
 
             def run_native(sp=None):
                 return native.encode_slice_px(
@@ -434,7 +446,7 @@ class Encoder:
                     p.cb_qp_offset, p.cr_qp_offset,
                     sao_params=sp, sao_luma=sp is not None,
                     sao_chroma=sp is not None, qp_map=decisions.qp_map,
-                    bit_depth=p.bit_depth)
+                    bit_depth=p.bit_depth, ref8=decisions.ref8)
 
             res = run_native()
             if res is not None:
@@ -510,8 +522,12 @@ class Encoder:
         mv4[is_intra4] = 0
         refpoc4 = np.full((h4, w4, 2), NOPOC, dtype=np.int64)
         if ref_poc[0]:
+            pocs0 = np.asarray(ref_poc[0], dtype=np.int64)
+            r4 = (to4(decisions.ref8) if decisions.ref8 is not None
+                  else np.zeros((h4, w4), np.int32))
+            r4 = np.clip(r4, 0, len(pocs0) - 1)
             refpoc4[..., 0] = np.where(inter4 & ((dir4 & 1) > 0),
-                                       ref_poc[0][0], NOPOC)
+                                       pocs0[r4], NOPOC)
         if ref_poc[1]:
             refpoc4[..., 1] = np.where(inter4 & ((dir4 & 2) > 0),
                                        ref_poc[1][0], NOPOC)
@@ -529,6 +545,11 @@ class Encoder:
         p1, rec1 = anchor1
         if qp is None:
             qp = self._slice_qp(SLICE_B)
+        # negatives: the L0 ref (used) + older anchors kept alive for the
+        # next P (used_by_curr = 0) — dropping them from the RPS would
+        # evict them from a conformant decoder's DPB
+        older = [a[0] for a in self.anchors[1:] if a[0] < p0]
+        negs = [p0 - poc] + [op - poc for op in older]
         sh = SliceHeader(
             first_slice_in_pic=True,
             slice_type=SLICE_B,
@@ -536,7 +557,8 @@ class Encoder:
             pic_order_cnt_lsb=poc & 0xFF,
             rps_in_sps=False,
             short_term_rps=ShortTermRPS(
-                num_negative=1, delta_poc_s0=[p0 - poc], used_s0=[True],
+                num_negative=len(negs), delta_poc_s0=negs,
+                used_s0=[True] + [False] * len(older),
                 num_positive=1, delta_poc_s1=[p1 - poc], used_s1=[True]),
             max_num_merge_cand=5,
         )
@@ -568,28 +590,46 @@ class Encoder:
         return np.ascontiguousarray(
             np.repeat(np.repeat(grid, rep, 0), rep, 1)[:h8, :w8])
 
-    def _p_decisions(self, y, ref_y, qp=None) -> FrameDecisions:
-        """Inter/intra split + MVs for a P frame (TPU ME + intra bank)."""
+    def _p_decisions(self, y, refs, qp=None) -> FrameDecisions:
+        """Inter/intra split + MVs + ref choice for a P frame (TPU ME +
+        intra bank; the pme bonded group becomes per-ref batched sweeps +
+        an argmin over the ref axis)."""
         from x265_tpu.engine.me import motion_decide
 
         p = self.param
         S = 16
+        if isinstance(refs, np.ndarray) or not isinstance(refs, list):
+            refs = [refs]          # legacy single-plane call
         dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
-        mv_blk, mcost = motion_decide(
-            np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
-            R=p.me_range if p.me_range <= 24 else 16,
-            qp=qp if qp is not None else self._slice_qp(SLICE_P),
-            subme=p.sub_me, bit_depth=p.bit_depth)
+        qpv = qp if qp is not None else self._slice_qp(SLICE_P)
+        lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
+        best_cost = best_mv = best_ref = None
+        for ridx, ref in enumerate(refs):
+            ref_y = ref[0] if isinstance(ref, tuple) else ref
+            mv_blk, mcost = motion_decide(
+                np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
+                R=p.me_range if p.me_range <= 24 else 16, qp=qpv,
+                subme=p.sub_me, bit_depth=p.bit_depth)
+            mcost = mcost + lam * 2.0 * ridx      # ~ref_idx bin cost
+            if best_cost is None:
+                best_cost, best_mv = mcost, mv_blk
+                best_ref = np.zeros(mcost.shape, np.int32)
+            else:
+                take = mcost < best_cost
+                best_cost = np.where(take, mcost, best_cost)
+                best_mv = np.where(take[..., None], mv_blk, best_mv)
+                best_ref = np.where(take, ridx, best_ref)
         icost = self._intra_cost_grid(y, S)
-        inter_blk = mcost < icost
+        inter_blk = best_cost < icost
         h8, w8 = p.height >> 3, p.width >> 3
         rep = S >> 3
-        nby, nbx = mv_blk.shape[:2]
+        nby, nbx = best_mv.shape[:2]
         mv2 = np.zeros((nby, nbx, 2, 2), dtype=np.int32)
-        mv2[:, :, 0] = mv_blk
+        mv2[:, :, 0] = best_mv
         dec.inter8 = self._to8(inter_blk, h8, w8, rep)
         dec.dir8 = self._to8(np.ones((nby, nbx), np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
+        dec.ref8 = self._to8(best_ref, h8, w8, rep)
         return dec
 
     def _b_decisions(self, y, ref0_y, ref1_y, qp=None) -> FrameDecisions:

@@ -315,20 +315,33 @@ class SliceDecoder:
                         dir_ = 2 if cab.decode_bin(
                             CTX_OFF["inter_pred_idc"] + 4) else 1
                 mvs = [(0, 0), (0, 0)]
+                rids = [-1, -1]
+                nact = (sh.num_ref_idx_l0_active, sh.num_ref_idx_l1_active)
                 for lx in (0, 1):
                     if not (dir_ & (1 << lx)):
                         continue
-                    # num_ref_idx_active == 1: ref_idx inferred 0
+                    rid = 0
+                    if nact[lx] > 1:      # ref_idx: TR, bins 0/1 ctx, rest ep
+                        if cab.decode_bin(CTX_OFF["ref_idx"]):
+                            rid = 1
+                            cmax = nact[lx] - 1
+                            while rid < cmax:
+                                b = (cab.decode_bin(CTX_OFF["ref_idx"] + 1)
+                                     if rid == 1 else cab.decode_bin_ep())
+                                if not b:
+                                    break
+                                rid += 1
+                    rids[lx] = rid
                     mvd = decode_mvd(cab, CTX_OFF["mvd"])
                     mvp_idx = cab.decode_bin(CTX_OFF["mvp_flag"])
                     amvp = amvp_candidates(pic.ic, pic.avail4, x0, y0, size,
                                            size, sps.width, sps.height,
-                                           lx=lx, ref_idx=0, cur_poc=pic.poc,
+                                           lx=lx, ref_idx=rid,
+                                           cur_poc=pic.poc,
                                            ref_poc=pic.ref_poc)
                     mvs[lx] = (amvp[mvp_idx][0] + mvd[0],
                                amvp[mvp_idx][1] + mvd[1])
-                motion = (dir_, mvs[0], mvs[1],
-                          0 if (dir_ & 1) else -1, 0 if (dir_ & 2) else -1)
+                motion = (dir_, mvs[0], mvs[1], rids[0], rids[1])
                 merge = False
             root_cbf = 1
             if not merge:

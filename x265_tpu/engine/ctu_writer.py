@@ -58,6 +58,7 @@ class FrameDecisions:
     inter8: Optional[np.ndarray] = None
     dir8: Optional[np.ndarray] = None        # 1=L0, 2=L1, 3=BI
     mv8: Optional[np.ndarray] = None         # [h8, w8, 2(list), 2(xy)]
+    ref8: Optional[np.ndarray] = None        # [h8, w8] L0 ref idx (multi-ref)
     qp_map: Optional[np.ndarray] = None      # [cty, ctx] per-CTB QP (AQ)
 
 
@@ -346,7 +347,9 @@ class FrameSyntaxWriter:
             mv0 = (0, 0)
         if not (dir_ & 2):
             mv1 = (0, 0)
-        return (dir_, mv0, mv1, 0 if (dir_ & 1) else -1,
+        r0 = (int(self.dec.ref8[y0 >> 3, x0 >> 3])
+              if self.dec.ref8 is not None else 0)
+        return (dir_, mv0, mv1, r0 if (dir_ & 1) else -1,
                 0 if (dir_ & 2) else -1)
 
     def _inter_cu(self, x0, y0, log2_cb, depth) -> None:
@@ -397,14 +400,31 @@ class FrameSyntaxWriter:
                 if dir_ != 3:
                     cab.encode_bin(CTX_OFF["inter_pred_idc"] + 4,
                                    0 if dir_ == 1 else 1)
-            # num_ref_idx_active == 1 per list: no ref_idx coded
+            nact = (sh.num_ref_idx_l0_active, sh.num_ref_idx_l1_active)
             for lx in (0, 1):
                 if not (dir_ & (1 << lx)):
                     continue
+                rid = motion[3 + lx]
+                if nact[lx] > 1:     # ref_idx: TR, bins 0/1 ctx, rest ep
+                    cab.encode_bin(CTX_OFF["ref_idx"], 1 if rid > 0 else 0)
+                    if rid > 0:
+                        cmax = nact[lx] - 1
+                        i = 1
+                        while i < cmax and i < rid:
+                            if i == 1:
+                                cab.encode_bin(CTX_OFF["ref_idx"] + 1, 1)
+                            else:
+                                cab.encode_bin_ep(1)
+                            i += 1
+                        if rid < cmax:
+                            if rid == 1:
+                                cab.encode_bin(CTX_OFF["ref_idx"] + 1, 0)
+                            else:
+                                cab.encode_bin_ep(0)
                 mv = motion[1 + lx]
                 amvp = amvp_candidates(self.ic, self.avail4, x0, y0, size,
                                        size, sps.width, sps.height,
-                                       lx=lx, ref_idx=0,
+                                       lx=lx, ref_idx=rid,
                                        cur_poc=self.cur_poc,
                                        ref_poc=self.ref_poc)
                 costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in amvp]

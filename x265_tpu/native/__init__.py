@@ -76,10 +76,11 @@ def get_lib():
             ctypes.c_int, ctypes.c_int,                          # w, h
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # cu/luma/chroma maps
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # inter8/dir8/mv8
+            ctypes.c_void_p,                                     # ref8
             ctypes.c_int, ctypes.c_int,                          # slice_type, max_merge
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ref0 planes
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # ref1 planes
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # pad, pocs, cur
+            ctypes.c_void_p, ctypes.c_void_p,                    # ref planes/pocs
+            ctypes.c_int, ctypes.c_int,                          # nref0/nref1
+            ctypes.c_int, ctypes.c_int,                          # pad, cur_poc
             ctypes.c_int, ctypes.c_int, ctypes.c_int,            # ctb, mincb, qp
             ctypes.c_int, ctypes.c_int, ctypes.c_int,            # lossless, sdh, strong
             ctypes.c_int, ctypes.c_int,                          # cb/cr qp off
@@ -148,11 +149,11 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
-                    qp_map=None, bit_depth=8):
+                    qp_map=None, bit_depth=8, ref8=None):
     """Unified native I/P/B slice encode.
 
-    refs: ([(y,cb,cr) padded int16] per list) — at most one ref per list.
-    Returns (bytes, recon_planes, cbf4) or None if the lib is unavailable.
+    refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
+    Returns (bytes, recon, cbf4, qp_actual) or None if unavailable.
     """
     lib = get_lib()
     if lib is None:
@@ -170,18 +171,23 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         cmode_p = cmode.ctypes.data
     keep = []          # keep arrays alive across the call
 
-    def plane_ptrs(lx):
-        if lx >= len(refs) or not refs[lx]:
-            return (None, None, None)
-        ps = tuple(c(pl, dtype=np.int16) for pl in refs[lx][0])
-        keep.extend(ps)
-        return tuple(p.ctypes.data for p in ps)
-
-    r0 = plane_ptrs(0)
-    r1 = plane_ptrs(1)
+    ref_ptr_arr = (ctypes.c_void_p * 24)()
+    ref_poc_arr = np.zeros(8, dtype=np.int32)
+    nrefs = [0, 0]
+    for lx in (0, 1):
+        lst = refs[lx] if lx < len(refs) else []
+        nrefs[lx] = min(4, len(lst))
+        for r in range(nrefs[lx]):
+            planes = tuple(c(pl, dtype=np.int16) for pl in lst[r])
+            keep.extend(planes)
+            for pl in range(3):
+                ref_ptr_arr[(lx * 4 + r) * 3 + pl] = planes[pl].ctypes.data
+            if ref_poc[lx]:
+                ref_poc_arr[lx * 4 + r] = ref_poc[lx][r]
     i8 = c(inter8, dtype=np.uint8) if inter8 is not None else None
     d8 = c(dir8, dtype=np.int32) if dir8 is not None else None
     m8 = c(mv8, dtype=np.int32) if mv8 is not None else None
+    r8 = c(ref8, dtype=np.int32) if ref8 is not None else None
     cap = w * h * 4 + 4096
     out = np.empty(cap, dtype=np.uint8)
     ry = np.empty((h, w), dtype=np.int16)
@@ -210,12 +216,11 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         i8.ctypes.data if i8 is not None else None,
         d8.ctypes.data if d8 is not None else None,
         m8.ctypes.data if m8 is not None else None,
+        r8.ctypes.data if r8 is not None else None,
         slice_type, max_merge_cand,
-        *r0, *r1,
-        pad_luma,
-        ref_poc[0][0] if ref_poc[0] else 0,
-        ref_poc[1][0] if ref_poc[1] else 0,
-        cur_poc,
+        ref_ptr_arr, ref_poc_arr.ctypes.data,
+        nrefs[0], nrefs[1],
+        pad_luma, cur_poc,
         ctb_log2, min_cb_log2, qp,
         int(lossless), int(sign_hiding), int(strong_smooth),
         cb_qp_off, cr_qp_off,

@@ -716,9 +716,11 @@ struct Writer {
   const uint8_t* inter8 = nullptr;    // [h8*w8]
   const int32_t* dir8 = nullptr;      // [h8*w8]
   const int32_t* mv8 = nullptr;       // [h8*w8*2*2] (list, x/y)
-  const int16_t* refp[2][3] = {{nullptr}};   // padded planes per list
+  static const int kMaxRef = 4;
+  const int16_t* refp[2][4][3] = {{{nullptr}}};  // [list][ref][plane]
+  const int32_t* ref8 = nullptr;                 // [h8*w8] L0 ref idx
   int pad_luma = 80;
-  int ref_poc[2] = {0, 0};
+  int ref_poc[2][4] = {{0}};
   int nref[2] = {0, 0};
   int cur_poc = 0;
   int max_merge = 5;
@@ -969,7 +971,8 @@ struct Writer {
         int i = pr[0], j = pr[1];
         if (i >= n_orig || j >= n_orig) continue;
         if (!(out[i].dir & 1) || !(out[j].dir & 2)) continue;
-        int poc0 = ref_poc[0], poc1 = ref_poc[1];  // single ref per list
+        int poc0 = ref_poc[0][out[i].ref[0]];
+        int poc1 = ref_poc[1][out[j].ref[1]];
         if (poc0 != poc1 || out[i].mv[0][0] != out[j].mv[1][0] ||
             out[i].mv[0][1] != out[j].mv[1][1]) {
           Motion c;
@@ -981,11 +984,15 @@ struct Writer {
         }
       }
     }
+    int nz = is_b ? std::min(nref[0], nref[1]) : nref[0];
+    int zi = 0;
     while (n < max_merge) {
       Motion z;
-      if (is_b) { z.dir = 3; z.ref[0] = z.ref[1] = 0; }
-      else { z.dir = 1; z.ref[0] = 0; }
+      int r = zi < nz ? zi : 0;
+      if (is_b) { z.dir = 3; z.ref[0] = z.ref[1] = r; }
+      else { z.dir = 1; z.ref[0] = r; }
       out[n++] = z;
+      zi++;
     }
     return max_merge;
   }
@@ -995,7 +1002,7 @@ struct Writer {
     for (int pass = 0; pass < 2; pass++) {
       int ly = pass == 0 ? lx : 1 - lx;
       if ((m.dir & (1 << ly)) && m.ref[ly] >= 0 && m.ref[ly] < nref[ly] &&
-          ref_poc[ly] == target_poc) {
+          ref_poc[ly][m.ref[ly]] == target_poc) {
         mv[0] = m.mv[ly][0]; mv[1] = m.mv[ly][1];
         return true;
       }
@@ -1007,7 +1014,7 @@ struct Writer {
       int ly = pass == 0 ? lx : 1 - lx;
       if ((m.dir & (1 << ly)) && m.ref[ly] >= 0 && m.ref[ly] < nref[ly]) {
         int tb = cur_poc - target_poc;
-        int td = cur_poc - ref_poc[ly];
+        int td = cur_poc - ref_poc[ly][m.ref[ly]];
         scale_mv(m.mv[ly][0], m.mv[ly][1], tb, td, &mv[0], &mv[1]);
         return true;
       }
@@ -1015,8 +1022,9 @@ struct Writer {
     return false;
   }
 
-  void amvp(int x0, int y0, int nw, int nh, int lx, int amvp_out[2][2]) const {
-    int target_poc = ref_poc[lx];
+  void amvp(int x0, int y0, int nw, int nh, int lx, int rid,
+            int amvp_out[2][2]) const {
+    int target_poc = ref_poc[lx][rid];
     Motion a0, a1, b0, b1, b2;
     bool ok_a0 = neighbor_motion(x0 - 1, y0 + nh, &a0);
     bool ok_a1 = neighbor_motion(x0 - 1, y0 + nh - 1, &a1);
@@ -1112,15 +1120,15 @@ struct Writer {
       int fb = pl == 0 ? 2 : 3;
       std::vector<int32_t> t0(n * n), t1(n * n);
       if (m.dir == 3) {
-        mc_14(refp[0][pl], stride, padc, xx, yy, n, n, m.mv[0][0], m.mv[0][1],
-              fb, pl == 0, bd, t0.data());
-        mc_14(refp[1][pl], stride, padc, xx, yy, n, n, m.mv[1][0], m.mv[1][1],
-              fb, pl == 0, bd, t1.data());
+        mc_14(refp[0][m.ref[0]][pl], stride, padc, xx, yy, n, n,
+              m.mv[0][0], m.mv[0][1], fb, pl == 0, bd, t0.data());
+        mc_14(refp[1][m.ref[1]][pl], stride, padc, xx, yy, n, n,
+              m.mv[1][0], m.mv[1][1], fb, pl == 0, bd, t1.data());
         bipred_px(t0.data(), t1.data(), n * n, bd, dst);
       } else {
         int l = m.dir == 1 ? 0 : 1;
-        mc_14(refp[l][pl], stride, padc, xx, yy, n, n, m.mv[l][0], m.mv[l][1],
-              fb, pl == 0, bd, t0.data());
+        mc_14(refp[l][m.ref[l]][pl], stride, padc, xx, yy, n, n,
+              m.mv[l][0], m.mv[l][1], fb, pl == 0, bd, t0.data());
         unipred_px(t0.data(), n * n, bd, dst);
       }
     };
@@ -1207,11 +1215,12 @@ struct Writer {
     int b8 = (y0 >> 3) * w8 + (x0 >> 3);
     Motion m;
     m.dir = dir8[b8];
+    int r0sel = ref8 ? ref8[b8] : 0;
     for (int l = 0; l < 2; l++) {
       bool used = (m.dir >> l) & 1;
       m.mv[l][0] = used ? mv8[b8 * 4 + l * 2] : 0;
       m.mv[l][1] = used ? mv8[b8 * 4 + l * 2 + 1] : 0;
-      m.ref[l] = used ? 0 : -1;
+      m.ref[l] = used ? (l == 0 ? r0sel : 0) : -1;
     }
 
     std::vector<int32_t> py(size * size), pcb(hs * hs), pcr(hs * hs);
@@ -1256,8 +1265,23 @@ struct Writer {
       }
       for (int lx = 0; lx < 2; lx++) {
         if (!((m.dir >> lx) & 1)) continue;
+        int rid = m.ref[lx];
+        if (nref[lx] > 1) {          // ref_idx: TR, bins 0/1 ctx, rest ep
+          cab.bin(CTX_REF_IDX, rid > 0 ? 1 : 0);
+          if (rid > 0) {
+            int cmax = nref[lx] - 1;
+            for (int i = 1; i < cmax && i < rid; i++) {
+              if (i == 1) cab.bin(CTX_REF_IDX + 1, 1);
+              else cab.ep(1);
+            }
+            if (rid < cmax) {
+              if (rid == 1) cab.bin(CTX_REF_IDX + 1, 0);
+              else cab.ep(0);
+            }
+          }
+        }
         int am[2][2];
-        amvp(x0, y0, size, size, lx, am);
+        amvp(x0, y0, size, size, lx, rid, am);
         int c0 = abs(m.mv[lx][0] - am[0][0]) + abs(m.mv[lx][1] - am[0][1]);
         int c1 = abs(m.mv[lx][0] - am[1][0]) + abs(m.mv[lx][1] - am[1][1]);
         int mvp_idx = c0 <= c1 ? 0 : 1;
@@ -1513,13 +1537,12 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int32_t* cu_log2_map, const int32_t* luma_mode8,
                     const int32_t* chroma_mode8,
                     const uint8_t* inter8, const int32_t* dir8,
-                    const int32_t* mv8,
+                    const int32_t* mv8, const int32_t* ref8,
                     int slice_type, int max_merge_cand,
-                    const int16_t* ref0_y, const int16_t* ref0_cb,
-                    const int16_t* ref0_cr,
-                    const int16_t* ref1_y, const int16_t* ref1_cb,
-                    const int16_t* ref1_cr,
-                    int pad_luma, int ref0_poc, int ref1_poc, int cur_poc,
+                    const int16_t* const* ref_planes,  // [2*4*3] list,ref,plane
+                    const int32_t* ref_pocs,           // [2*4]
+                    int nref0, int nref1,
+                    int pad_luma, int cur_poc,
                     int ctb_log2, int min_cb_log2, int slice_qp,
                     int lossless, int sign_hiding, int strong_smooth,
                     int cb_qp_off, int cr_qp_off,
@@ -1546,14 +1569,17 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.chroma_mode8 = chroma_mode8;
   w.w8 = width >> 3;
   w.slice_type = slice_type;
-  w.inter8 = inter8; w.dir8 = dir8; w.mv8 = mv8;
+  w.inter8 = inter8; w.dir8 = dir8; w.mv8 = mv8; w.ref8 = ref8;
   w.max_merge = max_merge_cand;
   w.pad_luma = pad_luma;
-  w.refp[0][0] = ref0_y; w.refp[0][1] = ref0_cb; w.refp[0][2] = ref0_cr;
-  w.refp[1][0] = ref1_y; w.refp[1][1] = ref1_cb; w.refp[1][2] = ref1_cr;
-  w.ref_poc[0] = ref0_poc; w.ref_poc[1] = ref1_poc;
-  w.nref[0] = ref0_y ? 1 : 0;
-  w.nref[1] = ref1_y ? 1 : 0;
+  w.nref[0] = nref0; w.nref[1] = nref1;
+  for (int l = 0; l < 2; l++)
+    for (int r = 0; r < 4; r++) {
+      for (int pl = 0; pl < 3; pl++)
+        w.refp[l][r][pl] = ref_planes
+            ? ref_planes[(l * 4 + r) * 3 + pl] : nullptr;
+      w.ref_poc[l][r] = ref_pocs ? ref_pocs[l * 4 + r] : 0;
+    }
   w.cur_poc = cur_poc;
   w.sao_luma = sao_luma; w.sao_chroma = sao_chroma;
   w.sao_type_y = sao_type_y; w.sao_class_y = sao_class_y;
