@@ -37,6 +37,7 @@ def test_encoder_stats():
     p = param_default_preset("medium")
     p.width, p.height = 96, 64
     p.qp, p.rc_mode, p.bframes = 30, RC_CQP, 2
+    p.psnr_metrics = True            # metrics are opt-in (x265 --psnr)
     enc = Encoder(p)
     enc.encode(frames)
     st = enc.get_stats()

@@ -257,19 +257,21 @@ class Encoder:
     def _frame_stats(self, frame, recon, slice_type, qp, bits, poc):
         """Per-frame quality/bit accounting (x265 x265_frame_stats /
         csvlog_frame analog, api.cpp:1284)."""
-        from x265_tpu.utils.metrics import psnr, ssim
         p = self.param
-        rec = tuple(np.asarray(x) for x in recon)
         st = {
             "poc": poc,
             "type": {SLICE_I: "I", SLICE_P: "P", SLICE_B: "B"}[slice_type],
             "qp": qp,
             "bits": bits,
-            "psnr_y": psnr(frame[0], rec[0], p.bit_depth),
-            "psnr_u": psnr(frame[1], rec[1], p.bit_depth),
-            "psnr_v": psnr(frame[2], rec[2], p.bit_depth),
-            "ssim": ssim(frame[0], rec[0], p.bit_depth),
+            "psnr_y": 0.0, "psnr_u": 0.0, "psnr_v": 0.0, "ssim": 0.0,
         }
+        if p.psnr_metrics:            # x265 --psnr/--ssim (off by default:
+            from x265_tpu.utils.metrics import psnr, ssim   # ~100ms @720p)
+            rec = tuple(np.asarray(x) for x in recon)
+            st["psnr_y"] = psnr(frame[0], rec[0], p.bit_depth)
+            st["psnr_u"] = psnr(frame[1], rec[1], p.bit_depth)
+            st["psnr_v"] = psnr(frame[2], rec[2], p.bit_depth)
+            st["ssim"] = ssim(frame[0], rec[0], p.bit_depth)
         self.frame_stats.append(st)
 
     def _hash_sei(self, recon) -> bytes:
@@ -299,13 +301,16 @@ class Encoder:
                     "avg_bits": sum(s["bits"] for s in sub) / len(sub),
                     "avg_psnr_y": sum(s["psnr_y"] for s in sub) / len(sub),
                 }
-        return {
+        out = {
             "frames": n,
             "bitrate_kbps": tot_bits * fps / n / 1000.0,
-            "global_psnr_y": sum(s["psnr_y"] for s in self.frame_stats) / n,
-            "global_ssim": sum(s["ssim"] for s in self.frame_stats) / n,
             "by_type": by_type,
         }
+        if self.param.psnr_metrics:
+            out["global_psnr_y"] = sum(s["psnr_y"]
+                                       for s in self.frame_stats) / n
+            out["global_ssim"] = sum(s["ssim"] for s in self.frame_stats) / n
+        return out
 
     def _encode_intra_frame(self, y, cb, cr, decisions=None, qp=None) -> bytes:
         p = self.param

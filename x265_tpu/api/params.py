@@ -127,7 +127,8 @@ class Param:
     pass_num: int = 0            # 0=single pass, 1=analysis, 2=final
     stats_file: str = "x265_tpu_2pass.log"
 
-    # --- logging ---
+    # --- logging / metrics (x265 --psnr/--ssim: off by default) ---
+    psnr_metrics: bool = False
     log_level: int = 2
     csv: str = ""
     csv_log_level: int = 0
@@ -266,6 +267,8 @@ _OPT_ALIASES = {
     "log-level": "log_level",
     "csv": "csv",
     "csv-log-level": "csv_log_level",
+    "psnr": "psnr_metrics",
+    "ssim": "psnr_metrics",
     "analysis-save": "analysis_save",
     "analysis-load": "analysis_load",
     "pass": "pass_num",

@@ -74,6 +74,7 @@ def main(argv=None) -> int:
     if args.keyint is not None:
         p.keyint = args.keyint
 
+    p.psnr_metrics = True          # the CLI reports PSNR/SSIM like x265
     enc = Encoder(p)
     if args.no_tpu:
         enc.use_tpu_analysis = False
@@ -125,7 +126,7 @@ def main(argv=None) -> int:
     kbps = total_bytes * 8 * (p.fps_num / max(1, p.fps_den)) / max(1, nframes) / 1000
     st = enc.get_stats()
     extra = ""
-    if st.get("frames"):
+    if st.get("frames") and "global_psnr_y" in st:
         extra = (f", Global PSNR: {st['global_psnr_y']:.3f}"
                  f", SSIM: {st['global_ssim']:.5f}")
     print(f"encoded {nframes} frames in {el:.2f}s ({fps:.2f} fps), "

@@ -36,8 +36,10 @@ def aq_qp_offsets(y: np.ndarray, ctb_log2: int, mode: int,
     H, W = y.shape
     S = 16
     ph, pw = -(-H // ctb) * ctb, -(-W // ctb) * ctb
-    yp = np.pad(np.asarray(y, dtype=np.int32),
-                ((0, ph - H), (0, pw - W)), mode="edge")
+    wire = np.asarray(y)
+    if wire.dtype not in (np.uint8, np.int16, np.uint16):
+        wire = wire.astype(np.int16)
+    yp = np.pad(wire, ((0, ph - H), (0, pw - W)), mode="edge")
     e = np.asarray(block_energies(jnp.asarray(yp), S=S))   # [ph/16, pw/16]
     r = ctb // S
     cy, cx = ph // ctb, pw // ctb

@@ -23,6 +23,7 @@ from x265_tpu.engine.me import satd8_batched
 def lowres_downscale(y: jnp.ndarray) -> jnp.ndarray:
     """Half-res by 2x2 mean (frameInitLowres analog)."""
     H, W = y.shape
+    y = y.astype(jnp.int32)          # upcast on device (narrow wire)
     return (y.reshape(H // 2, 2, W // 2, 2).sum((1, 3)) + 2) >> 2
 
 
@@ -81,8 +82,10 @@ class Lookahead:
         inter cost is vs the previous frame (the slicetype/scenecut
         signal, slicetype.cpp:2186). Per-block tensors are kept in
         self.last_blocks for cuTree propagation."""
-        low = np.asarray(lowres_downscale(jnp.asarray(
-            np.asarray(y, dtype=np.int32))))
+        yw = np.asarray(y)
+        if yw.dtype not in (np.uint8, np.int16, np.uint16):
+            yw = yw.astype(np.int16)
+        low = np.asarray(lowres_downscale(jnp.asarray(yw)))
         ph, pw = self.lh - low.shape[0], self.lw - low.shape[1]
         low = np.pad(low, ((0, ph), (0, pw)), mode="edge")
         first = self.prev_low is None

@@ -60,6 +60,8 @@ def _int_search(cur, ref_pad, mvcost, S, R):
     H, W = cur.shape
     nby, nbx = H // S, W // S
     n = 2 * R + 1
+    cur = cur.astype(jnp.int32)          # narrow wire, upcast on device
+    ref_pad = ref_pad.astype(jnp.int32)
 
     def body(carry, d):
         best_cost, best_idx, best_sad = carry
@@ -86,6 +88,7 @@ def _phase_planes(ref_pad: jnp.ndarray, maxv: int = 255) -> jnp.ndarray:
     edge-padded by (m+3) left/top and (m+4) right/bottom, so that plane
     index i maps to integer position i-m (the 8-tap base sample is tap 3)."""
     f = jnp.asarray(LUMA_FILTERS)          # [4, 8]
+    ref_pad = ref_pad.astype(jnp.int32)    # narrow wire, upcast on device
     Hp, Wp = ref_pad.shape
 
     # horizontal: out[p, y, x] = sum_t f[p,t] * ref[y, x+t-3], valid range
@@ -181,9 +184,10 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
     """
     ph = -(-height // S) * S
     pw = -(-width // S) * S
-    cur = np.pad(np.asarray(cur_y, dtype=np.int32),
+    wire = np.int16 if bit_depth > 8 else np.uint8
+    cur = np.pad(np.asarray(cur_y).astype(wire),
                  ((0, ph - height), (0, pw - width)), mode="edge")
-    ref = np.pad(np.asarray(ref_y, dtype=np.int32),
+    ref = np.pad(np.asarray(ref_y).astype(wire),
                  ((0, ph - height), (0, pw - width)), mode="edge")
     nby, nbx = ph // S, pw // S
     N = nby * nbx
@@ -214,7 +218,8 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
 
     bx, by = np.meshgrid(np.arange(nbx), np.arange(nby))
     cur_blocks = jnp.asarray(
-        cur.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3).reshape(N, S, S))
+        cur.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3)
+        .reshape(N, S, S).astype(np.int32))
     state = np.concatenate([(mv_int * 4).reshape(N, 2),
                             bx.reshape(N, 1), by.reshape(N, 1)],
                            axis=1).astype(np.int32)

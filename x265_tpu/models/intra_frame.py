@@ -102,9 +102,10 @@ def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
     S = 1 << cu_log2
     ph = -(-height // S) * S
     pw = -(-width // S) * S
-    # int32 on the wire: uint8 inputs trigger a pathological XLA compile
-    # (~100x slower trace) on this TPU runtime
-    y = np.asarray(src_y, dtype=np.int32)
+    # narrow wire dtype: the host->device link is the bottleneck on this
+    # box; the graph upcasts on device (uint8 compiles fine on current jax)
+    wire = np.uint8 if np.asarray(src_y).max(initial=0) < 256 else np.int16
+    y = np.asarray(src_y, dtype=wire)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
     modes_dev, cost_dev = frame_intra_analysis(jnp.asarray(yp), S=S)
     return (modes_dev, cost_dev, cu_log2, width, height)
