@@ -107,10 +107,12 @@ def main(argv=None) -> int:
                               f"{dt:.1f}\n")
                     csv_done += 1
             if args.recon and enc._last_recon is not None:
+                maxv = (1 << p.bit_depth) - 1
+                dt = np.uint16 if p.bit_depth > 8 else np.uint8
                 ry, rcb, rcr = enc._last_recon
-                recon_frames.append((np.clip(ry, 0, 255).astype(np.uint8),
-                                     np.clip(rcb, 0, 255).astype(np.uint8),
-                                     np.clip(rcr, 0, 255).astype(np.uint8)))
+                recon_frames.append((np.clip(ry, 0, maxv).astype(dt),
+                                     np.clip(rcb, 0, maxv).astype(dt),
+                                     np.clip(rcr, 0, maxv).astype(dt)))
             nframes += 1
             if args.frames and nframes >= args.frames:
                 break
