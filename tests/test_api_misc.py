@@ -1,0 +1,65 @@
+"""API surface odds and ends: reconfigure, AUD, profiling scopes
+(x265 analogs: x265_encoder_reconfig api.cpp:307, --aud, cpuEvents)."""
+import numpy as np
+import pytest
+
+from x265_tpu.api.encoder import Encoder
+from x265_tpu.api.params import RC_CQP, param_default_preset
+from x265_tpu.decoder import de265
+from x265_tpu.decoder.decoder import HEVCDecoder
+from x265_tpu.hevc.bitstream import split_annexb
+
+
+def _frames(n=8, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:64, 0:96]
+    base = (128 + 70 * np.sin(xx / 13.0) * np.cos(yy / 11.0)).astype(int)
+    return [(np.clip(np.roll(base, 2 * i, 1) +
+                     rng.integers(-5, 5, (64, 96)), 0, 255).astype(np.uint8),
+             np.full((32, 48), 120, np.uint8),
+             np.full((32, 48), 130, np.uint8)) for i in range(n)]
+
+
+def test_reconfigure_qp_midstream():
+    frames = _frames()
+    p = param_default_preset("medium")
+    p.width, p.height = 96, 64
+    p.qp, p.rc_mode, p.bframes = 26, RC_CQP, 0
+    enc = Encoder(p)
+    out = [enc.headers()]
+    for i, f in enumerate(frames):
+        if i == 4:
+            enc.reconfigure(qp=44)
+        out.append(enc.encode_frame(*f))
+    out.append(enc.flush())
+    enc.close()
+    pics = HEVCDecoder().decode(b"".join(out))
+    assert len(pics) == len(frames)
+    qps = [s["qp"] for s in enc.frame_stats]
+    assert max(qps[:4]) < min(qps[5:])     # QP jumped mid-stream
+    with pytest.raises(ValueError):
+        enc.reconfigure(ctu_size=32)       # not reconfigurable
+
+
+def test_aud_emission():
+    frames = _frames(4)
+    p = param_default_preset("medium")
+    p.width, p.height = 96, 64
+    p.qp, p.rc_mode, p.bframes = 30, RC_CQP, 2
+    p.aud = True
+    enc = Encoder(p)
+    stream = enc.encode(frames)
+    auds = [n for n in split_annexb(stream) if ((n[0] >> 1) & 0x3F) == 35]
+    assert len(auds) == 4                  # one per access unit
+    assert len(HEVCDecoder().decode(stream)) == 4
+    if de265.available():
+        assert len(de265.decode(stream)) == 4
+
+
+def test_profiling_scopes():
+    from x265_tpu.utils import profiling
+    profiling.reset()
+    with profiling.scope("analysis"):
+        pass
+    r = profiling.report()
+    assert r["analysis"]["calls"] == 1

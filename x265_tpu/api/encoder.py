@@ -152,7 +152,9 @@ class Encoder:
         need_la = (self.rc.mode != RC_CQP or
                    (p.scenecut > 0 and p.keyint != 1 and not p.lossless))
         if need_la:
-            cost, icost, pcost = self.la.frame_costs(frame[0], is_idr)
+            from x265_tpu.utils.profiling import scope
+            with scope("lookahead"):
+                cost, icost, pcost = self.la.frame_costs(frame[0], is_idr)
         else:
             cost, icost, pcost = 1.0, 1.0, 0.0
         # scenecut (slicetype.cpp:2186 analog): the inter path barely beats
@@ -194,6 +196,26 @@ class Encoder:
     def flush(self) -> bytes:
         """Encode all queued frames (end of stream / before an IDR)."""
         return self._emit_minigop() if self.pending else b""
+
+    def reconfigure(self, **kwargs) -> None:
+        """x265_encoder_reconfig analog (api.cpp:307): swap rate-control
+        and analysis knobs mid-stream. Only settings that do not change
+        the parameter sets are accepted (qp/crf/bitrate/aq/scenecut/...).
+        """
+        allowed = {"qp", "crf", "bitrate", "aq_mode", "aq_strength",
+                   "scenecut", "me_range", "sub_me", "bframes",
+                   "vbv_maxrate", "vbv_bufsize", "psnr_metrics"}
+        bad = set(kwargs) - allowed
+        if bad:
+            raise ValueError(f"not reconfigurable mid-stream: {sorted(bad)}")
+        for k, v in kwargs.items():
+            setattr(self.param, k, v)
+        if {"qp", "crf", "bitrate", "vbv_maxrate",
+                "vbv_bufsize"} & set(kwargs):
+            from x265_tpu.engine.ratecontrol import RateControl
+            self.rc = RateControl(self.param)
+        if "bframes" in kwargs:
+            self.bframes = kwargs["bframes"] if self.ipp else 0
 
     def close(self) -> None:
         """End of encode: write 2-pass stats / close analysis files
@@ -274,6 +296,17 @@ class Encoder:
             st["ssim"] = ssim(frame[0], rec[0], p.bit_depth)
         self.frame_stats.append(st)
 
+    def _aud(self, slice_type: int) -> bytes:
+        """Access unit delimiter NAL (--aud; 7.3.2.5)."""
+        if not self.param.aud:
+            return b""
+        from x265_tpu.hevc.bitstream import BitWriter, NAL_AUD
+        bw = BitWriter()
+        # pic_type: 0 = I only, 1 = I/P, 2 = I/P/B
+        bw.write({SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[slice_type], 3)
+        bw.byte_align_with_ones()
+        return annexb([make_nal(NAL_AUD, bw.data())])
+
     def _hash_sei(self, recon) -> bytes:
         """Decoded-picture-hash suffix SEI (MD5) of the loop-filtered
         recon (x265 frameencoder.cpp:1167)."""
@@ -325,7 +358,7 @@ class Encoder:
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
-        au = annexb([nal]) + self._hash_sei(recon)
+        au = self._aud(SLICE_I) + annexb([nal]) + self._hash_sei(recon)
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
                           len(au) * 8, 0)
         return au
@@ -400,7 +433,7 @@ class Encoder:
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
-        au = annexb([nal]) + self._hash_sei(recon)
+        au = self._aud(SLICE_P) + annexb([nal]) + self._hash_sei(recon)
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
                           len(au) * 8, poc)
         return au
@@ -453,7 +486,9 @@ class Encoder:
                     sao_chroma=sp is not None, qp_map=decisions.qp_map,
                     bit_depth=p.bit_depth, ref8=decisions.ref8)
 
-            res = run_native()
+            from x265_tpu.utils.profiling import scope
+            with scope("finalize"):
+                res = run_native()
             if res is not None:
                 slice_data, recon, cbf4, qp_actual = res
                 qp_arg = (qp_actual if decisions.qp_map is not None
@@ -574,7 +609,7 @@ class Encoder:
             ((p0,), (p1,)), poc, SLICE_B)
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_N)
         nal = make_nal(NAL_TRAIL_N, hdr_bw.data() + slice_data)
-        au = annexb([nal]) + self._hash_sei(recon)
+        au = self._aud(SLICE_B) + annexb([nal]) + self._hash_sei(recon)
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
                           len(au) * 8, poc)
         return au
