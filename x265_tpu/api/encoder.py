@@ -614,6 +614,64 @@ class Encoder:
                           len(au) * 8, poc)
         return au
 
+    def _merge_cu32(self, dec, satd16=None, qp=None) -> None:
+        """Bottom-up CU merging: promote 2x2 groups of 16x16 blocks to one
+        32x32 CU when they carry identical decisions — one skip/merge per
+        32 instead of four (the quadtree dial of Analysis::compressCTU;
+        decisions-only, the finalizers already walk any CU size)."""
+        p = self.param
+        if p.ctb_log2 < 5:
+            return
+        h8, w8 = dec.cu_log2_map.shape
+        h32, w32 = h8 // 4, w8 // 4
+        if h32 == 0 or w32 == 0:
+            return
+
+        def grp(m, red=None):
+            """[h8,w8]->[h32,w32,16] group view (trailing dims kept)."""
+            t = m[:h32 * 4, :w32 * 4]
+            t = t.reshape(h32, 4, w32, 4, *m.shape[2:])
+            return np.moveaxis(t, 1, 2).reshape(h32, w32, 16, *m.shape[2:])
+
+        all16 = (grp(dec.cu_log2_map) == 4).all(axis=2)
+        if dec.inter8 is not None:
+            inter = grp(dec.inter8.astype(bool)).all(axis=2)
+            d = grp(dec.dir8)
+            same_dir = (d == d[:, :, :1]).all(axis=2)
+            mv = grp(dec.mv8)
+            same_mv = (mv == mv[:, :, :1]).all(axis=(2, 3, 4))
+            r = (grp(dec.ref8) if dec.ref8 is not None
+                 else np.zeros_like(d))
+            same_ref = (r == r[:, :, :1]).all(axis=2)
+            ok_inter = all16 & inter & same_dir & same_mv & same_ref
+            if satd16 is not None and qp is not None:
+                # promote only skip-likely groups: a 32x32 TU re-quantizes
+                # the residual differently, so uniform motion alone is
+                # bit-neutral; low energy => the 32 CU skips and the
+                # saved per-CU syntax is a strict win
+                h16, w16 = satd16.shape
+                g16 = satd16[:h32 * 2, :w32 * 2].reshape(
+                    h32, 2, w32, 2).sum(axis=(1, 3))
+                qstep = 2.0 ** ((qp - 4) / 6.0)
+                ok_inter &= g16 < 48.0 * qstep
+        else:
+            ok_inter = np.zeros((h32, w32), dtype=bool)
+        # intra: merge only uniform planar/DC (32x32 prediction of flat
+        # areas is near-identical to four 16s)
+        modes = grp(dec.luma_mode8)
+        same_mode = (modes == modes[:, :, :1]).all(axis=2)
+        flat = modes[:, :, 0] <= 1
+        if dec.inter8 is not None:
+            not_inter = ~grp(dec.inter8.astype(bool)).any(axis=2)
+        else:
+            not_inter = np.ones((h32, w32), dtype=bool)
+        ok_intra = all16 & same_mode & flat & not_inter
+        ok = ok_inter | ok_intra
+        if not ok.any():
+            return
+        up = np.repeat(np.repeat(ok, 4, 0), 4, 1)
+        dec.cu_log2_map[:h32 * 4, :w32 * 4][up] = 5
+
     def _intra_cost_grid(self, y, S=16):
         from x265_tpu.models.intra_frame import frame_intra_analysis
         import jax.numpy as jnp
@@ -643,13 +701,18 @@ class Encoder:
         dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
         qpv = qp if qp is not None else self._slice_qp(SLICE_P)
         lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
+        from x265_tpu.engine.me import smooth_mv_field
+        lam_satd = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
         best_cost = best_mv = best_ref = None
         for ridx, ref in enumerate(refs):
             ref_y = ref[0] if isinstance(ref, tuple) else ref
-            mv_blk, mcost = motion_decide(
+            mv_blk, mcost, aux = motion_decide(
                 np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
                 R=p.me_range if p.me_range <= 24 else 16, qp=qpv,
-                subme=p.sub_me, bit_depth=p.bit_depth)
+                subme=max(1, p.sub_me), bit_depth=p.bit_depth,
+                return_aux=True)
+            # unify near-tied MVs so 2x2 groups can merge into 32x32 CUs
+            mv_blk = smooth_mv_field(mv_blk, mcost, aux, lam_satd)
             mcost = mcost + lam * 2.0 * ridx      # ~ref_idx bin cost
             if best_cost is None:
                 best_cost, best_mv = mcost, mv_blk
@@ -670,6 +733,9 @@ class Encoder:
         dec.dir8 = self._to8(np.ones((nby, nbx), np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
+        from x265_tpu.engine.me import eval_mvs
+        satd16 = eval_mvs(aux, best_mv).reshape(best_mv.shape[:2])
+        self._merge_cu32(dec, satd16, qpv)
         return dec
 
     def _b_decisions(self, y, ref0_y, ref1_y, qp=None) -> FrameDecisions:
@@ -709,6 +775,7 @@ class Encoder:
         dec.inter8 = self._to8(inter_blk, h8, w8, rep)
         dec.dir8 = self._to8(dir_blk.astype(np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
+        self._merge_cu32(dec)
         return dec
 
     def encode(self, frames) -> bytes:

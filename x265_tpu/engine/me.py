@@ -242,6 +242,67 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
     return mv.astype(np.int32), cost.astype(np.float32)
 
 
+@partial(jax.jit, static_argnames=("S", "margin"))
+def _eval_fixed(cur_blocks, planes, mv, bxy, S, margin):
+    """SATD of every block at its given quarter-pel MV (one gather)."""
+    N = cur_blocks.shape[0]
+    fx = mv[:, 0] & 3
+    fy = mv[:, 1] & 3
+    ix = (mv[:, 0] >> 2) + bxy[:, 0] * S + margin
+    iy = (mv[:, 1] >> 2) + bxy[:, 1] * S + margin
+
+    def one(i):
+        blk = jax.lax.dynamic_slice(
+            planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
+        return blk[0, 0]
+
+    pred = jax.vmap(one)(jnp.arange(N))
+    return satd8_batched(cur_blocks, pred)
+
+
+def eval_mvs(aux, mv: np.ndarray) -> np.ndarray:
+    """Per-block SATD at arbitrary MVs using a motion_decide aux bundle."""
+    n = mv.reshape(-1, 2)
+    satd = _eval_fixed(aux["cur_blocks"], aux["planes"],
+                       jnp.asarray(n.astype(np.int32)),
+                       jnp.asarray(aux["bxy"]), aux["cur_blocks"].shape[1],
+                       aux["margin"])
+    return np.asarray(satd)
+
+
+def smooth_mv_field(mv, cost, aux, lam, group: int = 2,
+                    slack_bits: float = 24.0):
+    """Unify each group x group block neighborhood onto its modal MV when
+    the SATD increase is cheaper than the syntax saved by a merged CU
+    (the RD glue that lets the quadtree promote 16->32; x265 gets this
+    for free from recursive RDO)."""
+    nby, nbx = mv.shape[:2]
+    gy, gx = nby // group, nbx // group
+    if gy == 0 or gx == 0:
+        return mv
+    g = mv[:gy * group, :gx * group].reshape(gy, group, gx, group, 2)
+    g = np.moveaxis(g, 3, 2).reshape(gy, gx, group * group, 2)
+    # modal mv: the member minimizing summed L1 distance to the others
+    d = np.abs(g[:, :, :, None, :] - g[:, :, None, :, :]).sum(axis=(3, 4))
+    modal_idx = d.argmin(axis=2)
+    modal = np.take_along_axis(
+        g, modal_idx[..., None, None], axis=2)[:, :, 0]       # [gy,gx,2]
+    cand = np.repeat(np.repeat(modal, group, 0), group, 1)    # [nby',nbx',2]
+    full = mv.copy()
+    full[:gy * group, :gx * group] = cand
+    satd_mode = eval_mvs(aux, full).reshape(nby, nbx)
+    satd_best = eval_mvs(aux, mv).reshape(nby, nbx)
+    dsum = (satd_mode - satd_best)[:gy * group, :gx * group]
+    dsum = dsum.reshape(gy, group, gx, group).sum(axis=(1, 3))
+    accept = dsum <= lam * slack_bits
+    acc_up = np.repeat(np.repeat(accept, group, 0), group, 1)
+    out = mv.copy()
+    sel = np.zeros(mv.shape[:2], dtype=bool)
+    sel[:gy * group, :gx * group] = acc_up
+    out[sel] = full[sel]
+    return out
+
+
 def bi_cost(mv0, aux0, mv1, aux1, S: int = 16):
     """Bi-prediction cost per block from two motion_decide aux bundles:
     SATD of the averaged prediction + lambda * mv bits of both MVs."""
