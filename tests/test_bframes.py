@@ -101,3 +101,28 @@ def test_bframes_beat_ippp_on_static_content():
     sb = Encoder(pb).encode(frames)
     sp = Encoder(pp).encode(frames)
     assert len(sb) < 0.8 * len(sp)
+
+
+def test_b_pyramid_conformance():
+    """--b-pyramid: the middle B is a referenced TRAIL_R; leaf Bs predict
+    from the nearest of (anchor, bref); RPS keep-alives retain everything
+    later frames need (verified against libde265)."""
+    frames = _clip(96, 64, 11, seed=4)
+    p = param_default_preset("medium")
+    p.width, p.height = 96, 64
+    p.qp, p.rc_mode, p.bframes = 32, RC_CQP, 4
+    assert p.b_pyramid
+    enc = Encoder(p)
+    stream = enc.encode(frames)
+    ours = HEVCDecoder().decode(stream)
+    assert [o.poc for o in ours] == list(range(11))
+    if de265.available():
+        ext = de265.decode(stream)
+        for i, (o, e) in enumerate(zip(ours, ext)):
+            assert np.array_equal(o.y, e[0].astype(np.int32)), i
+            assert np.array_equal(o.cb, e[1].astype(np.int32)), i
+    # the stream really contains a referenced B (TRAIL_R between TRAIL_Ns)
+    from x265_tpu.hevc.bitstream import split_annexb
+    kinds = [(n[0] >> 1) & 0x3F for n in split_annexb(stream)]
+    slice_kinds = [k for k in kinds if k < 32]
+    assert 0 in slice_kinds and 1 in slice_kinds

@@ -57,8 +57,9 @@ class Encoder:
         # non-reference B frames in between (RPS written inline per slice)
         self.ipp = p.keyint != 1
         self.bframes = p.bframes if self.ipp else 0
-        reorder = 1 if self.bframes else 0
-        dpb = (3 if self.bframes else 2) if self.ipp else 1
+        self.pyramid = p.b_pyramid and self.bframes >= 3
+        reorder = (2 if self.pyramid else 1) if self.bframes else 0
+        dpb = ((4 if self.pyramid else 3) if self.bframes else 2)             if self.ipp else 1
         self.vps = VPS(max_dec_pic_buffering=dpb, num_reorder_pics=reorder,
                        ptl=ptl)
         self.sps = SPS(
@@ -255,10 +256,34 @@ class Encoder:
         new_anchor = (anchor_poc, self._last_recon)
         self.anchors.insert(0, new_anchor)
         del self.anchors[max(1, self.param.ref):]
-        for (poc_b, frame_b, cost_b, _rec_b) in bs:
+        bref = None
+        rest = bs
+        if self.pyramid and len(bs) >= 3 and prev_anchor is not None:
+            # B-pyramid (x265 --b-pyramid): the middle B is coded first as
+            # a REFERENCED B (TRAIL_R); the remaining Bs predict from the
+            # nearest anchors around them
+            mid = len(bs) // 2
+            poc_m, frame_m, cost_m, _ = bs[mid]
+            # referenced B sits between P and leaf-B on the QP ladder
+            qp = max(0, self.rc.start(SLICE_B, cost_m) - 2)
+            au = self._encode_b_frame(frame_m, poc_m, prev_anchor,
+                                      new_anchor, qp, as_ref=True)
+            self.rc.end(len(au) * 8)
+            out += au
+            bref = (poc_m, self._bref_recon)
+            rest = bs[:mid] + bs[mid + 1:]
+        for (poc_b, frame_b, cost_b, _rec_b) in rest:
+            if bref is not None:
+                a0 = bref if bref[0] < poc_b else prev_anchor
+                a1 = bref if bref[0] > poc_b else new_anchor
+                # keep everything later Bs still need (both RPS sides)
+                keep = [x for x in (bref[0], new_anchor[0], prev_anchor[0])
+                        if x not in (a0[0], a1[0])]
+            else:
+                a0, a1, keep = prev_anchor, new_anchor, []
             qp = self.rc.start(SLICE_B, cost_b)
-            au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
-                                      new_anchor, qp)
+            au = self._encode_b_frame(frame_b, poc_b, a0, a1, qp,
+                                      extra_keep=keep)
             self.rc.end(len(au) * 8)
             out += au
         self.anchor = new_anchor
@@ -577,19 +602,24 @@ class Encoder:
             p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
         return yy, cbb, crr
 
-    def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None) -> bytes:
-        """Non-reference B picture between two anchors (TRAIL_N)."""
+    def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None,
+                        as_ref=False, extra_keep=()) -> bytes:
+        """B picture between two anchors: TRAIL_N when unreferenced,
+        TRAIL_R for the pyramid's middle B (--b-pyramid)."""
         p = self.param
         y, cb, cr = frame
         p0, rec0 = anchor0
         p1, rec1 = anchor1
         if qp is None:
             qp = self._slice_qp(SLICE_B)
-        # negatives: the L0 ref (used) + older anchors kept alive for the
-        # next P (used_by_curr = 0) — dropping them from the RPS would
+        # negatives: the L0 ref (used) + pictures kept alive for later
+        # frames (used_by_curr = 0) — dropping them from the RPS would
         # evict them from a conformant decoder's DPB
-        older = [a[0] for a in self.anchors[1:] if a[0] < p0]
+        older = sorted({a[0] for a in self.anchors[1:] if a[0] < p0} |
+                       {k for k in extra_keep if k < poc and k != p0},
+                       reverse=True)
         negs = [p0 - poc] + [op - poc for op in older]
+        pos_keep = sorted(k for k in extra_keep if k > poc and k != p1)
         sh = SliceHeader(
             first_slice_in_pic=True,
             slice_type=SLICE_B,
@@ -599,7 +629,9 @@ class Encoder:
             short_term_rps=ShortTermRPS(
                 num_negative=len(negs), delta_poc_s0=negs,
                 used_s0=[True] + [False] * len(older),
-                num_positive=1, delta_poc_s1=[p1 - poc], used_s1=[True]),
+                num_positive=1 + len(pos_keep),
+                delta_poc_s1=[p1 - poc] + [k - poc for k in pos_keep],
+                used_s1=[True] + [False] * len(pos_keep)),
             max_num_merge_cand=5,
         )
         decisions = (self._areader.get() if self._areader
@@ -607,8 +639,11 @@ class Encoder:
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
-        hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_N)
-        nal = make_nal(NAL_TRAIL_N, hdr_bw.data() + slice_data)
+        if as_ref:
+            self._bref_recon = recon
+        nal_type = NAL_TRAIL_R if as_ref else NAL_TRAIL_N
+        hdr_bw = write_slice_header(sh, self.sps, self.pps, nal_type)
+        nal = make_nal(nal_type, hdr_bw.data() + slice_data)
         au = self._aud(SLICE_B) + annexb([nal]) + self._hash_sei(recon)
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
                           len(au) * 8, poc)
