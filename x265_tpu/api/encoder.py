@@ -509,7 +509,8 @@ class Encoder:
                     p.cb_qp_offset, p.cr_qp_offset,
                     sao_params=sp, sao_luma=sp is not None,
                     sao_chroma=sp is not None, qp_map=decisions.qp_map,
-                    bit_depth=p.bit_depth, ref8=decisions.ref8)
+                    bit_depth=p.bit_depth, ref8=decisions.ref8,
+                    rdoq_level=0 if p.lossless else p.rdoq_level)
 
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):
@@ -539,6 +540,7 @@ class Encoder:
             writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
                                        refs=refs, ref_poc=ref_poc,
                                        cur_poc=poc)
+            writer.rdoq_level = 0 if p.lossless else p.rdoq_level
             data = writer.encode_slice_data(
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions,
                 sao_params=sp)

@@ -34,7 +34,7 @@ from x265_tpu.hevc.residual import encode_residual
 from x265_tpu.hevc.tables import CTX_OFF, SCANS, chroma_qp, coeff_scan_index
 from x265_tpu.ops.ref.intra import predict_block, get_ref_samples, predict
 from x265_tpu.ops.ref.transform import (
-    forward_transform, quantize, dequantize, inverse_transform,
+    forward_transform, quantize, dequantize, inverse_transform, rdoq,
     sign_bit_hiding_adjust,
 )
 
@@ -71,6 +71,7 @@ class FrameSyntaxWriter:
         ref_planes= keeps the single-L0-reference call shape."""
         self.sps, self.pps, self.sh = sps, pps, sh
         self.lossless = lossless
+        self.rdoq_level = 0          # set by the encoder (x265 --rdoq-level)
         self.bd = sps.bit_depth
         self.qp_y = sh.qp
         self.cur_poc = cur_poc
@@ -530,6 +531,9 @@ class FrameSyntaxWriter:
         use_dst = is_intra_tb and c_idx == 0 and log2 == 2
         coeff = forward_transform(resi, use_dst, self.bd)
         level = quantize(coeff, qp, log2, is_intra_tb, self.bd)
+        if self.rdoq_level > 0 and np.any(level):
+            lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            level = rdoq(coeff, level, qp, log2, lam, self.bd)
         if self.pps.sign_data_hiding and np.any(level):
             level = sign_bit_hiding_adjust(level, SCANS[(log2, 0)])
         if not np.any(level):
@@ -575,6 +579,11 @@ class FrameSyntaxWriter:
         use_dst = (c_idx == 0 and log2 == 2)
         coeff = forward_transform(resi, use_dst, self.bd)
         level = quantize(coeff, qp, log2, True, self.bd)
+        if self.rdoq_level > 0 and np.any(level):
+            # 0.4x lambda: calibrated against the static bin-count rate
+            # model (full CABAC fracBits estimates would use 1.0)
+            lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
+            level = rdoq(coeff, level, qp, log2, lam, self.bd)
         if self.pps.sign_data_hiding and np.any(level):
             scan = SCANS[(log2, coeff_scan_index(log2, c_idx, mode, True))]
             level = sign_bit_hiding_adjust(level, scan)

@@ -89,7 +89,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # sao c maps
             ctypes.c_void_p, ctypes.c_void_p,                    # sao c offsets
             ctypes.c_void_p, ctypes.c_void_p,                    # qp map in/out
-            ctypes.c_int,                                        # bit depth
+            ctypes.c_int, ctypes.c_int,                          # bit depth, rdoq
             ctypes.c_void_p, ctypes.c_int,                       # out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
             ctypes.c_void_p,                                     # cbf4 out
@@ -149,7 +149,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
-                    qp_map=None, bit_depth=8, ref8=None):
+                    qp_map=None, bit_depth=8, ref8=None, rdoq_level=0):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -226,7 +226,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         cb_qp_off, cr_qp_off,
         int(sao_luma), int(sao_chroma), *sao_ptrs,
         qmp, qp_actual.ctypes.data,
-        bit_depth,
+        bit_depth, rdoq_level,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data)

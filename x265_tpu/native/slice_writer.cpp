@@ -13,6 +13,7 @@
 #include <string.h>
 #include <stdlib.h>
 #include <vector>
+#include <cmath>
 #include <algorithm>
 
 #include "tables_gen.h"
@@ -386,6 +387,65 @@ static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out) 
   }
 }
 
+// RDOQ, simplified (Quant::rdoQuant analog; mirrors ops/ref/transform.rdoq):
+// per-coefficient level choice among {l, l-1, 0} + whole-CG zeroing with a
+// static bin-count rate model; lam is pre-scaled by the 0.4 calibration.
+static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
+                        int bd, double lam) {
+  int log2 = 0; while ((1 << log2) < n) log2++;
+  int per = qp / 6, rem = qp % 6;
+  int bd_shift = bd + log2 - 5;
+  int64_t scale = (int64_t)kDequantScale[rem] * 16;
+  int tr_shift = 15 - bd - log2;
+  double err_norm = std::pow(2.0, 2 * tr_shift);
+  auto deq = [&](int64_t l) { return (l * (scale << per)) >> bd_shift; };
+  auto rate = [&](int64_t l) -> double {
+    if (l == 0) return 1.0;
+    double r = 3.0;                       // sig + gt1 + sign
+    if (l > 1) r += 1.0 + 2.0 * std::floor(std::log2((double)l)) + 1.0;
+    return r;
+  };
+  for (int i = 0; i < n * n; i++) {
+    int64_t c = coeff[i];
+    int s = lvl[i] < 0 ? -1 : 1;
+    int64_t l0 = lvl[i] < 0 ? -(int64_t)lvl[i] : lvl[i];
+    if (l0 == 0) continue;
+    double best = 1e30;
+    int64_t bl = l0;
+    int64_t cands[3] = {l0, l0 - 1, 0};
+    for (int64_t l : cands) {
+      double e = (double)(c - s * deq(l));
+      double cost = e * e / err_norm + lam * rate(l);
+      if (cost < best) { best = cost; bl = l; }
+    }
+    lvl[i] = (int32_t)(s * bl);
+  }
+  // CG zeroing
+  int ng = n / 4;
+  for (int cy = 0; cy < ng; cy++)
+    for (int cx = 0; cx < ng; cx++) {
+      double d_now = 0, d_zero = 0, r_now = 0;
+      bool any = false;
+      for (int j = 0; j < 4; j++)
+        for (int i = 0; i < 4; i++) {
+          int idx = (cy * 4 + j) * n + cx * 4 + i;
+          int64_t c = coeff[idx];
+          int64_t l = lvl[idx] < 0 ? -(int64_t)lvl[idx] : lvl[idx];
+          int s = lvl[idx] < 0 ? -1 : 1;
+          double e = (double)(c - s * deq(l));
+          d_now += e * e / err_norm;
+          d_zero += (double)c * (double)c / err_norm;
+          r_now += rate(l);
+          if (l) any = true;
+        }
+      if (any && (d_zero - d_now) < lam * (r_now - 1.0)) {
+        for (int j = 0; j < 4; j++)
+          for (int i = 0; i < 4; i++)
+            lvl[(cy * 4 + j) * n + cx * 4 + i] = 0;
+      }
+    }
+}
+
 // sign-bit-hiding pre-adjust (encoder choice; matches python reference)
 static void sbh_adjust(int32_t* lvl, int n, const uint16_t* scan) {
   for (int cg = 0; cg < n * n; cg += 16) {
@@ -703,6 +763,7 @@ struct Writer {
   // picture geometry / params
   int width, height, ctb_log2, min_cb_log2;
   int qp, bd;
+  int rdoq_level = 0;
   bool lossless, sign_hiding, strong_smooth;
   int cb_qp_off, cr_qp_off;
   // planes (int16 working recon)
@@ -1159,6 +1220,9 @@ struct Writer {
     std::vector<int32_t> cf(n * n);
     fwd_transform(resi.data(), n, false, bd, cf.data());
     quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false);
+    if (rdoq_level > 0)
+      rdoq_adjust(cf.data(), lvl, n, qpc, bd,
+                  0.4 * 0.85 * std::pow(2.0, (qpc - 12) / 3.0));
     bool nz = false;
     for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1431,6 +1495,9 @@ struct Writer {
     std::vector<int32_t> cf(nt * nt), lvl(nt * nt);
     fwd_transform(resi.data(), nt, use_dst, bd, cf.data());
     quantize(cf.data(), nt, qpc, bd, lvl.data());
+    if (rdoq_level > 0)
+      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd,
+                  0.4 * 0.85 * std::pow(2.0, (qpc - 12) / 3.0));
     bool nz = false;
     for (int i = 0; i < nt * nt; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1552,7 +1619,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int32_t* sao_class_cb, const int32_t* sao_class_cr,
                     const int32_t* sao_off_cb, const int32_t* sao_off_cr,
                     const int32_t* qp_map, int32_t* qp_actual_out,
-                    int bit_depth,
+                    int bit_depth, int rdoq_level,
                     uint8_t* out, int out_cap,
                     int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
                     uint8_t* cbf4_out) {
@@ -1587,6 +1654,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.sao_class_cb = sao_class_cb; w.sao_class_cr = sao_class_cr;
   w.sao_off_cb = sao_off_cb; w.sao_off_cr = sao_off_cr;
   w.qp_map = qp_map;
+  w.rdoq_level = rdoq_level;
   w.run();
   if (qp_actual_out)
     memcpy(qp_actual_out, w.qp_actual.data(),
