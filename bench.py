@@ -34,13 +34,14 @@ def main():
     p.width, p.height = w, h
     param_parse(p, "lossless")
     param_parse(p, "keyint", "1")   # all-intra (matches the baseline figure)
-    enc = Encoder(p)
-    # warm-up (jit compile)
-    enc.encode_frame(*frames[0])
+    # warm-up on a throwaway encoder: compiles every shape the timed run
+    # uses (incl. the batched-analysis dispatch)
+    Encoder(p).encode(frames)
 
+    enc = Encoder(p)
     t0 = time.time()
     n = len(frames)
-    enc.encode(frames)        # pipelined: TPU analysis overlaps CPU entropy
+    enc.encode(frames)        # batched analysis dispatch + CPU finalizers
     dt = time.time() - t0
     fps = n / dt
     baseline = 3.02  # x265 ultrafast lossless 720p, doc/reST/lossless.rst

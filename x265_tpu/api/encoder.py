@@ -832,29 +832,24 @@ class Encoder:
         dispatched (async) before the CPU finalizer of frame N runs — the
         frame-pipeline re-imagining of x265's frame threads (SURVEY.md
         §2.4 P2) on one chip."""
-        from collections import deque
         from x265_tpu.models.intra_frame import (
-            finish_intra_analysis, submit_intra_analysis)
+            finish_intra_analysis, submit_intra_analysis_batch)
         p = self.param
         cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
         out = [self.headers()]
 
-        def emit(frame, handle):
-            dec = finish_intra_analysis(handle)
-            qp = self.rc.start(SLICE_I, 1.0)
-            au = self._encode_intra_frame(*frame, dec, qp=qp)
-            self.rc.end(len(au) * 8)
-            self.frame_count += 1
-            return au
-
-        pend = deque()
-        for f in frames:
-            f = tuple(np.asarray(pl) for pl in f)
-            pend.append((f, submit_intra_analysis(f[0], p.width, p.height,
-                                                  cu_log2)))
-            if len(pend) > 1:
-                out.append(emit(*pend.popleft()))
-        while pend:
-            out.append(emit(*pend.popleft()))
+        frames = [tuple(np.asarray(pl) for pl in f) for f in frames]
+        BATCH = 8      # frames per dispatch (bounds device memory)
+        for i in range(0, len(frames), BATCH):
+            chunk = frames[i:i + BATCH]
+            handles = submit_intra_analysis_batch(
+                [f[0] for f in chunk], p.width, p.height, cu_log2)
+            for f, h in zip(chunk, handles):
+                dec = finish_intra_analysis(h)
+                qp = self.rc.start(SLICE_I, 1.0)
+                au = self._encode_intra_frame(*f, dec, qp=qp)
+                self.rc.end(len(au) * 8)
+                self.frame_count += 1
+                out.append(au)
         self.close()
         return b"".join(out)
