@@ -63,3 +63,20 @@ def test_profiling_scopes():
         pass
     r = profiling.report()
     assert r["analysis"]["calls"] == 1
+
+
+def test_intra_refresh_column_sweeps():
+    """--intra-refresh forces one intra CTU column per P frame, sweeping
+    across the picture (x265_encoder_intra_refresh analog)."""
+    frames = _frames(6)
+    p = param_default_preset("medium")
+    p.width, p.height = 96, 64
+    p.qp, p.rc_mode, p.bframes = 30, RC_CQP, 0
+    p.intra_refresh = True
+    enc = Encoder(p)
+    stream = enc.encode(frames)
+    assert len(HEVCDecoder().decode(stream)) == 6
+    if de265.available():
+        assert len(de265.decode(stream)) == 6
+    dec = enc._p_decisions(frames[1][0], [enc.anchors[0][1]], 30)
+    assert (~dec.inter8).all(axis=0).any()     # a full intra column exists

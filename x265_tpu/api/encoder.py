@@ -773,7 +773,23 @@ class Encoder:
         from x265_tpu.engine.me import eval_mvs
         satd16 = eval_mvs(aux, best_mv).reshape(best_mv.shape[:2])
         self._merge_cu32(dec, satd16, qpv)
+        self._apply_intra_refresh(dec)
         return dec
+
+    def _apply_intra_refresh(self, dec) -> None:
+        """Periodic intra refresh (x265 --intra-refresh /
+        x265_encoder_intra_refresh, x265.h:2108): a CTU column per P
+        frame is forced intra, sweeping the frame every pic-width-in-CTUs
+        frames — packet-loss recovery without IDR bitrate spikes."""
+        p = self.param
+        if not p.intra_refresh or dec.inter8 is None:
+            return
+        ncols = p.pic_width_in_ctbs
+        col = getattr(self, "_ir_col", 0) % ncols
+        self._ir_col = col + 1
+        x0 = col * p.ctu_size
+        x1 = min(p.width, x0 + p.ctu_size)
+        dec.inter8[:, x0 >> 3:x1 >> 3] = False
 
     def _b_decisions(self, y, ref0_y, ref1_y, qp=None) -> FrameDecisions:
         """B-frame analysis: ME vs both anchors + bi-prediction trial

@@ -58,6 +58,7 @@ class Param:
     keyint: int = 250            # max keyframe interval
     min_keyint: int = 0          # 0 = auto (bframes+1)
     scenecut: int = 40           # 0 = off (x265 --scenecut)
+    intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
     b_pyramid: bool = True
@@ -223,6 +224,7 @@ _OPT_ALIASES = {
     "keyint": "keyint",
     "min-keyint": "min_keyint",
     "scenecut": "scenecut",
+    "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
     "open-gop": "open_gop",
