@@ -59,7 +59,14 @@ class Encoder:
         self.bframes = p.bframes if self.ipp else 0
         self.pyramid = p.b_pyramid and self.bframes >= 3
         reorder = (2 if self.pyramid else 1) if self.bframes else 0
-        dpb = ((4 if self.pyramid else 3) if self.bframes else 2)             if self.ipp else 1
+        # DPB size must cover every retained picture: up to p.ref anchors
+        # + the pyramid's bref + the current picture (libde265 enforces
+        # sps_max_dec_pic_buffering strictly)
+        if not self.ipp:
+            dpb = 1
+        else:
+            refs_kept = max(1, p.ref) + (1 if self.pyramid else 0)
+            dpb = min(8, refs_kept + 1 + (1 if self.bframes else 0))
         self.vps = VPS(max_dec_pic_buffering=dpb, num_reorder_pics=reorder,
                        ptl=ptl)
         self.sps = SPS(
