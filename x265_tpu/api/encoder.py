@@ -91,6 +91,7 @@ class Encoder:
             ptl=ptl,
         )
         self.pps = PPS(
+            weighted_pred=p.weightp,
             sign_data_hiding=p.sign_hide and not p.lossless,
             init_qp=26,
             cb_qp_offset=p.cb_qp_offset,
@@ -457,8 +458,27 @@ class Encoder:
         )
         refs_l0 = [a[1] for a in anchors]
         pocs_l0 = tuple(a[0] for a in anchors)
+        me_refs = refs_l0
+        if self.pps.weighted_pred:
+            # fade analysis vs the nearest ref (weightAnalyse analog,
+            # weightPrediction.cpp:480); weights ride the slice header
+            from x265_tpu.engine.weightp import (
+                DENOM, analyze_slice_weights, weight_plane)
+            wl, wc = analyze_slice_weights((y, cb, cr), refs_l0[0],
+                                           p.bit_depth)
+            n0 = len(anchors)
+            if wl is not None:
+                sh.luma_log2_weight_denom = DENOM
+                sh.luma_weights_l0 = [wl] + [None] * (n0 - 1)
+                r0 = refs_l0[0]
+                me_refs = ([(weight_plane(np.asarray(r0[0]), wl[0], wl[1],
+                                          p.bit_depth), r0[1], r0[2])]
+                           + list(refs_l0[1:]))
+            if wc is not None:
+                sh.chroma_log2_weight_denom = DENOM
+                sh.chroma_weights_l0 = [wc] + [None] * (n0 - 1)
         decisions = (self._areader.get() if self._areader
-                     else self._p_decisions(y, refs_l0, qp))
+                     else self._p_decisions(y, me_refs, qp))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, (refs_l0, []),
             (pocs_l0, ()), poc, SLICE_P)
@@ -495,6 +515,19 @@ class Encoder:
         if self._awriter is not None:
             self._awriter.put(decisions)
         sao_on = p.sao and not p.lossless
+        wp_native = None
+        if (sh.luma_weights_l0 is not None
+                or sh.chroma_weights_l0 is not None):
+            wp = np.zeros((4, 3, 3), np.int32)
+            for r, e in enumerate((sh.luma_weights_l0 or [])[:4]):
+                if e is not None:
+                    wp[r, 0] = (1, e[0], e[1])
+            for r, e in enumerate((sh.chroma_weights_l0 or [])[:4]):
+                if e is not None:
+                    wp[r, 1] = (1, e[0][0], e[0][1])
+                    wp[r, 2] = (1, e[1][0], e[1][1])
+            wp_native = (wp, sh.luma_log2_weight_denom,
+                         sh.chroma_log2_weight_denom)
         if self.use_native:
             from x265_tpu import native
             pad = 80
@@ -517,7 +550,8 @@ class Encoder:
                     sao_params=sp, sao_luma=sp is not None,
                     sao_chroma=sp is not None, qp_map=decisions.qp_map,
                     bit_depth=p.bit_depth, ref8=decisions.ref8,
-                    rdoq_level=0 if p.lossless else p.rdoq_level)
+                    rdoq_level=0 if p.lossless else p.rdoq_level,
+                    weights=wp_native)
 
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):

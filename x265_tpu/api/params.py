@@ -58,6 +58,7 @@ class Param:
     keyint: int = 250            # max keyframe interval
     min_keyint: int = 0          # 0 = auto (bframes+1)
     scenecut: int = 40           # 0 = off (x265 --scenecut)
+    weightp: bool = True         # explicit weighted pred for P (--weightp)
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -167,8 +168,8 @@ def param_default() -> Param:
 # doc/reST/presets.rst:35-104). Values are the knobs the TPU engine honors.
 _PRESET_TABLE = {
     #              ctu  bframes b_adapt rc_la ref rd  subme me      rect  amp   early rdoq aq
-    "ultrafast":  dict(ctu_size=32, bframes=3, b_adapt=0, rc_lookahead=5,  ref=1, rd_level=2, sub_me=0, me_method="dia", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=0, cu_tree=False, sao=False, deblock=False, tu_intra_depth=1, fast_intra=True),
-    "superfast":  dict(ctu_size=32, bframes=3, b_adapt=0, rc_lookahead=10, ref=1, rd_level=2, sub_me=1, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=0, cu_tree=False, sao=False, deblock=True,  tu_intra_depth=1, fast_intra=True),
+    "ultrafast":  dict(ctu_size=32, bframes=3, b_adapt=0, rc_lookahead=5,  ref=1, rd_level=2, sub_me=0, me_method="dia", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=0, cu_tree=False, sao=False, deblock=False, tu_intra_depth=1, fast_intra=True, weightp=False),
+    "superfast":  dict(ctu_size=32, bframes=3, b_adapt=0, rc_lookahead=10, ref=1, rd_level=2, sub_me=1, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=0, cu_tree=False, sao=False, deblock=True,  tu_intra_depth=1, fast_intra=True, weightp=False),
     "veryfast":   dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=2, rd_level=2, sub_me=1, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
     "faster":     dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=2, rd_level=2, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
     "fast":       dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=3, rd_level=2, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=False, rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
@@ -224,6 +225,8 @@ _OPT_ALIASES = {
     "keyint": "keyint",
     "min-keyint": "min_keyint",
     "scenecut": "scenecut",
+    "weightp": "weightp",
+    "w": "weightp",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",

@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     ap.add_argument("--recon", default=None, help="write recon Y4M")
     ap.add_argument("--no-tpu", action="store_true", help="numpy analysis path")
     ap.add_argument("--csv", default=None, help="per-frame CSV log")
-    args = ap.parse_args(argv)
+    args, extra = ap.parse_known_args(argv)
 
     from x265_tpu.api.params import param_default_preset, param_parse, RC_CQP
     from x265_tpu.api.encoder import Encoder
@@ -46,6 +46,25 @@ def main(argv=None) -> int:
     info = reader.info
 
     p = param_default_preset(args.preset, args.tune)
+    # any remaining --key [value] pairs route through param_parse — the
+    # same long-option surface x265's CLI exposes (x265cli.h long_options)
+    i = 0
+    while i < len(extra):
+        tok = extra[i]
+        if not tok.startswith("--"):
+            ap.error(f"unrecognized argument: {tok}")
+        name = tok[2:]
+        val = None
+        if "=" in name:
+            name, val = name.split("=", 1)
+        elif (i + 1 < len(extra) and not extra[i + 1].startswith("--")):
+            val = extra[i + 1]
+            i += 1
+        try:
+            param_parse(p, name, "1" if val is None else val)
+        except (KeyError, ValueError) as e:
+            ap.error(f"unknown/invalid option --{name}: {e}")
+        i += 1
     p.width, p.height = info.width, info.height
     if info.bit_depth > 8:
         p.bit_depth = info.bit_depth

@@ -266,7 +266,8 @@ class SliceDecoder:
 
     def _mc_pred(self, pic, c_idx, x0, y0, nt, motion):
         from x265_tpu.ops.ref.interp import (
-            bipred, mc_chroma_14, mc_luma_14, unipred)
+            bipred, mc_chroma_14, mc_luma_14, unipred, weighted_unipred)
+        from x265_tpu.engine.ctu_writer import _l0_weight
         dir_, mv0, mv1, r0, r1 = motion
 
         def one(lx, mv, r):
@@ -278,6 +279,9 @@ class SliceDecoder:
         if dir_ == 3:
             return bipred(one(0, mv0, r0), one(1, mv1, r1), self.bd)
         if dir_ == 1:
+            wp = _l0_weight(self.sh, r0, c_idx)
+            if wp is not None:
+                return weighted_unipred(one(0, mv0, r0), *wp, self.bd)
             return unipred(one(0, mv0, r0), self.bd)
         return unipred(one(1, mv1, r1), self.bd)
 

@@ -62,6 +62,26 @@ class FrameDecisions:
     qp_map: Optional[np.ndarray] = None      # [cty, ctx] per-CTB QP (AQ)
 
 
+def _l0_weight(sh, ref_idx, c_idx):
+    """(w, off, denom) for an explicit-weighted L0 ref, else None.
+
+    pred_weight_table semantics, 7.4.7.3 / 8.5.4.2.3.2 (P slices only —
+    weighted_bipred is never enabled by this encoder)."""
+    if getattr(sh, "slice_type", None) != 1:      # SLICE_P
+        return None
+    if c_idx == 0:
+        lw = getattr(sh, "luma_weights_l0", None)
+        if not lw or ref_idx >= len(lw) or lw[ref_idx] is None:
+            return None
+        w, off = lw[ref_idx]
+        return w, off, sh.luma_log2_weight_denom
+    cw = getattr(sh, "chroma_weights_l0", None)
+    if not cw or ref_idx >= len(cw) or cw[ref_idx] is None:
+        return None
+    w, off = cw[ref_idx][c_idx - 1]
+    return w, off, sh.chroma_log2_weight_denom
+
+
 class FrameSyntaxWriter:
     def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, lossless: bool,
                  ref_planes=None, refs=None, ref_poc=((), ()),
@@ -318,7 +338,7 @@ class FrameSyntaxWriter:
         """Motion compensation at quarter-pel (luma 8-tap) / eighth-pel
         (chroma 4-tap), uni or bi — spec 8.5.4.2.2-8.5.4.2.3."""
         from x265_tpu.ops.ref.interp import (
-            bipred, mc_chroma_14, mc_luma_14, unipred)
+            bipred, mc_chroma_14, mc_luma_14, unipred, weighted_unipred)
         dir_, mv0, mv1, r0, r1 = motion
 
         def one(lx, mv, r):
@@ -331,6 +351,9 @@ class FrameSyntaxWriter:
         if dir_ == 3:
             return bipred(one(0, mv0, r0), one(1, mv1, r1), self.bd)
         if dir_ == 1:
+            wp = _l0_weight(self.sh, r0, c_idx)
+            if wp is not None:
+                return weighted_unipred(one(0, mv0, r0), *wp, self.bd)
             return unipred(one(0, mv0, r0), self.bd)
         return unipred(one(1, mv1, r1), self.bd)
 

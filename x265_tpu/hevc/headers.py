@@ -157,6 +157,13 @@ class SliceHeader:
     loop_filter_across_slices: bool = True
     num_entry_points: int = 0
     entry_point_offsets: List[int] = field(default_factory=list)
+    # explicit weighted prediction (pred_weight_table, 7.3.6.3):
+    # per-L0-ref (w, off) luma and [(wcb, ocb), (wcr, ocr)] chroma; None
+    # entries mean default (unweighted)
+    luma_log2_weight_denom: int = 0
+    chroma_log2_weight_denom: int = 0
+    luma_weights_l0: Optional[List] = None    # [(w, off) or None, ...]
+    chroma_weights_l0: Optional[List] = None  # [((w,o),(w,o)) or None, ...]
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +596,57 @@ def is_idr(nal_type: int) -> bool:
     return nal_type in (NAL_IDR_W_RADL, NAL_IDR_N_LP)
 
 
+def _write_pred_weight_table(bw: BitWriter, sh: SliceHeader) -> None:
+    """pred_weight_table (7.3.6.3), L0 only (P slices)."""
+    n = sh.num_ref_idx_l0_active
+    lw = sh.luma_weights_l0 or [None] * n
+    cw = sh.chroma_weights_l0 or [None] * n
+    bw.write_ue(sh.luma_log2_weight_denom)
+    bw.write_se(sh.chroma_log2_weight_denom - sh.luma_log2_weight_denom)
+    for i in range(n):
+        bw.write_flag(lw[i] is not None)
+    for i in range(n):
+        bw.write_flag(cw[i] is not None)
+    for i in range(n):
+        if lw[i] is not None:
+            w, off = lw[i]
+            bw.write_se(w - (1 << sh.luma_log2_weight_denom))
+            bw.write_se(off)
+        if cw[i] is not None:
+            for (w, off) in cw[i]:
+                bw.write_se(w - (1 << sh.chroma_log2_weight_denom))
+                # delta_chroma_offset (7.4.7.3): off coded as delta vs the
+                # weight-implied midpoint shift
+                pred = 128 - ((128 * w) >> sh.chroma_log2_weight_denom)
+                bw.write_se(off - pred)
+
+
+def _parse_pred_weight_table(br: BitReader, sh: SliceHeader) -> None:
+    n = sh.num_ref_idx_l0_active
+    sh.luma_log2_weight_denom = br.read_ue()
+    sh.chroma_log2_weight_denom = (sh.luma_log2_weight_denom + br.read_se())
+    lflags = [br.read_flag() for _ in range(n)]
+    cflags = [br.read_flag() for _ in range(n)]
+    lw: List = [None] * n
+    cw: List = [None] * n
+    for i in range(n):
+        if lflags[i]:
+            dw = br.read_se()
+            off = br.read_se()
+            lw[i] = ((1 << sh.luma_log2_weight_denom) + dw, off)
+        if cflags[i]:
+            pair = []
+            for _ in range(2):
+                dw = br.read_se()
+                doff = br.read_se()
+                w = (1 << sh.chroma_log2_weight_denom) + dw
+                pred = 128 - ((128 * w) >> sh.chroma_log2_weight_denom)
+                pair.append((w, doff + pred))
+            cw[i] = tuple(pair)
+    sh.luma_weights_l0 = lw
+    sh.chroma_weights_l0 = cw
+
+
 def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int) -> BitWriter:
     """Write the slice header; returns the (unaligned-complete) BitWriter so
     the caller can append entry points + byte alignment + slice data."""
@@ -643,7 +701,7 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int) -> Bi
                 bw.write_ue(0)            # collocated_ref_idx
         if (pps.weighted_pred and sh.slice_type == SLICE_P) or (
                 pps.weighted_bipred and sh.slice_type == SLICE_B):
-            raise NotImplementedError("pred weight table")
+            _write_pred_weight_table(bw, sh)
         bw.write_ue(5 - sh.max_num_merge_cand)
     bw.write_se(sh.qp - 26 - (pps.init_qp - 26))
     if pps.slice_chroma_qp_offsets_present:
@@ -717,7 +775,7 @@ def parse_slice_header(data: bytes, nal_type: int, sps: SPS, pps: PPS) -> tuple:
                 br.read_ue()
         if (pps.weighted_pred and sh.slice_type == SLICE_P) or (
                 pps.weighted_bipred and sh.slice_type == SLICE_B):
-            raise NotImplementedError("pred weight table")
+            _parse_pred_weight_table(br, sh)
         sh.max_num_merge_cand = 5 - br.read_ue()
     sh.qp = 26 + pps.init_qp - 26 + br.read_se()
     if pps.slice_chroma_qp_offsets_present:

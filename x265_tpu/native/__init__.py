@@ -93,6 +93,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int,                       # out, cap
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
             ctypes.c_void_p,                                     # cbf4 out
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,         # weights, denoms
         ]
         _lib = lib
         return _lib
@@ -149,10 +150,14 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     ctb_log2, min_cb_log2, qp, lossless, sign_hiding,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
-                    qp_map=None, bit_depth=8, ref8=None, rdoq_level=0):
+                    qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
+                    weights=None):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
+    weights: optional (wp[4,3,3] int32 flag/w/off per L0 ref x plane,
+    luma_denom, chroma_denom) — explicit P-slice weighted prediction
+    (pred_weight_table, 8.5.4.2.3.2).
     Returns (bytes, recon, cbf4, qp_actual) or None if unavailable.
     """
     lib = get_lib()
@@ -205,6 +210,11 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
             keep.append(a)
             sao_ptrs[i] = a.ctypes.data
     qp_actual = np.zeros(h4 * w4, dtype=np.int32)
+    wp_ptr, wp_ld, wp_cd = None, 0, 0
+    if weights is not None:
+        wp_arr = c(weights[0], dtype=np.int32)
+        keep.append(wp_arr)
+        wp_ptr, wp_ld, wp_cd = wp_arr.ctypes.data, weights[1], weights[2]
     qmp = None
     if qp_map is not None:
         qm = c(qp_map, dtype=np.int32)
@@ -229,7 +239,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         bit_depth, rdoq_level,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
-        cbf4.ctypes.data)
+        cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd)
     if n < 0:
         return None
     return (out[:n].tobytes(),

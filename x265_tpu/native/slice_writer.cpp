@@ -543,6 +543,21 @@ static void unipred_px(const int32_t* p14, int n, int bd, int32_t* out) {
   int shift = 14 - bd, off = 1 << (shift - 1), maxv = (1 << bd) - 1;
   for (int i = 0; i < n; i++) out[i] = clip3(0, maxv, (p14[i] + off) >> shift);
 }
+// Explicit weighted uni prediction (8.5.4.2.3.2): log2Wd = denom + 14 - bd
+static void weighted_unipred_px(const int32_t* p14, int n, int bd, int wgt,
+                                int off, int denom, int32_t* out) {
+  int log2wd = denom + 14 - bd, maxv = (1 << bd) - 1;
+  int64_t o = (int64_t)off << (bd - 8);
+  if (log2wd >= 1) {
+    int64_t rnd = 1ll << (log2wd - 1);
+    for (int i = 0; i < n; i++)
+      out[i] = clip3(0, maxv,
+                     (int32_t)((((int64_t)p14[i] * wgt + rnd) >> log2wd) + o));
+  } else {
+    for (int i = 0; i < n; i++)
+      out[i] = clip3(0, maxv, (int32_t)((int64_t)p14[i] * wgt + o));
+  }
+}
 static void bipred_px(const int32_t* a, const int32_t* b, int n, int bd,
                       int32_t* out) {
   int shift = 15 - bd, off = 1 << (shift - 1), maxv = (1 << bd) - 1;
@@ -779,6 +794,10 @@ struct Writer {
   const int32_t* mv8 = nullptr;       // [h8*w8*2*2] (list, x/y)
   static const int kMaxRef = 4;
   const int16_t* refp[2][4][3] = {{{nullptr}}};  // [list][ref][plane]
+  // explicit P-slice weights (pred_weight_table): [4 L0 refs][3 planes]
+  // x (flag, w, off); denoms per luma/chroma. null = unweighted.
+  const int32_t* wp = nullptr;
+  int wp_ldenom = 0, wp_cdenom = 0;
   const int32_t* ref8 = nullptr;                 // [h8*w8] L0 ref idx
   int pad_luma = 80;
   int ref_poc[2][4] = {{0}};
@@ -1190,7 +1209,13 @@ struct Writer {
         int l = m.dir == 1 ? 0 : 1;
         mc_14(refp[l][m.ref[l]][pl], stride, padc, xx, yy, n, n,
               m.mv[l][0], m.mv[l][1], fb, pl == 0, bd, t0.data());
-        unipred_px(t0.data(), n * n, bd, dst);
+        const int32_t* wpe = (l == 0 && wp) ? wp + (m.ref[0] * 3 + pl) * 3
+                                            : nullptr;
+        if (wpe && wpe[0])
+          weighted_unipred_px(t0.data(), n * n, bd, wpe[1], wpe[2],
+                              pl == 0 ? wp_ldenom : wp_cdenom, dst);
+        else
+          unipred_px(t0.data(), n * n, bd, dst);
       }
     };
     pred_plane(0, py);
@@ -1622,7 +1647,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     int bit_depth, int rdoq_level,
                     uint8_t* out, int out_cap,
                     int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
-                    uint8_t* cbf4_out) {
+                    uint8_t* cbf4_out,
+                    const int32_t* wp, int wp_ldenom, int wp_cdenom) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -1655,6 +1681,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.sao_off_cb = sao_off_cb; w.sao_off_cr = sao_off_cr;
   w.qp_map = qp_map;
   w.rdoq_level = rdoq_level;
+  w.wp = wp; w.wp_ldenom = wp_ldenom; w.wp_cdenom = wp_cdenom;
   w.run();
   if (qp_actual_out)
     memcpy(qp_actual_out, w.qp_actual.data(),

@@ -102,6 +102,22 @@ def unipred(pred14: np.ndarray, bd: int = 8) -> np.ndarray:
     return np.clip((pred14 + off) >> shift, 0, (1 << bd) - 1).astype(np.int32)
 
 
+def weighted_unipred(pred14: np.ndarray, w: int, off: int, denom: int,
+                     bd: int = 8) -> np.ndarray:
+    """Explicit weighted uni prediction (8.5.4.2.3.2): 14-bit -> pixels.
+
+    log2Wd = denom + (14 - bd); offset is scaled by (bd - 8) per spec.
+    Reference analog: x265 weightedPredictionUni (predict.cpp)."""
+    log2wd = denom + 14 - bd
+    o = off << (bd - 8)
+    p32 = pred14.astype(np.int64)
+    if log2wd >= 1:
+        val = ((p32 * w + (1 << (log2wd - 1))) >> log2wd) + o
+    else:
+        val = p32 * w + o
+    return np.clip(val, 0, (1 << bd) - 1).astype(np.int32)
+
+
 def bipred(pred14_a: np.ndarray, pred14_b: np.ndarray, bd: int = 8):
     """Default bi weighted prediction: average of two 14-bit preds."""
     shift = 15 - bd
