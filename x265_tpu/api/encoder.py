@@ -90,6 +90,24 @@ class Encoder:
             fps_num=p.fps_num, fps_den=p.fps_den,
             ptl=ptl,
         )
+        # HDR10 / colour description (x265 Encoder::configure vui wiring)
+        from x265_tpu.api.params import (
+            COLOUR_PRIMARIES, MATRIX_COEFFS, TRANSFER_CHARACTERISTICS)
+        if p.hdr10 and not p.colorprim:
+            p.colorprim, p.transfer, p.colormatrix = (
+                "bt2020", "smpte2084", "bt2020nc")
+        if p.colorprim:
+            self.sps.colour_primaries = COLOUR_PRIMARIES[p.colorprim.lower()]
+        if p.transfer:
+            self.sps.transfer_characteristics = (
+                TRANSFER_CHARACTERISTICS[p.transfer.lower()])
+        if p.colormatrix:
+            self.sps.matrix_coeffs = MATRIX_COEFFS[p.colormatrix.lower()]
+        self.sps.video_full_range = p.video_full_range
+        self.sps.chroma_loc = p.chromaloc
+        if (p.colorprim or p.transfer or p.colormatrix
+                or p.video_full_range or p.chromaloc >= 0):
+            self.sps.vui_present = True
         self.pps = PPS(
             weighted_pred=p.weightp,
             sign_data_hiding=p.sign_hide and not p.lossless,
@@ -137,11 +155,22 @@ class Encoder:
 
     def headers(self) -> bytes:
         """x265_encoder_headers analog: VPS/SPS/PPS as one Annex-B chunk."""
-        return annexb([
+        p = self.param
+        nals = [
             make_nal(NAL_VPS, write_vps(self.vps)),
             make_nal(NAL_SPS, write_sps(self.sps)),
             make_nal(NAL_PPS, write_pps(self.pps)),
-        ])
+        ]
+        out = annexb(nals)
+        # HDR10 static metadata rides prefix SEIs right after the
+        # parameter sets (x265 Encoder::getStreamHeaders analog)
+        from x265_tpu.hevc import sei as sei_mod
+        if p.master_display:
+            out += annexb([sei_mod.mastering_display_sei(p.master_display)])
+        if p.max_cll:
+            cll, fall = (int(v) for v in p.max_cll.split(","))
+            out += annexb([sei_mod.content_light_level_sei(cll, fall)])
+        return out
 
     def encode_frame(self, y: np.ndarray, cb: np.ndarray,
                      cr: np.ndarray,

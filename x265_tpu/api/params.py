@@ -59,6 +59,16 @@ class Param:
     min_keyint: int = 0          # 0 = auto (bframes+1)
     scenecut: int = 40           # 0 = off (x265 --scenecut)
     weightp: bool = True         # explicit weighted pred for P (--weightp)
+    # HDR10 / colour signalling (x265 --master-display, --max-cll,
+    # --colorprim/--transfer/--colormatrix/--range/--chromaloc, x265.h:611)
+    master_display: str = ""     # "G(..)B(..)R(..)WP(..)L(..)"
+    max_cll: str = ""            # "maxCLL,maxFALL"
+    colorprim: str = ""
+    transfer: str = ""
+    colormatrix: str = ""
+    video_full_range: bool = False
+    chromaloc: int = -1
+    hdr10: bool = False          # force-signal BT.2020/PQ even if unset
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -227,6 +237,15 @@ _OPT_ALIASES = {
     "scenecut": "scenecut",
     "weightp": "weightp",
     "w": "weightp",
+    "master-display": "master_display",
+    "max-cll": "max_cll",
+    "colorprim": "colorprim",
+    "transfer": "transfer",
+    "colormatrix": "colormatrix",
+    "range": "video_full_range",
+    "chromaloc": "chromaloc",
+    "hdr10": "hdr10",
+    "hdr": "hdr10",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
@@ -361,3 +380,23 @@ def check_params(p: Param) -> Param:
     if not p.profile:
         p.profile = "main" if p.bit_depth == 8 else "main10"
     return p
+
+
+# H.273 colour description name -> code tables (x265 x265.h:vui strings)
+COLOUR_PRIMARIES = {
+    "bt709": 1, "unknown": 2, "bt470m": 4, "bt470bg": 5, "smpte170m": 6,
+    "smpte240m": 7, "film": 8, "bt2020": 9, "smpte428": 10,
+    "smpte431": 11, "smpte432": 12,
+}
+TRANSFER_CHARACTERISTICS = {
+    "bt709": 1, "unknown": 2, "bt470m": 4, "bt470bg": 5, "smpte170m": 6,
+    "smpte240m": 7, "linear": 8, "log100": 9, "log316": 10,
+    "iec61966-2-4": 11, "bt1361e": 12, "iec61966-2-1": 13, "srgb": 13,
+    "bt2020-10": 14, "bt2020-12": 15, "smpte2084": 16, "smpte428": 17,
+    "arib-std-b67": 18,
+}
+MATRIX_COEFFS = {
+    "gbr": 0, "bt709": 1, "unknown": 2, "fcc": 4, "bt470bg": 5,
+    "smpte170m": 6, "smpte240m": 7, "ycgco": 8, "bt2020nc": 9,
+    "bt2020c": 10, "smpte2085": 11,
+}

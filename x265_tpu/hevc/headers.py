@@ -76,6 +76,12 @@ class SPS:
     temporal_mvp_enabled: bool = False
     strong_intra_smoothing: bool = True
     vui_present: bool = False
+    # VUI colour description (H.273); 0/unset = not signalled
+    colour_primaries: int = 0
+    transfer_characteristics: int = 0
+    matrix_coeffs: int = -1          # -1 unset (0 is a valid value: GBR)
+    video_full_range: bool = False
+    chroma_loc: int = -1             # -1 = not signalled
     fps_num: int = 0
     fps_den: int = 0
     ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
@@ -363,8 +369,27 @@ def write_sps(sps: SPS) -> bytes:
 def _write_vui(bw: BitWriter, sps: SPS) -> None:
     bw.write_flag(0)                      # aspect_ratio_info_present
     bw.write_flag(0)                      # overscan_info_present
-    bw.write_flag(0)                      # video_signal_type_present
-    bw.write_flag(0)                      # chroma_loc_info_present
+    colour_desc = (sps.colour_primaries or sps.transfer_characteristics
+                   or sps.matrix_coeffs >= 0)
+    if colour_desc or sps.video_full_range:
+        bw.write_flag(1)                  # video_signal_type_present
+        bw.write(5, 3)                    # video_format: unspecified
+        bw.write_flag(sps.video_full_range)
+        if colour_desc:
+            bw.write_flag(1)              # colour_description_present
+            bw.write(sps.colour_primaries or 2, 8)
+            bw.write(sps.transfer_characteristics or 2, 8)
+            bw.write(sps.matrix_coeffs if sps.matrix_coeffs >= 0 else 2, 8)
+        else:
+            bw.write_flag(0)
+    else:
+        bw.write_flag(0)                  # video_signal_type_present
+    if sps.chroma_loc >= 0:
+        bw.write_flag(1)                  # chroma_loc_info_present
+        bw.write_ue(sps.chroma_loc)       # top field
+        bw.write_ue(sps.chroma_loc)       # bottom field
+    else:
+        bw.write_flag(0)                  # chroma_loc_info_present
     bw.write_flag(0)                      # neutral_chroma_indication
     bw.write_flag(0)                      # field_seq
     bw.write_flag(0)                      # frame_field_info_present
@@ -437,11 +462,14 @@ def _parse_vui(br: BitReader, sps: SPS) -> None:
     if br.read_flag():                    # overscan
         br.read_flag()
     if br.read_flag():                    # video_signal_type
-        br.read(3); br.read_flag()
+        br.read(3)
+        sps.video_full_range = bool(br.read_flag())
         if br.read_flag():
-            br.read(8); br.read(8); br.read(8)
+            sps.colour_primaries = br.read(8)
+            sps.transfer_characteristics = br.read(8)
+            sps.matrix_coeffs = br.read(8)
     if br.read_flag():                    # chroma_loc
-        br.read_ue(); br.read_ue()
+        sps.chroma_loc = br.read_ue(); br.read_ue()
     br.read_flag(); br.read_flag(); br.read_flag()
     if br.read_flag():                    # default display window
         br.read_ue(); br.read_ue(); br.read_ue(); br.read_ue()

@@ -15,6 +15,8 @@ from x265_tpu.hevc.bitstream import BitWriter, make_nal, NAL_SUFFIX_SEI
 
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_DECODED_PICTURE_HASH = 132
+SEI_MASTERING_DISPLAY = 137
+SEI_CONTENT_LIGHT_LEVEL = 144
 
 
 def _plane_md5(plane: np.ndarray, bd: int) -> bytes:
@@ -89,3 +91,38 @@ def check_picture_hash(sei_payload: bytes, planes, bd: int = 8) -> bool:
     want = sei_payload[1:]
     got = b"".join(digests)
     return want == got
+
+
+def parse_master_display(s: str):
+    """Parse the x265 --master-display string
+    "G(x,y)B(x,y)R(x,y)WP(x,y)L(max,min)" -> (primaries[3][2] in G,B,R
+    order, white_point[2], max_lum, min_lum). Values already in the SEI's
+    0.00002-degree / 0.0001-nit units (x265 x265.h:masteringDisplayColorVolume).
+    """
+    import re
+    m = re.match(r"G\((\d+),(\d+)\)B\((\d+),(\d+)\)R\((\d+),(\d+)\)"
+                 r"WP\((\d+),(\d+)\)L\((\d+),(\d+)\)", s.replace(" ", ""))
+    if not m:
+        raise ValueError(f"bad master-display string: {s}")
+    v = [int(x) for x in m.groups()]
+    return ((v[0], v[1]), (v[2], v[3]), (v[4], v[5])), (v[6], v[7]), v[8], v[9]
+
+
+def mastering_display_sei(display: str) -> bytes:
+    """mastering_display_colour_volume SEI (payload 137, D.3.28) as a
+    prefix-SEI NAL. Takes the x265-format display string."""
+    prim, wp, maxl, minl = parse_master_display(display)
+    from x265_tpu.hevc.bitstream import NAL_PREFIX_SEI
+    pl = b""
+    for (x, y) in prim:
+        pl += x.to_bytes(2, "big") + y.to_bytes(2, "big")
+    pl += wp[0].to_bytes(2, "big") + wp[1].to_bytes(2, "big")
+    pl += maxl.to_bytes(4, "big") + minl.to_bytes(4, "big")
+    return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_MASTERING_DISPLAY, pl))
+
+
+def content_light_level_sei(max_cll: int, max_fall: int) -> bytes:
+    """content_light_level_info SEI (payload 144, D.3.35)."""
+    from x265_tpu.hevc.bitstream import NAL_PREFIX_SEI
+    pl = max_cll.to_bytes(2, "big") + max_fall.to_bytes(2, "big")
+    return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_CONTENT_LIGHT_LEVEL, pl))
