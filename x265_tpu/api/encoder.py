@@ -332,6 +332,9 @@ class Encoder:
         p = self.param
         if p.lossless:
             return p.qp
+        zone = self.rc.zone_for()
+        if zone is not None and "q" in zone:
+            return max(0, min(51, zone["q"]))
         if slice_type == SLICE_I:
             return max(0, p.qp - 3)
         if slice_type == SLICE_B:

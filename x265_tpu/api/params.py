@@ -69,6 +69,7 @@ class Param:
     video_full_range: bool = False
     chromaloc: int = -1
     hdr10: bool = False          # force-signal BT.2020/PQ even if unset
+    zones: str = ""              # "start,end,q=QP/start,end,b=MULT" ranges
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -246,6 +247,7 @@ _OPT_ALIASES = {
     "chromaloc": "chromaloc",
     "hdr10": "hdr10",
     "hdr": "hdr10",
+    "zones": "zones",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",

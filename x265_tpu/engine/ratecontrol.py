@@ -64,6 +64,7 @@ class _Predictor:
 class RateControl:
     def __init__(self, param):
         p = param
+        self.zones = parse_zones(getattr(p, "zones", ""))
         self.mode = p.rc_mode
         self.qp_const = p.qp
         self.lossless = p.lossless
@@ -142,8 +143,24 @@ class RateControl:
 
     # ---- per-frame API (encode order) ----
 
-    def start(self, slice_type: int, satd_cost: float) -> int:
+    def zone_for(self, frame_idx=None):
+        """The zone covering frame_idx (encode-order count if None), or
+        None (x265 Encoder::getZone / x264 zone lookup analog)."""
+        idx = self.frames_coded if frame_idx is None else frame_idx
+        for z in reversed(self.zones):     # later zones win (x264 rule)
+            if z["start"] <= idx <= z["end"]:
+                return z
+        return None
+
+    def start(self, slice_type: int, satd_cost: float,
+              frame_idx=None) -> int:
         """Pick the slice QP for the next frame in encode order."""
+        zone = self.zone_for(frame_idx)
+        if zone is not None and "q" in zone:
+            qp = max(0, min(51, zone["q"]))
+            self._pending = (slice_type, satd_cost, qp2qscale(qp))
+            self.last_qscale = qp2qscale(qp)
+            return qp
         if self.pass2_qp is not None and self.pass2_idx < len(self.pass2_qp):
             qp = self.pass2_qp[self.pass2_idx]
             self.pass2_idx += 1
@@ -180,6 +197,8 @@ class RateControl:
             overflow = 1.0 + (self.total_bits - wanted) / max(1.0, abr_buffer)
             qscale *= min(2.0, max(0.5, overflow))
 
+        if zone is not None and "b" in zone:
+            qscale /= zone["b"]            # bitrate multiplier (x264 rule)
         # slice-type modulation (applied in qscale domain)
         if slice_type == I_SLICE:
             qscale /= IP_FACTOR
@@ -242,3 +261,31 @@ class RateControl:
                 self.vbv_bufsize,
                 max(0.0, self.buffer_fill - bits + self.buffer_rate))
         self._pending = None
+
+
+def parse_zones(spec: str):
+    """Parse the x265 --zones string: "start,end,q=QP" or
+    "start,end,b=MULT" ranges joined by "/" (x265 x265.h:zones,
+    param.cpp parseZones analog)."""
+    zones = []
+    if not spec:
+        return zones
+    for part in spec.split("/"):
+        part = part.strip()
+        if not part:
+            continue
+        fields = part.split(",")
+        if len(fields) != 3 or "=" not in fields[2]:
+            raise ValueError(f"bad zone: {part}")
+        key, val = fields[2].split("=", 1)
+        z = {"start": int(fields[0]), "end": int(fields[1])}
+        if key.strip().lower() == "q":
+            z["q"] = int(val)
+        elif key.strip().lower() == "b":
+            z["b"] = float(val)
+        else:
+            raise ValueError(f"bad zone option: {key}")
+        if z["end"] < z["start"]:
+            raise ValueError(f"zone end < start: {part}")
+        zones.append(z)
+    return zones
