@@ -108,6 +108,7 @@ class Encoder:
         if (p.colorprim or p.transfer or p.colormatrix
                 or p.video_full_range or p.chromaloc >= 0):
             self.sps.vui_present = True
+        self.sps.temporal_mvp_enabled = p.tmvp
         self.pps = PPS(
             weighted_pred=p.weightp,
             sign_data_hiding=p.sign_hide and not p.lossless,
@@ -130,6 +131,7 @@ class Encoder:
         self.frame_count = 0         # display-order intake counter
         self.frames_since_idr = 0
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
+        self._colmv = {}             # poc -> ColCtx (TMVP source fields)
         self.anchors = []            # retained anchors, nearest first
         self.pending = []            # queued (poc, frame) awaiting an anchor
         from x265_tpu.engine.lookahead import Lookahead
@@ -420,6 +422,7 @@ class Encoder:
                          else self._intra_decisions(y))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([], []), ((), ()), 0, SLICE_I)
+        self._record_colmv(decisions, ((), ()), 0)
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
@@ -514,6 +517,7 @@ class Encoder:
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, (refs_l0, []),
             (pocs_l0, ()), poc, SLICE_P)
+        self._record_colmv(decisions, (pocs_l0, ()), poc)
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
@@ -521,6 +525,39 @@ class Encoder:
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
                           len(au) * 8, poc)
         return au
+
+    def _record_colmv(self, decisions, ref_poc, poc) -> None:
+        """Store this picture's 16x16-compressed motion field for later
+        TMVP use (spec MV storage compression, 8.5.3.2.7)."""
+        from x265_tpu.hevc.inter_tools import ColCtx
+        p = self.param
+        h16 = (p.height + 15) // 16
+        w16 = (p.width + 15) // 16
+        if decisions.inter8 is None or decisions.dir8 is None:
+            self._colmv[poc] = ColCtx(
+                poc, np.zeros((h16, w16), np.int32),
+                np.zeros((h16, w16, 2, 2), np.int32),
+                np.zeros((h16, w16, 2), np.int32))
+            return
+        inter16 = decisions.inter8[::2, ::2].astype(np.int32)
+        dir16 = np.where(inter16 > 0, decisions.dir8[::2, ::2], 0)
+        mv16 = np.asarray(decisions.mv8)[::2, ::2].copy()
+        refpoc16 = np.zeros((dir16.shape[0], dir16.shape[1], 2), np.int32)
+        if ref_poc[0]:
+            pocs0 = np.asarray(ref_poc[0], dtype=np.int32)
+            r16 = (np.asarray(decisions.ref8)[::2, ::2]
+                   if decisions.ref8 is not None
+                   else np.zeros(dir16.shape, np.int32))
+            refpoc16[..., 0] = pocs0[np.clip(r16, 0, len(pocs0) - 1)]
+        if ref_poc[1]:
+            refpoc16[..., 1] = ref_poc[1][0]
+        self._colmv[poc] = ColCtx(poc, dir16[:h16, :w16],
+                                  mv16[:h16, :w16],
+                                  refpoc16[:h16, :w16])
+        if len(self._colmv) > 12:      # bound the store (DPB-ish size)
+            for k in sorted(self._colmv)[:len(self._colmv) - 12]:
+                if k != poc:
+                    del self._colmv[k]
 
     def _inter_slice_data(self, frame, sh, decisions, refs, ref_poc, poc,
                           slice_type):
@@ -532,6 +569,17 @@ class Encoder:
         Returns (bytes, fully loop-filtered recon)."""
         p = self.param
         y, cb, cr = frame
+        # TMVP (8.5.3.2.7): collocated picture is L0[0] for P, L1[0] for
+        # B (x265 colFromL0 = low-delay rule); IDR clears the store
+        col = None
+        if slice_type == SLICE_I:
+            self._colmv.clear()
+        elif p.tmvp:
+            sh.collocated_from_l0 = slice_type != SLICE_B
+            lst = ref_poc[0] if sh.collocated_from_l0 else ref_poc[1]
+            if lst:
+                col = self._colmv.get(lst[0])
+        sh.temporal_mvp_enabled = col is not None
         if self.pps.cu_qp_delta_enabled and decisions.qp_map is None:
             from x265_tpu.engine.aq import aq_qp_offsets
             if p.aq_mode > 0:
@@ -583,7 +631,8 @@ class Encoder:
                     sao_chroma=sp is not None, qp_map=decisions.qp_map,
                     bit_depth=p.bit_depth, ref8=decisions.ref8,
                     rdoq_level=0 if p.lossless else p.rdoq_level,
-                    weights=wp_native)
+                    weights=wp_native, col=col,
+                    col_from_l0=int(sh.collocated_from_l0))
 
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):
@@ -612,7 +661,7 @@ class Encoder:
         def run_py(sp=None):
             writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
                                        refs=refs, ref_poc=ref_poc,
-                                       cur_poc=poc)
+                                       cur_poc=poc, col=col)
             writer.rdoq_level = 0 if p.lossless else p.rdoq_level
             data = writer.encode_slice_data(
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions,
@@ -715,6 +764,7 @@ class Encoder:
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
         if as_ref:
+            self._record_colmv(decisions, ((p0,), (p1,)), poc)
             self._bref_recon = recon
         nal_type = NAL_TRAIL_R if as_ref else NAL_TRAIL_N
         hdr_bw = write_slice_header(sh, self.sps, self.pps, nal_type)

@@ -70,6 +70,7 @@ class Param:
     chromaloc: int = -1
     hdr10: bool = False          # force-signal BT.2020/PQ even if unset
     zones: str = ""              # "start,end,q=QP/start,end,b=MULT" ranges
+    tmvp: bool = True            # temporal MVP (x265 sps always-on analog)
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -248,6 +249,8 @@ _OPT_ALIASES = {
     "hdr10": "hdr10",
     "hdr": "hdr10",
     "zones": "zones",
+    "tmvp": "tmvp",
+    "temporal-mvp": "tmvp",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",

@@ -77,6 +77,8 @@ class PictureDecodeState:
         self.sao_flags = (False, False)
         self.qp4 = None             # per-4x4 QP map once cu_qp_delta seen
         self.filtered = False
+        self.colctx = None          # ColCtx built at finish (TMVP source)
+        self.col = None             # collocated ColCtx for THIS picture
 
 
 class SliceDecoder:
@@ -294,7 +296,10 @@ class SliceDecoder:
             cands = merge_candidates(pic.ic, pic.avail4, x0, y0, size, size,
                                      sps.width, sps.height,
                                      sh.max_num_merge_cand, sps.ctb_size,
-                                     is_b=is_b, ref_poc=pic.ref_poc)
+                                     is_b=is_b, ref_poc=pic.ref_poc,
+                                     col=pic.col,
+                                     col_from_l0=int(sh.collocated_from_l0),
+                                     cur_poc=pic.poc)
             motion = cands[idx]
             cbf_y = cbf_cb = cbf_cr = 0
             merge = True
@@ -307,7 +312,11 @@ class SliceDecoder:
                 cands = merge_candidates(pic.ic, pic.avail4, x0, y0, size,
                                          size, sps.width, sps.height,
                                          sh.max_num_merge_cand, sps.ctb_size,
-                                         is_b=is_b, ref_poc=pic.ref_poc)
+                                         is_b=is_b, ref_poc=pic.ref_poc,
+                                         col=pic.col,
+                                         col_from_l0=int(
+                                             sh.collocated_from_l0),
+                                         cur_poc=pic.poc)
                 motion = cands[idx]
                 merge = True
             else:
@@ -342,7 +351,11 @@ class SliceDecoder:
                                            size, sps.width, sps.height,
                                            lx=lx, ref_idx=rid,
                                            cur_poc=pic.poc,
-                                           ref_poc=pic.ref_poc)
+                                           ref_poc=pic.ref_poc,
+                                           col=pic.col,
+                                           col_from_l0=int(
+                                               sh.collocated_from_l0),
+                                           ctb_size=sps.ctb_size)
                     mvs[lx] = (amvp[mvp_idx][0] + mvd[0],
                                amvp[mvp_idx][1] + mvd[1])
                 motion = (dir_, mvs[0], mvs[1], rids[0], rids[1])
@@ -661,6 +674,12 @@ class HEVCDecoder:
                     cur_pic.poc = poc
                     if sh.slice_type != SLICE_I:
                         self._build_ref_lists(cur_pic, sh, poc)
+                        if sh.temporal_mvp_enabled:
+                            lst = cur_pic.ref_poc[
+                                0 if sh.collocated_from_l0 else 1]
+                            ci = sh.collocated_ref_idx
+                            if ci < len(lst) and lst[ci] in self.dpb:
+                                cur_pic.col = self.dpb[lst[ci]].colctx
                 sd = SliceDecoder(sps, pps, sh, rbsp[off:])
                 sd.decode(cur_pic)
         flush_current()
@@ -673,6 +692,7 @@ class HEVCDecoder:
         SAO; the filtered picture is both the output and the reference)."""
         if pic.filtered:
             return
+        pic.colctx = _build_colctx(pic)
         if pic.deblock_params is not None:
             from x265_tpu.hevc.deblock import NOPOC
             refpoc4 = np.full(pic.ic.ref4.shape, NOPOC, dtype=np.int64)
@@ -701,3 +721,18 @@ class HEVCDecoder:
 def decode_file(path: str) -> List[DecodedPicture]:
     with open(path, "rb") as f:
         return HEVCDecoder().decode(f.read())
+
+
+def _build_colctx(pic):
+    """16x16-compressed motion field of a finished picture (the spec's MV
+    storage compression for TMVP, 8.5.3.2.7)."""
+    from x265_tpu.hevc.inter_tools import ColCtx
+    mv16 = pic.ic.mv4[::4, ::4].copy()
+    ref16 = pic.ic.ref4[::4, ::4]
+    dir16 = (((ref16[..., 0] >= 0).astype(np.int32))
+             | ((ref16[..., 1] >= 0).astype(np.int32) << 1))
+    refpoc16 = np.zeros(ref16.shape, np.int32)
+    for lx in (0, 1):
+        for r, rp in enumerate(pic.ref_poc[lx]):
+            refpoc16[..., lx][ref16[..., lx] == r] = rp
+    return ColCtx(pic.poc, dir16, mv16, refpoc16)

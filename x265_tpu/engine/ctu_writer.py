@@ -85,7 +85,7 @@ def _l0_weight(sh, ref_idx, c_idx):
 class FrameSyntaxWriter:
     def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, lossless: bool,
                  ref_planes=None, refs=None, ref_poc=((), ()),
-                 cur_poc: int = 0):
+                 cur_poc: int = 0, col=None):
         """refs: ([ (y,cb,cr) per L0 ref ], [ per L1 ref ]) reconstructed
         reference planes; ref_poc the matching POC lists; legacy
         ref_planes= keeps the single-L0-reference call shape."""
@@ -99,6 +99,9 @@ class FrameSyntaxWriter:
             refs = ([ref_planes], [])
             ref_poc = ((max(0, cur_poc - 1),), ())
         self.ref_poc = ref_poc
+        # collocated motion (TMVP); active only when the slice header
+        # says so (8.5.3.2.7)
+        self.col = col if getattr(sh, "temporal_mvp_enabled", False) else None
         self.pad = 80
         self.ref_pad = ([], [])
         if refs is not None:
@@ -398,7 +401,10 @@ class FrameSyntaxWriter:
         cands = merge_candidates(self.ic, self.avail4, x0, y0, size, size,
                                  sps.width, sps.height,
                                  sh.max_num_merge_cand, sps.ctb_size,
-                                 is_b=is_b, ref_poc=self.ref_poc)
+                                 is_b=is_b, ref_poc=self.ref_poc,
+                                 col=self.col,
+                                 col_from_l0=int(sh.collocated_from_l0),
+                                 cur_poc=self.cur_poc)
         merge_idx = next((i for i, c in enumerate(cands)
                           if _same_motion(c, motion)), -1)
         skip = merge_idx >= 0 and all_zero
@@ -450,7 +456,11 @@ class FrameSyntaxWriter:
                                        size, sps.width, sps.height,
                                        lx=lx, ref_idx=rid,
                                        cur_poc=self.cur_poc,
-                                       ref_poc=self.ref_poc)
+                                       ref_poc=self.ref_poc,
+                                       col=self.col,
+                                       col_from_l0=int(
+                                           sh.collocated_from_l0),
+                                       ctb_size=sps.ctb_size)
                 costs = [abs(mv[0] - c[0]) + abs(mv[1] - c[1]) for c in amvp]
                 mvp_idx = 0 if costs[0] <= costs[1] else 1
                 mvd = (mv[0] - amvp[mvp_idx][0], mv[1] - amvp[mvp_idx][1])

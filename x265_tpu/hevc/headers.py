@@ -156,6 +156,7 @@ class SliceHeader:
     sao_chroma: bool = False
     temporal_mvp_enabled: bool = False
     collocated_from_l0: bool = True
+    collocated_ref_idx: int = 0
     mvd_l1_zero: bool = False
     deblocking_filter_disabled: bool = False
     beta_offset_div2: int = 0
@@ -726,7 +727,7 @@ def write_slice_header(sh: SliceHeader, sps: SPS, pps: PPS, nal_type: int) -> Bi
             nrefs = (sh.num_ref_idx_l0_active if sh.collocated_from_l0
                      else sh.num_ref_idx_l1_active)
             if nrefs > 1:
-                bw.write_ue(0)            # collocated_ref_idx
+                bw.write_ue(sh.collocated_ref_idx)
         if (pps.weighted_pred and sh.slice_type == SLICE_P) or (
                 pps.weighted_bipred and sh.slice_type == SLICE_B):
             _write_pred_weight_table(bw, sh)
@@ -800,7 +801,7 @@ def parse_slice_header(data: bytes, nal_type: int, sps: SPS, pps: PPS) -> tuple:
             nrefs = (sh.num_ref_idx_l0_active if sh.collocated_from_l0
                      else sh.num_ref_idx_l1_active)
             if nrefs > 1:
-                br.read_ue()
+                sh.collocated_ref_idx = br.read_ue()
         if (pps.weighted_pred and sh.slice_type == SLICE_P) or (
                 pps.weighted_bipred and sh.slice_type == SLICE_B):
             _parse_pred_weight_table(br, sh)

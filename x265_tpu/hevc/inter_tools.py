@@ -4,7 +4,8 @@ merge candidate list (spec 8.5.3.2.3-8.5.3.2.5), AMVP predictor list
 (7.3.8.9 / 9.3.3.8).
 
 Two reference lists (P uses L0 only, B uses L0+L1), multiple refs per
-list, no TMVP (SPS temporal_mvp off). x265 analog:
+list, TMVP (temporal merge/MVP candidate, 8.5.3.2.7/8.5.3.2.9 with the
+16x16 compressed collocated motion field). x265 analog:
 getInterMergeCandidates/fillMvpCand in source/common/cudata.cpp and
 mergeEstimation in encoder/search.cpp:1891.
 
@@ -45,6 +46,62 @@ class InterCtx:
         self.skip4[s] = skip
 
 
+class ColCtx:
+    """Collocated picture's motion field at 16x16 granularity (the spec's
+    MV storage compression: the PU covering ((x>>4)<<4, (y>>4)<<4)) with
+    reference POCs resolved, for TMVP derivation (8.5.3.2.7-8.5.3.2.9)."""
+
+    def __init__(self, poc: int, dir16: np.ndarray, mv16: np.ndarray,
+                 refpoc16: np.ndarray):
+        self.poc = poc
+        self.dir16 = dir16            # [h16,w16] bitmask; 0 = intra
+        self.mv16 = mv16              # [h16,w16,2(list),2(xy)]
+        self.refpoc16 = refpoc16      # [h16,w16,2]
+
+
+def temporal_mv(col: ColCtx, x0: int, y0: int, nw: int, nh: int,
+                width: int, height: int, ctb_size: int, lx: int,
+                target_poc: int, cur_poc: int, no_backward: bool,
+                col_from_l0: int) -> Optional[MV]:
+    """Temporal luma MV for list lx targeting target_poc (8.5.3.2.7):
+    bottom-right C0 (same-CTU-row constraint) then center C1; col list
+    choice per 8.5.3.2.9; scaled per 8.5.3.2.8. None if unavailable."""
+    if col is None:
+        return None
+    positions = []
+    x_br, y_br = x0 + nw, y0 + nh
+    if (x_br < width and y_br < height
+            and (y_br // ctb_size) == (y0 // ctb_size)):
+        positions.append((x_br, y_br))
+    positions.append((x0 + (nw >> 1), y0 + (nh >> 1)))
+    for (x, y) in positions:
+        i, j = y >> 4, x >> 4
+        if i >= col.dir16.shape[0] or j >= col.dir16.shape[1]:
+            continue
+        d = int(col.dir16[i, j])
+        if d == 0:
+            continue                      # intra / unavailable
+        if d == 1:
+            ly = 0
+        elif d == 2:
+            ly = 1
+        elif no_backward:
+            ly = lx                       # all refs in the past: use X
+        else:
+            ly = col_from_l0              # N = collocated_from_l0_flag
+        mv = (int(col.mv16[i, j, ly, 0]), int(col.mv16[i, j, ly, 1]))
+        tb = cur_poc - target_poc
+        td = col.poc - int(col.refpoc16[i, j, ly])
+        return _scale_mv(mv, tb, td)
+    return None
+
+
+def no_backward_pred(ref_poc: Sequence[Sequence[int]],
+                     cur_poc: int) -> bool:
+    """NoBackwardPredFlag (8.5.3): every ref POC <= current POC."""
+    return all(p <= cur_poc for lst in ref_poc for p in lst)
+
+
 def _neighbor(ic: InterCtx, avail4: np.ndarray, x: int, y: int,
               width: int, height: int) -> Optional[Motion]:
     """Full motion of the 4x4 block at luma (x, y), or None."""
@@ -83,8 +140,10 @@ def merge_candidates(ic: InterCtx, avail4: np.ndarray, x0: int, y0: int,
                      nw: int, nh: int, width: int, height: int,
                      max_cand: int, ctb_size: int, is_b: bool = False,
                      ref_poc: Sequence[Sequence[int]] = ((0,), ()),
-                     ) -> List[Motion]:
-    """Merge list: spatial A1,B1,B0,A0,B2 + (B) combined bi + zero fill."""
+                     col: Optional[ColCtx] = None, col_from_l0: int = 1,
+                     cur_poc: int = 0) -> List[Motion]:
+    """Merge list: spatial A1,B1,B0,A0,B2 + temporal (TMVP, when col is
+    given) + (B) combined bi + zero fill."""
     a1 = _neighbor(ic, avail4, x0 - 1, y0 + nh - 1, width, height)
     b1 = _neighbor(ic, avail4, x0 + nw - 1, y0 - 1, width, height)
     b0 = _neighbor(ic, avail4, x0 + nw, y0 - 1, width, height)
@@ -104,6 +163,23 @@ def merge_candidates(ic: InterCtx, avail4: np.ndarray, x0: int, y0: int,
             not (a1 is not None and _same_motion(b2, a1)) and \
             not (b1 is not None and _same_motion(b2, b1)):
         cands.append(b2)
+
+    # temporal candidate (8.5.3.2.3 step with refIdx 0; no pruning
+    # against the spatial candidates)
+    if col is not None and len(cands) < max_cand:
+        nb = no_backward_pred(ref_poc, cur_poc)
+        mv0 = temporal_mv(col, x0, y0, nw, nh, width, height, ctb_size,
+                          0, ref_poc[0][0], cur_poc, nb, col_from_l0)
+        mv1 = None
+        if is_b and len(ref_poc[1]):
+            mv1 = temporal_mv(col, x0, y0, nw, nh, width, height,
+                              ctb_size, 1, ref_poc[1][0], cur_poc, nb,
+                              col_from_l0)
+        if mv0 is not None or mv1 is not None:
+            d = (1 if mv0 is not None else 0) | (2 if mv1 is not None else 0)
+            cands.append((d, mv0 or ZERO_MV, mv1 or ZERO_MV,
+                          0 if mv0 is not None else -1,
+                          0 if mv1 is not None else -1))
 
     # combined bi-predictive candidates (8.5.3.2.4), B slices only
     if is_b and len(cands) > 1 and len(cands) < max_cand:
@@ -186,7 +262,8 @@ def amvp_candidates(ic: InterCtx, avail4: np.ndarray, x0: int, y0: int,
                     nw: int, nh: int, width: int, height: int,
                     lx: int = 0, ref_idx: int = 0, cur_poc: int = 0,
                     ref_poc: Sequence[Sequence[int]] = ((0,), ()),
-                    ) -> List[MV]:
+                    col: Optional[ColCtx] = None, col_from_l0: int = 1,
+                    ctb_size: int = 64) -> List[MV]:
     """AMVP list for (list lx, ref_idx): A from {A0,A1}, B from {B0,B1,B2},
     with the normative scaling/fallback structure; dedup; zero-fill to 2."""
     target_poc = ref_poc[lx][ref_idx]
@@ -244,6 +321,12 @@ def amvp_candidates(ic: InterCtx, avail4: np.ndarray, x0: int, y0: int,
         out.append(mvp_a)
     if mvp_b is not None and mvp_b != mvp_a:
         out.append(mvp_b)
+    if len(out) < 2 and col is not None:
+        v = temporal_mv(col, x0, y0, nw, nh, width, height, ctb_size,
+                        lx, target_poc, cur_poc,
+                        no_backward_pred(ref_poc, cur_poc), col_from_l0)
+        if v is not None:
+            out.append(v)
     while len(out) < 2:
         out.append(ZERO_MV)
     return out[:2]

@@ -94,6 +94,8 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # recon out
             ctypes.c_void_p,                                     # cbf4 out
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,         # weights, denoms
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # col dir/mv/refpoc
+            ctypes.c_int, ctypes.c_int,                          # col poc, from_l0
         ]
         _lib = lib
         return _lib
@@ -151,13 +153,15 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
-                    weights=None):
+                    weights=None, col=None, col_from_l0=1):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
     weights: optional (wp[4,3,3] int32 flag/w/off per L0 ref x plane,
     luma_denom, chroma_denom) — explicit P-slice weighted prediction
     (pred_weight_table, 8.5.4.2.3.2).
+    col: optional ColCtx (inter_tools) — 16x16 collocated motion for
+    TMVP (8.5.3.2.7-8.5.3.2.9).
     Returns (bytes, recon, cbf4, qp_actual) or None if unavailable.
     """
     lib = get_lib()
@@ -215,6 +219,16 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         wp_arr = c(weights[0], dtype=np.int32)
         keep.append(wp_arr)
         wp_ptr, wp_ld, wp_cd = wp_arr.ctypes.data, weights[1], weights[2]
+    cd_ptr = cm_ptr = cp_ptr = None
+    col_poc = 0
+    if col is not None:
+        cda = c(col.dir16, dtype=np.int32)
+        cma = c(col.mv16, dtype=np.int32)
+        cpa = c(col.refpoc16, dtype=np.int32)
+        keep.extend((cda, cma, cpa))
+        cd_ptr, cm_ptr, cp_ptr = (cda.ctypes.data, cma.ctypes.data,
+                                  cpa.ctypes.data)
+        col_poc = col.poc
     qmp = None
     if qp_map is not None:
         qm = c(qp_map, dtype=np.int32)
@@ -239,7 +253,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         bit_depth, rdoq_level,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
-        cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd)
+        cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
+        cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0))
     if n < 0:
         return None
     return (out[:n].tobytes(),

@@ -798,6 +798,13 @@ struct Writer {
   // x (flag, w, off); denoms per luma/chroma. null = unweighted.
   const int32_t* wp = nullptr;
   int wp_ldenom = 0, wp_cdenom = 0;
+  // TMVP collocated motion (16x16 compressed, 8.5.3.2.7-8.5.3.2.9):
+  // col_dir [h16*w16] bitmask (0=intra), col_mv [h16*w16*2*2],
+  // col_refpoc [h16*w16*2]; active iff col_dir != null
+  const int32_t* col_dir = nullptr;
+  const int32_t* col_mv = nullptr;
+  const int32_t* col_refpoc = nullptr;
+  int col_poc = 0, col_from_l0 = 1;
   const int32_t* ref8 = nullptr;                 // [h8*w8] L0 ref idx
   int pad_luma = 80;
   int ref_poc[2][4] = {{0}};
@@ -1027,6 +1034,48 @@ struct Writer {
     return true;
   }
 
+  bool no_backward_pred() const {
+    for (int l = 0; l < 2; l++)
+      for (int r = 0; r < nref[l]; r++)
+        if (ref_poc[l][r] > cur_poc) return false;
+    return true;
+  }
+
+  // Temporal luma MV for list lx targeting target_poc (8.5.3.2.7):
+  // bottom-right C0 (same CTU row) then center C1; col list choice per
+  // 8.5.3.2.9; scaled per 8.5.3.2.8.
+  bool temporal_mv(int x0, int y0, int nw, int nh, int lx, int target_poc,
+                   bool no_backward, int* omv) const {
+    if (!col_dir) return false;
+    int w16 = (width + 15) >> 4, h16 = (height + 15) >> 4;
+    int ctb = 1 << ctb_log2;
+    int pos[2][2];
+    int np = 0;
+    int xbr = x0 + nw, ybr = y0 + nh;
+    if (xbr < width && ybr < height && (ybr / ctb) == (y0 / ctb)) {
+      pos[np][0] = xbr; pos[np][1] = ybr; np++;
+    }
+    pos[np][0] = x0 + (nw >> 1); pos[np][1] = y0 + (nh >> 1); np++;
+    for (int k = 0; k < np; k++) {
+      int i = pos[k][1] >> 4, j = pos[k][0] >> 4;
+      if (i >= h16 || j >= w16) continue;
+      int d = col_dir[i * w16 + j];
+      if (d == 0) continue;
+      int ly;
+      if (d == 1) ly = 0;
+      else if (d == 2) ly = 1;
+      else if (no_backward) ly = lx;
+      else ly = col_from_l0;
+      int mvx = col_mv[(i * w16 + j) * 4 + ly * 2];
+      int mvy = col_mv[(i * w16 + j) * 4 + ly * 2 + 1];
+      int tb = cur_poc - target_poc;
+      int td = col_poc - col_refpoc[(i * w16 + j) * 2 + ly];
+      scale_mv(mvx, mvy, tb, td, &omv[0], &omv[1]);
+      return true;
+    }
+    return false;
+  }
+
   int merge_list(int x0, int y0, int nw, int nh, Motion* out) const {
     Motion nb[5];
     bool ok[5];
@@ -1044,6 +1093,21 @@ struct Writer {
         !(ok[1] && same_motion(nb[4], nb[1])))
       out[n++] = nb[4];
     bool is_b = slice_type == 0;
+    // temporal candidate (refIdx 0, no pruning vs spatial)
+    if (col_dir && n < max_merge) {
+      bool nb_flag = no_backward_pred();
+      int mv0[2], mv1[2];
+      bool h0 = temporal_mv(x0, y0, nw, nh, 0, ref_poc[0][0], nb_flag, mv0);
+      bool h1 = is_b && nref[1] > 0 &&
+                temporal_mv(x0, y0, nw, nh, 1, ref_poc[1][0], nb_flag, mv1);
+      if (h0 || h1) {
+        Motion c;
+        c.dir = (h0 ? 1 : 0) | (h1 ? 2 : 0);
+        if (h0) { c.mv[0][0] = mv0[0]; c.mv[0][1] = mv0[1]; c.ref[0] = 0; }
+        if (h1) { c.mv[1][0] = mv1[0]; c.mv[1][1] = mv1[1]; c.ref[1] = 0; }
+        out[n++] = c;
+      }
+    }
     if (is_b && n > 1 && n < max_merge) {
       int n_orig = n;
       for (auto& pr : kCombPairs) {
@@ -1140,6 +1204,13 @@ struct Writer {
     if (have_a) { amvp_out[n][0] = mva[0]; amvp_out[n][1] = mva[1]; n++; }
     if (have_b && !(have_a && mvb[0] == mva[0] && mvb[1] == mva[1])) {
       amvp_out[n][0] = mvb[0]; amvp_out[n][1] = mvb[1]; n++;
+    }
+    if (n < 2 && col_dir) {
+      int mvt[2];
+      if (temporal_mv(x0, y0, nw, nh, lx, target_poc, no_backward_pred(),
+                      mvt)) {
+        amvp_out[n][0] = mvt[0]; amvp_out[n][1] = mvt[1]; n++;
+      }
     }
     for (; n < 2; n++) { amvp_out[n][0] = 0; amvp_out[n][1] = 0; }
   }
@@ -1648,7 +1719,10 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     uint8_t* out, int out_cap,
                     int16_t* rec_y, int16_t* rec_cb, int16_t* rec_cr,
                     uint8_t* cbf4_out,
-                    const int32_t* wp, int wp_ldenom, int wp_cdenom) {
+                    const int32_t* wp, int wp_ldenom, int wp_cdenom,
+                    const int32_t* col_dir, const int32_t* col_mv,
+                    const int32_t* col_refpoc, int col_poc,
+                    int col_from_l0) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -1682,6 +1756,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.qp_map = qp_map;
   w.rdoq_level = rdoq_level;
   w.wp = wp; w.wp_ldenom = wp_ldenom; w.wp_cdenom = wp_cdenom;
+  w.col_dir = col_dir; w.col_mv = col_mv; w.col_refpoc = col_refpoc;
+  w.col_poc = col_poc; w.col_from_l0 = col_from_l0;
   w.run();
   if (qp_actual_out)
     memcpy(qp_actual_out, w.qp_actual.data(),
