@@ -75,3 +75,35 @@ def test_decoded_picture_hash_sei():
         if any(check_picture_hash(s, planes) for s in seis):
             matched += 1
     assert matched == 4
+
+
+def test_recovery_point_sei_with_intra_refresh():
+    """recovery_point SEI (D.3.8) opens each --intra-refresh cycle."""
+    import numpy as np
+    from x265_tpu.api.encoder import Encoder
+    from x265_tpu.api.params import param_default_preset, param_parse
+    from x265_tpu.hevc.bitstream import (split_annexb,
+                                         strip_emulation_prevention)
+    from x265_tpu.hevc.sei import (SEI_RECOVERY_POINT, parse_recovery_point,
+                                   parse_sei)
+    p = param_default_preset("ultrafast")
+    p.width, p.height = 96, 64
+    p.bframes = 0
+    p.scenecut = 0
+    param_parse(p, "qp", "30")
+    param_parse(p, "intra-refresh")
+    param_parse(p, "keyint", "100")
+    rng = np.random.default_rng(3)
+    frames = [(rng.integers(0, 255, (64, 96)).astype(np.uint8),
+               np.full((32, 48), 120, np.uint8),
+               np.full((32, 48), 130, np.uint8)) for _ in range(5)]
+    bs = Encoder(p).encode(frames)
+    pts = []
+    for nal in split_annexb(bs):
+        if ((nal[0] >> 1) & 0x3F) == 39:
+            for pt, pl in parse_sei(strip_emulation_prevention(nal[2:])):
+                if pt == SEI_RECOVERY_POINT:
+                    pts.append(parse_recovery_point(pl))
+    assert pts, "no recovery point SEI found"
+    cnt, exact, broken = pts[0]
+    assert cnt == p.pic_width_in_ctbs - 1 and exact and not broken

@@ -521,7 +521,13 @@ class Encoder:
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
         nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
-        au = self._aud(SLICE_P) + annexb([nal]) + self._hash_sei(recon)
+        rp = b""
+        if getattr(self, "_ir_recovery", None) is not None:
+            from x265_tpu.hevc.sei import recovery_point_sei
+            rp = annexb([recovery_point_sei(self._ir_recovery)])
+            self._ir_recovery = None
+        au = (self._aud(SLICE_P) + rp + annexb([nal])
+              + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
                           len(au) * 8, poc)
         return au
@@ -910,6 +916,9 @@ class Encoder:
         ncols = p.pic_width_in_ctbs
         col = getattr(self, "_ir_col", 0) % ncols
         self._ir_col = col + 1
+        if col == 0:
+            # refresh cycle starts: recovery point after ncols pictures
+            self._ir_recovery = ncols - 1
         x0 = col * p.ctu_size
         x1 = min(p.width, x0 + p.ctu_size)
         dec.inter8[:, x0 >> 3:x1 >> 3] = False
@@ -978,11 +987,21 @@ class Encoder:
         out = [self.headers()]
 
         frames = [tuple(np.asarray(pl) for pl in f) for f in frames]
-        BATCH = 8      # frames per dispatch (bounds device memory)
-        for i in range(0, len(frames), BATCH):
-            chunk = frames[i:i + BATCH]
-            handles = submit_intra_analysis_batch(
-                [f[0] for f in chunk], p.width, p.height, cu_log2)
+        BATCH = 8        # frames per dispatch (one tunnel RPC per chunk)
+        INFLIGHT = 2     # chunks queued on device ahead of the finalizer
+        from collections import deque
+        pending = deque()
+        idx = 0
+        while idx < len(frames) or pending:
+            # keep the device queue full: analysis of chunk k+1..k+2
+            # computes while the CPU finalizes chunk k (frame-threads
+            # re-imagining, SURVEY §2.4 P2)
+            while idx < len(frames) and len(pending) < INFLIGHT:
+                chunk = frames[idx:idx + BATCH]
+                pending.append((chunk, submit_intra_analysis_batch(
+                    [f[0] for f in chunk], p.width, p.height, cu_log2)))
+                idx += len(chunk)
+            chunk, handles = pending.popleft()
             for f, h in zip(chunk, handles):
                 dec = finish_intra_analysis(h)
                 qp = self.rc.start(SLICE_I, 1.0)

@@ -15,6 +15,7 @@ from x265_tpu.hevc.bitstream import BitWriter, make_nal, NAL_SUFFIX_SEI
 
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_DECODED_PICTURE_HASH = 132
+SEI_RECOVERY_POINT = 6
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
 
@@ -126,3 +127,25 @@ def content_light_level_sei(max_cll: int, max_fall: int) -> bytes:
     from x265_tpu.hevc.bitstream import NAL_PREFIX_SEI
     pl = max_cll.to_bytes(2, "big") + max_fall.to_bytes(2, "big")
     return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_CONTENT_LIGHT_LEVEL, pl))
+
+
+def recovery_point_sei(recovery_poc_cnt: int, exact_match: bool = True,
+                       broken_link: bool = False) -> bytes:
+    """recovery_point SEI (D.3.8): emitted at the start of an
+    intra-refresh cycle so decoders can join mid-stream (x265
+    frameencoder.cpp recovery point for --intra-refresh)."""
+    from x265_tpu.hevc.bitstream import BitWriter, NAL_PREFIX_SEI
+    bw = BitWriter()
+    bw.write_se(recovery_poc_cnt)
+    bw.write_flag(exact_match)
+    bw.write_flag(broken_link)
+    bw.rbsp_trailing_bits()          # payload bit-alignment (D.2.1)
+    return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_RECOVERY_POINT,
+                                                 bw.data()))
+
+
+def parse_recovery_point(payload: bytes):
+    from x265_tpu.hevc.bitstream import BitReader
+    br = BitReader(payload)
+    cnt = br.read_se()
+    return cnt, bool(br.read_flag()), bool(br.read_flag())

@@ -155,15 +155,19 @@ struct Cabac {
 // ---------------- intra prediction (normative integer) -------------------
 
 // ref layout: ref[0..2n-1] left bottom-up, ref[2n] corner, ref[2n+1..4n] top
+// cshift: 0 for luma; 1 for chroma, where availability is read from the
+// LUMA 4x4 map at (x<<1, y<<1) — avoids materialising a chroma map per TU
 static void get_ref_samples(const int16_t* plane, int stride, int pw, int ph,
                             const uint8_t* avail4, int a4stride,
-                            int x0, int y0, int nt, int bd, int32_t* ref) {
+                            int x0, int y0, int nt, int bd, int32_t* ref,
+                            int cshift = 0) {
   int n2 = 2 * nt;
   int R = 4 * nt + 1;
   std::vector<uint8_t> av(R, 0);
   auto sample_ok = [&](int x, int y) -> bool {
     if (x < 0 || y < 0 || x >= pw || y >= ph) return false;
-    return avail4[(y >> 2) * a4stride + (x >> 2)] != 0;
+    return avail4[((y << cshift) >> 2) * a4stride
+                  + ((x << cshift) >> 2)] != 0;
   };
   for (int i = 0; i < n2; i++) {
     int y = y0 + n2 - 1 - i, x = x0 - 1;
@@ -653,16 +657,23 @@ static int sig_ctx(int x, int y, int log2, bool luma, int si, int prev_csbf) {
 
 static void encode_remain(Cabac& cab, int value, int rice) {
   if (value < (3 << rice)) {
-    int length = value >> rice;
-    cab.eps((1u << (length + 1)) - 2, length + 1);
-    if (rice) cab.eps(value & ((1 << rice) - 1), rice);
+    int length = value >> rice;   // <= 2
+    // prefix (length+1 unary bins) + rice suffix in ONE bypass batch
+    uint32_t pat = (((1u << (length + 1)) - 2) << rice)
+                   | (uint32_t)(value & ((1 << rice) - 1));
+    cab.eps(pat, length + 1 + rice);
   } else {
     int length = rice;
     value -= 3 << rice;
     while (value >= (1 << length)) { value -= 1 << length; length++; }
     int npre = 3 + length + 1 - rice;
-    cab.eps((1u << npre) - 2, npre);
-    cab.eps(value, length);
+    if (npre + length <= 31) {
+      cab.eps(((((1u << npre) - 2) << length) | (uint32_t)value),
+              npre + length);
+    } else {
+      cab.eps((1u << npre) - 2, npre);
+      cab.eps(value, length);
+    }
   }
 }
 
@@ -673,7 +684,7 @@ static void encode_residual(Cabac& cab, const int32_t* coeff, int log2,
   const uint16_t* scan = scan_tab(log2, si);
   const uint16_t* cgs = cg_scan_tab(log2, si);
   int ncoef = n * n;
-  std::vector<int32_t> levels(ncoef);
+  int32_t levels[32 * 32];      // max TB is 32x32
   int last_scan = -1;
   for (int i = 0; i < ncoef; i++) {
     levels[i] = coeff[scan[i]];
@@ -1556,17 +1567,9 @@ struct Writer {
       filter_refs(ref.data(), nt, mode, strong_smooth, bd);
       predict_intra(ref.data(), nt, mode, 0, bd, pred.data());
     } else {
-      // chroma availability: sample luma avail map at (2x, 2y)
-      // build a local chroma avail view on the fly in get_ref via trick:
-      // use a lambda-free variant: temporary avail array at chroma 4x4 grid
-      int cw4 = (pw + 3) >> 2, chh4 = (ph + 3) >> 2;
-      std::vector<uint8_t> ca(cw4 * chh4);
-      for (int j = 0; j < chh4; j++)
-        for (int i = 0; i < cw4; i++) {
-          int ly = std::min(j * 2, h4 - 1), lx = std::min(i * 2, w4 - 1);
-          ca[j * cw4 + i] = avail4[ly * w4 + lx];
-        }
-      get_ref_samples(rec, pw, pw, ph, ca.data(), cw4, x0, y0, nt, bd, ref.data());
+      // chroma availability = luma avail at (2x, 2y), read directly
+      get_ref_samples(rec, pw, pw, ph, avail4.data(), w4, x0, y0, nt, bd,
+                      ref.data(), 1);
       predict_intra(ref.data(), nt, mode, 1, bd, pred.data());
     }
     std::vector<int32_t> resi(nt * nt);
