@@ -215,27 +215,26 @@ class Encoder:
             out += au
             self.anchor = (0, self._last_recon)
             self.anchors = [self.anchor]
+            self._anchor_low = (getattr(self.la, "last_low", None)
+                                if need_la else None)
             self.poc = 1
             return out
         self.frames_since_idr += 1
         rec = getattr(self.la, "last_blocks", None) if need_la else None
-        self.pending.append((self.poc, frame, cost, rec))
+        low = getattr(self.la, "last_low", None) if need_la else None
+        self.pending.append((self.poc, frame, cost, rec, low))
         self.poc += 1
         close = len(self.pending) >= self.bframes + 1
-        # adaptive B (b-adapt lite): frames whose inter cost approaches
-        # intra (near-scenecut motion) anchor early — fewer Bs where
-        # bi-prediction will not carry. Conservative gate: bi-pred still
-        # wins on noisy-but-static content, so only clear prediction
-        # failures close the GOP (slicetypePath Viterbi approximation).
-        if not close and p.b_adapt and need_la and pcost > 0.85 * icost:
-            close = True
         if close:
             out += self._emit_minigop()
         return out
 
     def flush(self) -> bytes:
         """Encode all queued frames (end of stream / before an IDR)."""
-        return self._emit_minigop() if self.pending else b""
+        out = b""
+        while self.pending:
+            out += self._emit_minigop()
+        return out
 
     def reconfigure(self, **kwargs) -> None:
         """x265_encoder_reconfig analog (api.cpp:307): swap rate-control
@@ -266,11 +265,30 @@ class Encoder:
             self._awriter = None
 
     def _emit_minigop(self) -> bytes:
-        """Last queued frame becomes the P anchor (coded first), earlier
-        frames become non-reference B pictures between the two anchors."""
-        anchor_poc, anchor_frame, anchor_cost, anchor_rec = self.pending[-1]
-        bs = self.pending[:-1]
-        self.pending = []
+        """One queued frame becomes the P anchor (coded first), earlier
+        frames become B pictures between the two anchors. With --b-adapt
+        the anchor position comes from a lowres cost search over the
+        window (slicetypePath reduced to one mini-GOP); without it, the
+        whole queue forms one GOP (fixed bframes)."""
+        p_ = self.param
+        queue = self.pending
+        leftover = []
+        if (p_.b_adapt and len(queue) > 1
+                and getattr(self, "_anchor_low", None) is not None
+                and all(e[4] is not None for e in queue)):
+            from x265_tpu.engine.lookahead import slicetype_split
+            from x265_tpu.utils.profiling import scope
+            with scope("slicetype"):
+                k = slicetype_split(self._anchor_low,
+                                    [e[4] for e in queue],
+                                    max_bs=self.bframes)
+            leftover = queue[k + 1:]
+            queue = queue[:k + 1]
+        anchor_poc, anchor_frame, anchor_cost, anchor_rec, anchor_low \
+            = queue[-1]
+        bs = queue[:-1]
+        self.pending = leftover
+        self._anchor_low = anchor_low
         prev_anchor = self.anchor
         # cuTree: credit the anchor for the mini-GOP frames that will
         # reference it (its B frames via L1). Our lowres records hold
@@ -280,11 +298,11 @@ class Encoder:
         p = self.param
         if (p.cu_tree and anchor_rec is not None and
                 self.pps.cu_qp_delta_enabled and
-                all(r is not None for (_, _, _, r) in bs)):
+                all(r is not None for (_, _, _, r, _) in bs)):
             from x265_tpu.engine.lookahead import cutree_propagate
             recs = [anchor_rec] + [
                 {"icost": r["icost"], "mcost": r["mcost"],
-                 "mv": -r["mv"]} for (_, _, _, r) in reversed(bs)]
+                 "mv": -r["mv"]} for (_, _, _, r, _) in reversed(bs)]
             off = cutree_propagate(recs, p.ctb_log2, self.rc.qcompress)
             if off is not None:
                 self._cutree[anchor_poc] = off
@@ -302,7 +320,7 @@ class Encoder:
             # a REFERENCED B (TRAIL_R); the remaining Bs predict from the
             # nearest anchors around them
             mid = len(bs) // 2
-            poc_m, frame_m, cost_m, _ = bs[mid]
+            poc_m, frame_m, cost_m = bs[mid][:3]
             # referenced B sits between P and leaf-B on the QP ladder
             qp = max(0, self.rc.start(SLICE_B, cost_m) - 2)
             au = self._encode_b_frame(frame_m, poc_m, prev_anchor,
@@ -311,7 +329,7 @@ class Encoder:
             out += au
             bref = (poc_m, self._bref_recon)
             rest = bs[:mid] + bs[mid + 1:]
-        for (poc_b, frame_b, cost_b, _rec_b) in rest:
+        for (poc_b, frame_b, cost_b, *_aux) in rest:
             if bref is not None:
                 a0 = bref if bref[0] < poc_b else prev_anchor
                 a1 = bref if bref[0] > poc_b else new_anchor

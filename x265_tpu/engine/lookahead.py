@@ -95,6 +95,7 @@ class Lookahead:
         mcost2 = np.asarray(mcost) * 2
         self.last_blocks = {"icost": icost, "mcost": mcost2,
                             "mv": np.asarray(mv)}
+        self.last_low = low          # kept for slicetype pair costs
         icost_sum = float(icost.sum())
         pcost_sum = float(np.minimum(icost, mcost2).sum())
         self.prev_low = low
@@ -153,3 +154,102 @@ def cutree_propagate(records, ctb_log2: int, qcompress: float = 0.6,
     ctb_off = offp.reshape(cy, blocks_per_ctb, cx,
                            blocks_per_ctb).mean(axis=(1, 3))
     return np.clip(np.rint(ctb_off), -max_off, 0).astype(np.int32)
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _batched_pair_fn(n_pairs: int):
+    """jit(vmap) over (cur, ref) lowres pairs -> per-pair summed
+    min(icost, 2*mcost) and icost (one dispatch for a whole slicetype
+    window; the bonded-group analog of slicetype.cpp estimateFrameCost
+    fan-out)."""
+    def one(cur, ref):
+        # wider window than the per-frame sweep: anchors sit up to
+        # bframes frames away, so accumulated motion exceeds R=4
+        ic, mc, _ = _lowres_costs(cur, ref, R=8)
+        return jnp.minimum(ic, mc * 2).astype(jnp.int32)
+    return jax.jit(jax.vmap(one))
+
+
+def batched_pair_costs(pairs):
+    """pairs: list of (cur_low, ref_low) numpy planes (same shape).
+    Returns list of (pcost, icost) floats. The batch is padded to a
+    power-of-2 bucket so XLA compiles a handful of shapes, not one per
+    window size."""
+    if not pairs:
+        return []
+    n = len(pairs)
+    bucket = 1
+    while bucket < n:
+        bucket <<= 1
+    pad = bucket - n
+    curs = np.stack([p[0] for p in pairs] + [pairs[0][0]] * pad)
+    refs = np.stack([p[1] for p in pairs] + [pairs[0][1]] * pad)
+    blk = np.asarray(_batched_pair_fn(bucket)(jnp.asarray(curs),
+                                              jnp.asarray(refs)))
+    return [blk[i] for i in range(n)]
+
+
+def slicetype_split(anchor_low, queue_lows, max_bs=4,
+                    b_discount=0.9):
+    """Windowed slice-type decision (x264/x265 b-adapt 2 slicetypePath
+    analog, slicetype.cpp): dynamic program over anchor placements in the
+    lookahead window. Every path covers the same frames, so raw lowres
+    SATD sums compare directly; B frames get a small discount for the
+    bi-average prediction gain the single-ref lowres sweep cannot see.
+    Returns the queue index of the FIRST anchor on the best path (the
+    window re-optimises as it slides, like the reference)."""
+    n = len(queue_lows)
+    if n <= 1:
+        return 0
+    lows = [anchor_low] + list(queue_lows)   # lows[i+1] == queue[i]
+    maxlen = max_bs + 1                      # frames per mini-GOP
+    pairs = []
+    idx = {}
+
+    def want(cur, ref):
+        key = (cur, ref)
+        if key not in idx:
+            idx[key] = len(pairs)
+            pairs.append((lows[cur], lows[ref]))
+
+    for a in range(0, n):                    # a = previous anchor position
+        for m in range(a + 1, min(a + maxlen, n) + 1):
+            want(m, a)                       # fwd: frame m from anchor a
+    for j in range(2, n + 1):                # j = next anchor position
+        for m in range(max(1, j - max_bs), j):
+            want(m, j)                       # bwd: frame m from anchor j
+    costs = batched_pair_costs(pairs)
+
+    def blk(cur, ref):
+        return costs[idx[(cur, ref)]]
+
+    def bcost(m, a, j):
+        """Per-block B estimate: best of fwd, bwd and the bi average
+        (averaging two decent predictions beats either — the
+        0.72 factor is the noise-variance gain of the mean)."""
+        f = blk(m, a).astype(np.float64)
+        b = blk(m, j).astype(np.float64)
+        return float(np.minimum(np.minimum(f, b),
+                                0.36 * (f + b)).sum())
+
+    INF = float("inf")
+    dp = [INF] * (n + 1)
+    dp[0] = 0.0
+    prev = [0] * (n + 1)
+    for j in range(1, n + 1):
+        for a in range(max(0, j - maxlen), j):
+            if dp[a] == INF:
+                continue
+            total = dp[a] + float(blk(j, a).sum())   # the anchor's P cost
+            for m in range(a + 1, j):                # its B frames
+                total += b_discount * bcost(m, a, j)
+            if total < dp[j]:
+                dp[j] = total
+                prev[j] = a
+    j = n
+    while prev[j] != 0:
+        j = prev[j]
+    return j - 1
