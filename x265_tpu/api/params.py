@@ -337,6 +337,14 @@ def param_parse(p: Param, name: str, value: str = "1") -> None:
         return
     if name not in _OPT_ALIASES or _OPT_ALIASES[name] is None:
         raise KeyError(f"unknown option: {name}")
+    # rate-control selectors switch the RC mode, exactly like
+    # x265_param_parse (param.cpp:778 "qp"/"crf"/"bitrate" cases)
+    if name == "qp":
+        p.rc_mode = RC_CQP
+    elif name == "crf":
+        p.rc_mode = RC_CRF
+    elif name == "bitrate":
+        p.rc_mode = RC_ABR
     attr = _OPT_ALIASES[name]
     cur = getattr(p, attr)
     if isinstance(cur, bool):
