@@ -132,6 +132,11 @@ class Encoder:
         self.frames_since_idr = 0
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
         self._colmv = {}             # poc -> ColCtx (TMVP source fields)
+        # DCT-domain noise reduction accumulators (frameencoder.cpp:2098)
+        self._nr = ({"sum": np.zeros((16, 1024), np.uint64),
+                     "cnt": np.zeros(16, np.uint64)}
+                    if (p.nr_intra or p.nr_inter) and not p.lossless
+                    else None)
         self.anchors = []            # retained anchors, nearest first
         self.pending = []            # queued (poc, frame) awaiting an anchor
         from x265_tpu.engine.lookahead import Lookahead
@@ -550,6 +555,25 @@ class Encoder:
                           len(au) * 8, poc)
         return au
 
+    def _nr_offsets(self) -> np.ndarray:
+        """Adaptive-deadzone offsets from the running residual sums
+        (x265 FrameEncoder::noiseReductionUpdate, frameencoder.cpp:2098)."""
+        p = self.param
+        maxblk = (1 << 18, 1 << 16, 1 << 14, 1 << 12)
+        off = np.zeros((16, 1024), np.uint16)
+        for cat in range(16):
+            tr = cat & 3
+            nc = 1 << ((tr + 2) * 2)
+            if self._nr["cnt"][cat] > maxblk[tr]:
+                self._nr["sum"][cat] >>= 1
+                self._nr["cnt"][cat] >>= 1
+            strength = p.nr_intra if cat < 8 else p.nr_inter
+            sc = int(strength) * int(self._nr["cnt"][cat])
+            ss = self._nr["sum"][cat][:nc]
+            off[cat, :nc] = np.minimum((sc + ss // 2) // (ss + 1), 65535)
+            off[cat, 0] = 0              # DC is never denoised
+        return off
+
     def _record_colmv(self, decisions, ref_poc, poc) -> None:
         """Store this picture's 16x16-compressed motion field for later
         TMVP use (spec MV storage compression, 8.5.3.2.7)."""
@@ -619,6 +643,11 @@ class Encoder:
         if self._awriter is not None:
             self._awriter.put(decisions)
         sao_on = p.sao and not p.lossless
+        nr_arrs = None
+        if self._nr is not None:
+            nr_arrs = (self._nr_offsets(),
+                       np.zeros((16, 1024), np.uint32),
+                       np.zeros(16, np.uint32))
         wp_native = None
         if (sh.luma_weights_l0 is not None
                 or sh.chroma_weights_l0 is not None):
@@ -642,6 +671,9 @@ class Encoder:
                 for lst in refs)   # up to 4 refs per list
 
             def run_native(sp=None):
+                if nr_arrs is not None:      # fresh sums per (re-)emit
+                    nr_arrs[1][:] = 0
+                    nr_arrs[2][:] = 0
                 return native.encode_slice_px(
                     np.asarray(y), np.asarray(cb), np.asarray(cr),
                     decisions.cu_log2_map, decisions.luma_mode8,
@@ -656,7 +688,7 @@ class Encoder:
                     bit_depth=p.bit_depth, ref8=decisions.ref8,
                     rdoq_level=0 if p.lossless else p.rdoq_level,
                     weights=wp_native, col=col,
-                    col_from_l0=int(sh.collocated_from_l0))
+                    col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs)
 
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):
@@ -680,12 +712,19 @@ class Encoder:
                     slice_data = run_native(sp)[0]
                     recon = sao_mod.apply_frame(recon, sp, p.ctb_log2,
                                                 p.bit_depth)
+                if nr_arrs is not None:
+                    self._nr["sum"] += nr_arrs[1]
+                    self._nr["cnt"] += nr_arrs[2]
                 return slice_data, recon
 
         def run_py(sp=None):
+            if nr_arrs is not None:
+                nr_arrs[1][:] = 0
+                nr_arrs[2][:] = 0
             writer = FrameSyntaxWriter(self.sps, self.pps, sh, p.lossless,
                                        refs=refs, ref_poc=ref_poc,
                                        cur_poc=poc, col=col)
+            writer.nr = nr_arrs
             writer.rdoq_level = 0 if p.lossless else p.rdoq_level
             data = writer.encode_slice_data(
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions,
@@ -701,6 +740,9 @@ class Encoder:
             sh.sao_luma = sh.sao_chroma = True
             slice_data, _ = run_py(sp)
             recon = sao_mod.apply_frame(recon, sp, p.ctb_log2, p.bit_depth)
+        if nr_arrs is not None:
+            self._nr["sum"] += nr_arrs[1]
+            self._nr["cnt"] += nr_arrs[2]
         return slice_data, recon
 
     def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp):

@@ -71,6 +71,8 @@ class Param:
     hdr10: bool = False          # force-signal BT.2020/PQ even if unset
     zones: str = ""              # "start,end,q=QP/start,end,b=MULT" ranges
     tmvp: bool = True            # temporal MVP (x265 sps always-on analog)
+    nr_intra: int = 0            # DCT-domain noise reduction 0-2000
+    nr_inter: int = 0
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -251,6 +253,8 @@ _OPT_ALIASES = {
     "zones": "zones",
     "tmvp": "tmvp",
     "temporal-mvp": "tmvp",
+    "nr-intra": "nr_intra",
+    "nr-inter": "nr_inter",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",

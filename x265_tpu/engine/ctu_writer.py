@@ -99,6 +99,7 @@ class FrameSyntaxWriter:
             refs = ([ref_planes], [])
             ref_poc = ((max(0, cur_poc - 1),), ())
         self.ref_poc = ref_poc
+        self.nr = None     # (offsets u16[16,1024], sums u32, counts u32)
         # collocated motion (TMVP); active only when the slice header
         # says so (8.5.3.2.7)
         self.col = col if getattr(sh, "temporal_mvp_enabled", False) else None
@@ -563,6 +564,8 @@ class FrameSyntaxWriter:
             qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
         use_dst = is_intra_tb and c_idx == 0 and log2 == 2
         coeff = forward_transform(resi, use_dst, self.bd)
+        if self.nr is not None:
+            coeff = self._denoise(coeff, log2, c_idx, is_intra_tb)
         level = quantize(coeff, qp, log2, is_intra_tb, self.bd)
         if self.rdoq_level > 0 and np.any(level):
             lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
@@ -574,6 +577,19 @@ class FrameSyntaxWriter:
         deq = dequantize(level, qp, log2, self.bd)
         recon_resi = inverse_transform(deq, use_dst, self.bd)
         return level, recon_resi
+
+    def _denoise(self, coeff, log2, c_idx, is_intra_tb):
+        """DCT-domain noise reduction (x265 denoiseDct, dct.cpp:744):
+        resSum[i] += |c|; c = sign * max(0, |c| - offset[i])."""
+        off, sums, cnt = self.nr
+        cat = (log2 - 2) + 4 * (c_idx != 0) + 8 * (not is_intra_tb)
+        nc = 1 << (2 * log2)
+        a = np.abs(coeff).ravel()
+        sums[cat, :nc] += a.astype(np.uint32)
+        cnt[cat] += 1
+        d = np.maximum(0, a - off[cat, :nc].astype(np.int64))
+        return (np.sign(coeff).ravel() * d).reshape(coeff.shape) \
+            .astype(coeff.dtype)
 
     def _plane(self, c_idx):
         return (self.y, self.cb, self.cr)[c_idx]

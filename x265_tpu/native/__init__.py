@@ -96,6 +96,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int,         # weights, denoms
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # col dir/mv/refpoc
             ctypes.c_int, ctypes.c_int,                          # col poc, from_l0
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # nr off/sum/cnt
         ]
         _lib = lib
         return _lib
@@ -153,7 +154,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
-                    weights=None, col=None, col_from_l0=1):
+                    weights=None, col=None, col_from_l0=1, nr=None):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -162,6 +163,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
     (pred_weight_table, 8.5.4.2.3.2).
     col: optional ColCtx (inter_tools) — 16x16 collocated motion for
     TMVP (8.5.3.2.7-8.5.3.2.9).
+    nr: optional (offsets u16[16,1024], sums u32[16,1024], counts u32[16])
+    DCT-domain noise reduction; sums/counts accumulate in place.
     Returns (bytes, recon, cbf4, qp_actual) or None if unavailable.
     """
     lib = get_lib()
@@ -219,6 +222,12 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         wp_arr = c(weights[0], dtype=np.int32)
         keep.append(wp_arr)
         wp_ptr, wp_ld, wp_cd = wp_arr.ctypes.data, weights[1], weights[2]
+    nro_p = nrs_p = nrc_p = None
+    if nr is not None:
+        assert nr[0].dtype == np.uint16 and nr[1].dtype == np.uint32 \
+            and nr[2].dtype == np.uint32
+        nro_p, nrs_p, nrc_p = (nr[0].ctypes.data, nr[1].ctypes.data,
+                               nr[2].ctypes.data)
     cd_ptr = cm_ptr = cp_ptr = None
     col_poc = 0
     if col is not None:
@@ -254,7 +263,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         out.ctypes.data, cap,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
-        cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0))
+        cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
+        nro_p, nrs_p, nrc_p)
     if n < 0:
         return None
     return (out[:n].tobytes(),

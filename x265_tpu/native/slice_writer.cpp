@@ -816,6 +816,29 @@ struct Writer {
   const int32_t* col_mv = nullptr;
   const int32_t* col_refpoc = nullptr;
   int col_poc = 0, col_from_l0 = 1;
+  // DCT-domain noise reduction (x265 denoiseDct / noiseReductionUpdate,
+  // quant.cpp:444, frameencoder.cpp:2098 — libavcodec adaptive deadzone).
+  // cat = sizeIdx + 4*!isLuma + 8*!isIntra; DC never denoised (offset 0).
+  const uint16_t* nr_off = nullptr;   // [16][1024] in
+  uint32_t* nr_sum = nullptr;         // [16][1024] accumulated out
+  uint32_t* nr_cnt = nullptr;         // [16] accumulated out
+
+  void denoise(int32_t* cf, int n, int log2, int plane, bool is_intra) {
+    if (!nr_off) return;
+    int cat = (log2 - 2) + 4 * (plane != 0) + 8 * (!is_intra);
+    const uint16_t* off = nr_off + cat * 1024;
+    uint32_t* sum = nr_sum + cat * 1024;
+    int nc = n * n;
+    for (int i = 0; i < nc; i++) {
+      int level = cf[i];
+      int sign = level >> 31;
+      level = (level + sign) ^ sign;
+      sum[i] += (uint32_t)level;
+      level -= off[i];
+      cf[i] = level < 0 ? 0 : (level ^ sign) - sign;
+    }
+    nr_cnt[cat]++;
+  }
   const int32_t* ref8 = nullptr;                 // [h8*w8] L0 ref idx
   int pad_luma = 80;
   int ref_poc[2][4] = {{0}};
@@ -1326,6 +1349,10 @@ struct Writer {
                       : chroma_qp(qp, pl == 1 ? cb_qp_off : cr_qp_off);
     std::vector<int32_t> cf(n * n);
     fwd_transform(resi.data(), n, false, bd, cf.data());
+    {
+      int lg = 0; while ((1 << lg) < n) lg++;
+      denoise(cf.data(), n, lg, pl, false);
+    }
     quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false);
     if (rdoq_level > 0)
       rdoq_adjust(cf.data(), lvl, n, qpc, bd,
@@ -1593,6 +1620,7 @@ struct Writer {
     bool use_dst = plane == 0 && log2 == 2;
     std::vector<int32_t> cf(nt * nt), lvl(nt * nt);
     fwd_transform(resi.data(), nt, use_dst, bd, cf.data());
+    denoise(cf.data(), nt, log2, plane, true);
     quantize(cf.data(), nt, qpc, bd, lvl.data());
     if (rdoq_level > 0)
       rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd,
@@ -1725,7 +1753,9 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int32_t* wp, int wp_ldenom, int wp_cdenom,
                     const int32_t* col_dir, const int32_t* col_mv,
                     const int32_t* col_refpoc, int col_poc,
-                    int col_from_l0) {
+                    int col_from_l0,
+                    const uint16_t* nr_off, uint32_t* nr_sum,
+                    uint32_t* nr_cnt) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -1761,6 +1791,9 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.wp = wp; w.wp_ldenom = wp_ldenom; w.wp_cdenom = wp_cdenom;
   w.col_dir = col_dir; w.col_mv = col_mv; w.col_refpoc = col_refpoc;
   w.col_poc = col_poc; w.col_from_l0 = col_from_l0;
+  if (!lossless && nr_off && nr_sum && nr_cnt) {
+    w.nr_off = nr_off; w.nr_sum = nr_sum; w.nr_cnt = nr_cnt;
+  }
   w.run();
   if (qp_actual_out)
     memcpy(qp_actual_out, w.qp_actual.data(),
