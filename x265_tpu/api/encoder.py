@@ -109,6 +109,11 @@ class Encoder:
                 or p.video_full_range or p.chromaloc >= 0):
             self.sps.vui_present = True
         self.sps.temporal_mvp_enabled = p.tmvp
+        if p.hrd and p.vbv_maxrate > 0 and p.vbv_bufsize > 0:
+            # HRD signalling from the VBV config (x265 --hrd, hrd.cpp)
+            self.sps.hrd_bitrate = p.vbv_maxrate * 1000
+            self.sps.hrd_cpb_size = p.vbv_bufsize * 1000
+            self.sps.vui_present = True
         self.pps = PPS(
             weighted_pred=p.weightp,
             sign_data_hiding=p.sign_hide and not p.lossless,
@@ -397,6 +402,28 @@ class Encoder:
         bw.byte_align_with_ones()
         return annexb([make_nal(NAL_AUD, bw.data())])
 
+    def _hrd_sei(self, slice_type: int) -> bytes:
+        """Per-AU HRD timing SEIs (D.3.2/D.3.3): buffering_period at each
+        IDR, pic_timing on every picture. Delays use the simplified
+        fixed-rate model (one CPB, delay unit = one AU tick); output
+        delays are the reorder-depth bound, not an exact DPB schedule."""
+        if self.sps.hrd_bitrate <= 0:
+            return b""
+        from x265_tpu.hevc.sei import buffering_period_sei, pic_timing_sei
+        out = b""
+        if slice_type == SLICE_I:
+            d = int(90000 * 0.9 * self.sps.hrd_cpb_size
+                    / self.sps.hrd_bitrate)
+            out += annexb([buffering_period_sei(d)])
+            self._au_since_bp = 0
+        n = getattr(self, "_au_since_bp", 0)
+        reorder = self.sps.num_reorder_pics
+        dpb_delay = 0 if slice_type == SLICE_B else reorder + 1
+        out += annexb([pic_timing_sei(max(0, n - 1) if n else 0,
+                                      dpb_delay)])
+        self._au_since_bp = n + 1
+        return out
+
     def _hash_sei(self, recon) -> bytes:
         """Decoded-picture-hash suffix SEI (MD5) of the loop-filtered
         recon (x265 frameencoder.cpp:1167)."""
@@ -449,7 +476,8 @@ class Encoder:
         self._last_recon = recon
         hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
         nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
-        au = self._aud(SLICE_I) + annexb([nal]) + self._hash_sei(recon)
+        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I) + annexb([nal])
+              + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
                           len(au) * 8, 0)
         return au
@@ -549,8 +577,8 @@ class Encoder:
             from x265_tpu.hevc.sei import recovery_point_sei
             rp = annexb([recovery_point_sei(self._ir_recovery)])
             self._ir_recovery = None
-        au = (self._aud(SLICE_P) + rp + annexb([nal])
-              + self._hash_sei(recon))
+        au = (self._aud(SLICE_P) + self._hrd_sei(SLICE_P) + rp
+              + annexb([nal]) + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
                           len(au) * 8, poc)
         return au
@@ -835,7 +863,8 @@ class Encoder:
         nal_type = NAL_TRAIL_R if as_ref else NAL_TRAIL_N
         hdr_bw = write_slice_header(sh, self.sps, self.pps, nal_type)
         nal = make_nal(nal_type, hdr_bw.data() + slice_data)
-        au = self._aud(SLICE_B) + annexb([nal]) + self._hash_sei(recon)
+        au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B) + annexb([nal])
+              + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
                           len(au) * 8, poc)
         return au

@@ -73,6 +73,7 @@ class Param:
     tmvp: bool = True            # temporal MVP (x265 sps always-on analog)
     nr_intra: int = 0            # DCT-domain noise reduction 0-2000
     nr_inter: int = 0
+    hrd: bool = False            # signal HRD (needs VBV; x265 --hrd)
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -255,6 +256,7 @@ _OPT_ALIASES = {
     "temporal-mvp": "tmvp",
     "nr-intra": "nr_intra",
     "nr-inter": "nr_inter",
+    "hrd": "hrd",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",

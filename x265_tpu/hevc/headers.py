@@ -82,6 +82,10 @@ class SPS:
     matrix_coeffs: int = -1          # -1 unset (0 is a valid value: GBR)
     video_full_range: bool = False
     chroma_loc: int = -1             # -1 = not signalled
+    # HRD (E.2.2): signalled when hrd_bitrate > 0 (x265 --hrd; values
+    # from the VBV config, hrd.cpp analog)
+    hrd_bitrate: int = 0             # bits/second
+    hrd_cpb_size: int = 0            # bits
     fps_num: int = 0
     fps_den: int = 0
     ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
@@ -399,8 +403,36 @@ def _write_vui(bw: BitWriter, sps: SPS) -> None:
     bw.write(sps.fps_den, 32)             # vui_num_units_in_tick
     bw.write(sps.fps_num, 32)             # vui_time_scale
     bw.write_flag(0)                      # poc_proportional_to_timing
-    bw.write_flag(0)                      # vui_hrd_parameters_present
+    if sps.hrd_bitrate > 0:
+        bw.write_flag(1)                  # vui_hrd_parameters_present
+        _write_hrd(bw, sps)
+    else:
+        bw.write_flag(0)                  # vui_hrd_parameters_present
     bw.write_flag(0)                      # bitstream_restriction
+
+
+def _write_hrd(bw: BitWriter, sps: SPS) -> None:
+    """hrd_parameters (E.2.2), NAL HRD, one CPB, fixed pic rate —
+    the shape x265 signals for --hrd (hrd.cpp)."""
+    BR_SHIFT, CPB_SHIFT = 6, 4
+    br_scale, cpb_scale = 4, 4        # units: 2^(6+4)=1024 b/s, 2^(4+4)=256 b
+    br_val = max(1, sps.hrd_bitrate >> (BR_SHIFT + br_scale))
+    cpb_val = max(1, sps.hrd_cpb_size >> (CPB_SHIFT + cpb_scale))
+    bw.write_flag(1)                  # nal_hrd_parameters_present
+    bw.write_flag(0)                  # vcl_hrd_parameters_present
+    bw.write_flag(0)                  # sub_pic_hrd_params_present
+    bw.write(br_scale, 4)             # bit_rate_scale
+    bw.write(cpb_scale, 4)            # cpb_size_scale
+    bw.write(23, 5)                   # initial_cpb_removal_delay_length-1
+    bw.write(23, 5)                   # au_cpb_removal_delay_length-1
+    bw.write(23, 5)                   # dpb_output_delay_length-1
+    # sub-layer 0
+    bw.write_flag(1)                  # fixed_pic_rate_general_flag
+    bw.write_ue(0)                    # elemental_duration_in_tc_minus1
+    bw.write_ue(0)                    # cpb_cnt_minus1
+    bw.write_ue(br_val - 1)           # bit_rate_value_minus1
+    bw.write_ue(cpb_val - 1)          # cpb_size_value_minus1
+    bw.write_flag(0)                  # cbr_flag
 
 
 def parse_sps(data: bytes) -> SPS:

@@ -15,6 +15,8 @@ from x265_tpu.hevc.bitstream import BitWriter, make_nal, NAL_SUFFIX_SEI
 
 SEI_USER_DATA_UNREGISTERED = 5
 SEI_DECODED_PICTURE_HASH = 132
+SEI_BUFFERING_PERIOD = 0
+SEI_PIC_TIMING = 1
 SEI_RECOVERY_POINT = 6
 SEI_MASTERING_DISPLAY = 137
 SEI_CONTENT_LIGHT_LEVEL = 144
@@ -149,3 +151,32 @@ def parse_recovery_point(payload: bytes):
     br = BitReader(payload)
     cnt = br.read_se()
     return cnt, bool(br.read_flag()), bool(br.read_flag())
+
+
+def buffering_period_sei(initial_delay_90k: int,
+                         initial_offset_90k: int = 0) -> bytes:
+    """buffering_period SEI (D.3.2): NAL HRD, one CPB, 24-bit delay
+    fields (matching the hrd_parameters lengths we signal)."""
+    from x265_tpu.hevc.bitstream import BitWriter, NAL_PREFIX_SEI
+    bw = BitWriter()
+    bw.write_ue(0)                       # bp_seq_parameter_set_id
+    bw.write_flag(0)                     # irap_cpb_params_present
+    bw.write_flag(0)                     # concatenation_flag
+    bw.write(0, 24)                      # au_cpb_removal_delay_delta-1
+    bw.write(min(initial_delay_90k, (1 << 24) - 1), 24)
+    bw.write(min(initial_offset_90k, (1 << 24) - 1), 24)
+    bw.rbsp_trailing_bits()
+    return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_BUFFERING_PERIOD,
+                                                 bw.data()))
+
+
+def pic_timing_sei(au_cpb_removal_delay_m1: int,
+                   dpb_output_delay: int) -> bytes:
+    """pic_timing SEI (D.3.3) with HRD timing only (frame_field_info
+    is not signalled in our VUI)."""
+    from x265_tpu.hevc.bitstream import BitWriter, NAL_PREFIX_SEI
+    bw = BitWriter()
+    bw.write(min(au_cpb_removal_delay_m1, (1 << 24) - 1), 24)
+    bw.write(min(dpb_output_delay, (1 << 24) - 1), 24)
+    bw.rbsp_trailing_bits()
+    return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_PIC_TIMING, bw.data()))
