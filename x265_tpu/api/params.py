@@ -257,6 +257,10 @@ _OPT_ALIASES = {
     "nr-intra": "nr_intra",
     "nr-inter": "nr_inter",
     "hrd": "hrd",
+    "b-pyramid": "b_pyramid",
+    "input-depth": "input_depth",
+    "output-depth": "bit_depth",
+    "vui-timing-info": "vui_timing_info",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
@@ -294,6 +298,10 @@ _OPT_ALIASES = {
     "annexb": "annexb",
     "aud": "aud",
     "hrd": "hrd",
+    "b-pyramid": "b_pyramid",
+    "input-depth": "input_depth",
+    "output-depth": "bit_depth",
+    "vui-timing-info": "vui_timing_info",
     "repeat-headers": "repeat_headers",
     "hash": "decoded_picture_hash",
     "profile": "profile",
