@@ -80,3 +80,54 @@ def test_intra_refresh_column_sweeps():
         assert len(de265.decode(stream)) == 6
     dec = enc._p_decisions(frames[1][0], [enc.anchors[0][1]], 30)
     assert (~dec.inter8).all(axis=0).any()     # a full intra column exists
+
+
+def test_rc_tuning_params():
+    """--qpmin/--qpmax/--ipratio/--pbratio/--qcomp reach RateControl."""
+    from x265_tpu.api.params import param_default_preset, param_parse
+    from x265_tpu.engine.ratecontrol import RateControl
+    p = param_default_preset("medium")
+    p.width, p.height = 640, 360
+    param_parse(p, "qpmin", "20")
+    param_parse(p, "qpmax", "40")
+    param_parse(p, "ipratio", "1.6")
+    param_parse(p, "qcomp", "0.7")
+    param_parse(p, "crf", "28")
+    rc = RateControl(p)
+    assert rc.qp_min == 20 and rc.qp_max == 40
+    assert rc.ip_factor == 1.6 and rc.qcompress == 0.7
+    qp = rc.start(1, 1e9)        # absurd complexity -> clamped at qpmax
+    assert qp <= 40
+
+
+def test_max_merge_limits_candidates():
+    """--max-merge caps the merge list and the slice header field."""
+    import numpy as np
+    from x265_tpu.api.encoder import Encoder
+    from x265_tpu.api.params import param_default_preset, param_parse
+    from x265_tpu.decoder import de265
+    from x265_tpu.decoder.decoder import HEVCDecoder
+    p = param_default_preset("medium")
+    p.width, p.height = 96, 64
+    p.bframes = 0
+    p.scenecut = 0
+    p.aq_mode = 0
+    p.cu_tree = False
+    p.sao = False
+    param_parse(p, "qp", "30")
+    param_parse(p, "max-merge", "2")
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 255, (64, 96)).astype(np.int32)
+    frames = [(np.clip(np.roll(base, i * 2, 1)
+                       + rng.integers(-4, 4, (64, 96)), 0, 255)
+               .astype(np.uint8),
+               np.full((32, 48), 120, np.uint8),
+               np.full((32, 48), 130, np.uint8)) for i in range(4)]
+    enc = Encoder(p)
+    bs = enc.encode(frames)
+    ours = HEVCDecoder().decode(bs)
+    assert len(ours) == 4
+    if de265.available():
+        ext = de265.decode(bs)
+        for o, e in zip(ours, ext):
+            assert np.array_equal(o.y, e[0].astype(np.int32))

@@ -291,7 +291,9 @@ class Encoder:
             with scope("slicetype"):
                 k = slicetype_split(self._anchor_low,
                                     [e[4] for e in queue],
-                                    max_bs=self.bframes)
+                                    max_bs=self.bframes,
+                                    b_discount=0.9
+                                    * (1.0 - p_.bframe_bias / 100.0))
             leftover = queue[k + 1:]
             queue = queue[:k + 1]
         anchor_poc, anchor_frame, anchor_cost, anchor_rec, anchor_low \
@@ -540,7 +542,7 @@ class Encoder:
                 delta_poc_s0=[a[0] - poc for a in anchors],
                 used_s0=[True] * len(anchors)),
             num_ref_idx_l0_active=len(anchors),
-            max_num_merge_cand=5,
+            max_num_merge_cand=max(1, min(5, p.max_merge)),
         )
         refs_l0 = [a[1] for a in anchors]
         pocs_l0 = tuple(a[0] for a in anchors)
@@ -850,7 +852,7 @@ class Encoder:
                 num_positive=1 + len(pos_keep),
                 delta_poc_s1=[p1 - poc] + [k - poc for k in pos_keep],
                 used_s1=[True] + [False] * len(pos_keep)),
-            max_num_merge_cand=5,
+            max_num_merge_cand=max(1, min(5, p.max_merge)),
         )
         decisions = (self._areader.get() if self._areader
                      else self._b_decisions(y, rec0[0], rec1[0], qp))

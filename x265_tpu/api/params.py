@@ -74,6 +74,13 @@ class Param:
     nr_intra: int = 0            # DCT-domain noise reduction 0-2000
     nr_inter: int = 0
     hrd: bool = False            # signal HRD (needs VBV; x265 --hrd)
+    max_merge: int = 5           # merge candidates 1-5 (--max-merge)
+    qp_min: int = 0              # RC clamp (--qpmin)
+    qp_max: int = 51             # RC clamp (--qpmax)
+    ip_factor: float = 1.4       # I/P qscale ratio (--ipratio)
+    pb_factor: float = 1.3       # P/B qscale ratio (--pbratio)
+    qcompress: float = 0.6       # complexity curve compression (--qcomp)
+    bframe_bias: int = 0         # b-adapt bias toward Bs (--bframe-bias)
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -261,6 +268,13 @@ _OPT_ALIASES = {
     "input-depth": "input_depth",
     "output-depth": "bit_depth",
     "vui-timing-info": "vui_timing_info",
+    "max-merge": "max_merge",
+    "qpmin": "qp_min",
+    "qpmax": "qp_max",
+    "ipratio": "ip_factor",
+    "pbratio": "pb_factor",
+    "qcomp": "qcompress",
+    "bframe-bias": "bframe_bias",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
@@ -302,6 +316,13 @@ _OPT_ALIASES = {
     "input-depth": "input_depth",
     "output-depth": "bit_depth",
     "vui-timing-info": "vui_timing_info",
+    "max-merge": "max_merge",
+    "qpmin": "qp_min",
+    "qpmax": "qp_max",
+    "ipratio": "ip_factor",
+    "pbratio": "pb_factor",
+    "qcomp": "qcompress",
+    "bframe-bias": "bframe_bias",
     "repeat-headers": "repeat_headers",
     "hash": "decoded_picture_hash",
     "profile": "profile",

@@ -68,7 +68,11 @@ class RateControl:
         self.mode = p.rc_mode
         self.qp_const = p.qp
         self.lossless = p.lossless
-        self.qcompress = 0.6
+        self.qcompress = getattr(p, "qcompress", 0.6)
+        self.ip_factor = getattr(p, "ip_factor", IP_FACTOR)
+        self.pb_factor = getattr(p, "pb_factor", PB_FACTOR)
+        self.qp_min = getattr(p, "qp_min", 0)
+        self.qp_max = getattr(p, "qp_max", 51)
         self.fps = p.fps_num / max(1, p.fps_den)
         self.bitrate = p.bitrate * 1000.0      # kbps -> bps
         self.tolerance = 1.0
@@ -121,7 +125,7 @@ class RateControl:
         for rec in recs:
             rceq = max(1.0, rec["cost"]) ** (1 - self.qcompress)
             # undo slice-type modulation so RF applies uniformly
-            m = (1 / IP_FACTOR if rec["type"] == "I"
+            m = (1 / self.ip_factor if rec["type"] == "I"
                  else (PB_FACTOR if rec["type"] == "B" else 1.0))
             rceqs.append((rceq, m))
             denom += rec["bits"] * rec["qscale"] / (rceq * m)
@@ -201,9 +205,9 @@ class RateControl:
             qscale /= zone["b"]            # bitrate multiplier (x264 rule)
         # slice-type modulation (applied in qscale domain)
         if slice_type == I_SLICE:
-            qscale /= IP_FACTOR
+            qscale /= self.ip_factor
         elif slice_type == B_SLICE:
-            qscale *= PB_FACTOR
+            qscale *= self.pb_factor
 
         # temporal smoothing: limit step vs last frame (x264 lstep-ish)
         lstep = 2.0 ** (4 / 6.0)
@@ -214,7 +218,7 @@ class RateControl:
         qscale = self._clip_vbv(slice_type, satd_cost, qscale)
         self.last_qscale = qscale
         qp = int(round(qscale2qp(qscale)))
-        qp = max(0, min(51, qp))
+        qp = max(self.qp_min, min(self.qp_max, qp))
         self._pending = (slice_type, satd_cost, qp2qscale(qp), rceq)
         return qp
 
