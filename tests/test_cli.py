@@ -59,3 +59,28 @@ def test_cli_passthrough_rejects_unknown(tmp_path):
                   str(tmp_path / "o.hevc"), "--no-such-option"])
     assert r.returncode != 0
     assert "no-such-option" in (r.stderr + r.stdout)
+
+
+def test_decoder_cli(tmp_path):
+    """python -m x265_tpu.decoder: decode + y4m recon dump."""
+    clip = tmp_path / "in.y4m"
+    out = tmp_path / "out.hevc"
+    frames = _make_clip(clip)
+    r = _run_cli(["--input", str(clip), "--output", str(out),
+                  "--preset", "ultrafast", "--lossless", "--keyint", "1",
+                  "--no-tpu"])
+    assert r.returncode == 0, r.stderr[-500:]
+    env = dict(os.environ)
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    recon = tmp_path / "rec.y4m"
+    r2 = subprocess.run(
+        [sys.executable, "-m", "x265_tpu.decoder", str(out),
+         "--recon", str(recon)],
+        capture_output=True, text=True, env=env, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert "decoded 3 pictures" in r2.stdout
+    from x265_tpu.io.y4m import open_input
+    rec = list(open_input(str(recon)).frames())
+    for f, (ry, _, _) in zip(frames, rec):
+        assert np.array_equal(f[0], ry)      # lossless => exact
