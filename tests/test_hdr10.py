@@ -90,3 +90,23 @@ def test_no_hdr_default_stream_unchanged():
     found, sps = _scan(bs)
     assert SEI_MASTERING_DISPLAY not in found
     assert sps.colour_primaries == 0 and sps.matrix_coeffs == -1
+
+
+def test_sar_and_videoformat_vui():
+    """--sar/--videoformat VUI signalling (E.2.1; x265 x265cli.h)."""
+    p = param_default_preset("ultrafast")
+    p.width, p.height = 64, 48
+    param_parse(p, "qp", "30")
+    param_parse(p, "keyint", "1")
+    param_parse(p, "sar", "16:11")
+    param_parse(p, "videoformat", "ntsc")
+    rng = np.random.default_rng(3)
+    frames = [(rng.integers(0, 255, (48, 64)).astype(np.uint8),
+               np.full((24, 32), 120, np.uint8),
+               np.full((24, 32), 130, np.uint8))]
+    enc = Encoder(p)
+    assert enc.sps.sar_idc == 4            # 16:11 named entry
+    assert enc.sps.video_format == 2       # ntsc
+    bs = enc.encode(frames)
+    _, sps = _scan(bs)
+    assert sps is not None                 # SPS with the VUI still parses

@@ -105,8 +105,23 @@ class Encoder:
             self.sps.matrix_coeffs = MATRIX_COEFFS[p.colormatrix.lower()]
         self.sps.video_full_range = p.video_full_range
         self.sps.chroma_loc = p.chromaloc
+        if p.videoformat:
+            from x265_tpu.api.params import VIDEO_FORMATS
+            self.sps.video_format = VIDEO_FORMATS[p.videoformat.lower()]
+        if p.sar:
+            from x265_tpu.api.params import SAR_TABLE
+            s_ = p.sar.strip().lower()
+            if s_ in SAR_TABLE:
+                self.sps.sar_idc = SAR_TABLE[s_]
+            elif ":" in s_:
+                ww, hh = (int(v) for v in s_.split(":"))
+                self.sps.sar_idc, self.sps.sar_width, \
+                    self.sps.sar_height = 255, ww, hh
+            else:
+                self.sps.sar_idc = int(s_)
         if (p.colorprim or p.transfer or p.colormatrix
-                or p.video_full_range or p.chromaloc >= 0):
+                or p.video_full_range or p.chromaloc >= 0
+                or p.sar or p.videoformat):
             self.sps.vui_present = True
         self.sps.temporal_mvp_enabled = p.tmvp
         if p.hrd and p.vbv_maxrate > 0 and p.vbv_bufsize > 0:

@@ -81,6 +81,8 @@ class Param:
     pb_factor: float = 1.3       # P/B qscale ratio (--pbratio)
     qcompress: float = 0.6       # complexity curve compression (--qcomp)
     bframe_bias: int = 0         # b-adapt bias toward Bs (--bframe-bias)
+    sar: str = ""                # sample aspect ratio (--sar W:H or idc)
+    videoformat: str = ""        # --videoformat component/pal/ntsc/...
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
     bframes: int = 4
     b_adapt: int = 2
@@ -275,6 +277,8 @@ _OPT_ALIASES = {
     "pbratio": "pb_factor",
     "qcomp": "qcompress",
     "bframe-bias": "bframe_bias",
+    "sar": "sar",
+    "videoformat": "videoformat",
     "intra-refresh": "intra_refresh",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
@@ -323,6 +327,8 @@ _OPT_ALIASES = {
     "pbratio": "pb_factor",
     "qcomp": "qcompress",
     "bframe-bias": "bframe_bias",
+    "sar": "sar",
+    "videoformat": "videoformat",
     "repeat-headers": "repeat_headers",
     "hash": "decoded_picture_hash",
     "profile": "profile",
@@ -448,3 +454,13 @@ MATRIX_COEFFS = {
     "smpte170m": 6, "smpte240m": 7, "ycgco": 8, "bt2020nc": 9,
     "bt2020c": 10, "smpte2085": 11,
 }
+
+
+# E.2.1 tables (x265 x265cli.h strings)
+SAR_TABLE = {  # idc -> (w, h); --sar accepts the idc, a name, or W:H
+    "1:1": 1, "12:11": 2, "10:11": 3, "16:11": 4, "40:33": 5, "24:11": 6,
+    "20:11": 7, "32:11": 8, "80:33": 9, "18:11": 10, "15:11": 11,
+    "64:33": 12, "160:99": 13, "4:3": 14, "3:2": 15, "2:1": 16,
+}
+VIDEO_FORMATS = {"component": 0, "pal": 1, "ntsc": 2, "secam": 3,
+                 "mac": 4, "unknown": 5, "undef": 5}

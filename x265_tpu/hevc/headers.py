@@ -86,6 +86,10 @@ class SPS:
     # from the VBV config, hrd.cpp analog)
     hrd_bitrate: int = 0             # bits/second
     hrd_cpb_size: int = 0            # bits
+    sar_idc: int = 0                 # aspect_ratio_idc (0 = unspecified)
+    sar_width: int = 0               # for sar_idc 255 (Extended_SAR)
+    sar_height: int = 0
+    video_format: int = 5            # E.2.1 video_format (5 = unspecified)
     fps_num: int = 0
     fps_den: int = 0
     ptl: ProfileTierLevel = field(default_factory=ProfileTierLevel)
@@ -372,13 +376,20 @@ def write_sps(sps: SPS) -> bytes:
 
 
 def _write_vui(bw: BitWriter, sps: SPS) -> None:
-    bw.write_flag(0)                      # aspect_ratio_info_present
+    if sps.sar_idc:
+        bw.write_flag(1)                  # aspect_ratio_info_present
+        bw.write(sps.sar_idc, 8)
+        if sps.sar_idc == 255:            # Extended_SAR
+            bw.write(sps.sar_width, 16)
+            bw.write(sps.sar_height, 16)
+    else:
+        bw.write_flag(0)                  # aspect_ratio_info_present
     bw.write_flag(0)                      # overscan_info_present
     colour_desc = (sps.colour_primaries or sps.transfer_characteristics
                    or sps.matrix_coeffs >= 0)
-    if colour_desc or sps.video_full_range:
+    if colour_desc or sps.video_full_range or sps.video_format != 5:
         bw.write_flag(1)                  # video_signal_type_present
-        bw.write(5, 3)                    # video_format: unspecified
+        bw.write(sps.video_format, 3)
         bw.write_flag(sps.video_full_range)
         if colour_desc:
             bw.write_flag(1)              # colour_description_present
