@@ -148,3 +148,20 @@ def test_ippp_conformance_libde265(lossless):
             assert np.array_equal(pics[i][0], frames[i][0])
             assert np.array_equal(pics[i][1], frames[i][1])
             assert np.array_equal(pics[i][2], frames[i][2])
+
+
+def test_hme_honors_large_merange():
+    """merange > 24 must search the full range (hierarchical ME), not
+    silently clamp: 40-px motion is only findable when merange 57 is
+    honored (reference motion.cpp:739 searches the whole merange)."""
+    from x265_tpu.engine.me import motion_decide
+    rng = np.random.default_rng(3)
+    H, W = 128, 192
+    ref = rng.integers(0, 256, (H, W)).astype(np.uint8)
+    # cur = ref shifted right by 40 px (edge-replicated)
+    cur = np.concatenate([np.repeat(ref[:, :1], 40, 1), ref[:, :-40]],
+                         axis=1)
+    mv, cost = motion_decide(cur, ref, W, H, S=16, R=57, qp=32, subme=0)
+    # interior blocks (content fully present in ref) find dx = -40
+    assert (mv[:, 3:, 0] == -160).all(), mv[:, :, 0] // 4
+    assert (mv[:, 3:, 1] == 0).all()

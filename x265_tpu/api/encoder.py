@@ -980,7 +980,7 @@ class Encoder:
             ref_y = ref[0] if isinstance(ref, tuple) else ref
             mv_blk, mcost, aux = motion_decide(
                 np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
-                R=p.me_range if p.me_range <= 24 else 16, qp=qpv,
+                R=p.me_range, qp=qpv,
                 subme=max(1, p.sub_me), bit_depth=p.bit_depth,
                 return_aux=True)
             # unify near-tied MVs so 2x2 groups can merge into 32x32 CUs
@@ -1036,7 +1036,7 @@ class Encoder:
 
         p = self.param
         S = 16
-        R = p.me_range if p.me_range <= 24 else 16
+        R = p.me_range
         dec = self._intra_decisions(y)
         mv0, c0, aux0 = motion_decide(np.asarray(y), np.asarray(ref0_y),
                                       p.width, p.height, S=S, R=R,
@@ -1110,7 +1110,12 @@ class Encoder:
             chunk, handles = pending.popleft()
             for f, h in zip(chunk, handles):
                 dec = finish_intra_analysis(h)
-                qp = self.rc.start(SLICE_I, 1.0)
+                # real frame complexity for CRF/ABR: the batched analysis
+                # already computed per-block intra costs (handle[1]) —
+                # summing them is free, and without it rate control is
+                # complexity-blind (degenerates toward constant qscale)
+                satd_cost = float(np.asarray(h[1]).sum())
+                qp = self.rc.start(SLICE_I, max(1.0, satd_cost))
                 au = self._encode_intra_frame(*f, dec, qp=qp)
                 self.rc.end(len(au) * 8)
                 self.frame_count += 1

@@ -134,7 +134,6 @@ class Param:
     # --- bitstream / SEI ---
     annexb: bool = True
     aud: bool = False
-    hrd: bool = False
     repeat_headers: bool = False
     decoded_picture_hash: int = 0  # 0=off 1=MD5 2=CRC 3=checksum
     temporal_id_nesting: bool = True
@@ -315,20 +314,6 @@ _OPT_ALIASES = {
     "slices": "slices",
     "annexb": "annexb",
     "aud": "aud",
-    "hrd": "hrd",
-    "b-pyramid": "b_pyramid",
-    "input-depth": "input_depth",
-    "output-depth": "bit_depth",
-    "vui-timing-info": "vui_timing_info",
-    "max-merge": "max_merge",
-    "qpmin": "qp_min",
-    "qpmax": "qp_max",
-    "ipratio": "ip_factor",
-    "pbratio": "pb_factor",
-    "qcomp": "qcompress",
-    "bframe-bias": "bframe_bias",
-    "sar": "sar",
-    "videoformat": "videoformat",
     "repeat-headers": "repeat_headers",
     "hash": "decoded_picture_hash",
     "profile": "profile",

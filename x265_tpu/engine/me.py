@@ -82,6 +82,58 @@ def _int_search(cur, ref_pad, mvcost, S, R):
     return idx, cost, sad
 
 
+@jax.jit
+def _downscale2(y: jnp.ndarray) -> jnp.ndarray:
+    """2x2 mean downscale (the frameInitLowres analog used by HME)."""
+    H, W = y.shape
+    y = y.astype(jnp.int32)
+    return (y.reshape(H // 2, 2, W // 2, 2).sum(axis=(1, 3)) + 2) >> 2
+
+
+@partial(jax.jit, static_argnames=("S", "W_r", "pad"))
+def _local_search(cur_blocks, ref_pad, centers, bxy, lam, S, W_r, pad):
+    """Per-block integer window search around given centers.
+
+    cur_blocks [N,S,S]; ref_pad [H+2*pad, W+2*pad] edge-padded; centers
+    [N,2] integer MVs with |center| <= pad - W_r; bxy [N,2] block (x,y)
+    indices. Evaluates all (2W_r+1)^2 displacements around each center
+    (the x265 refineMV/star-refine analog, motion.cpp:624)
+    -> (mv [N,2], cost [N]).
+    """
+    N = cur_blocks.shape[0]
+    cur_blocks = cur_blocks.astype(jnp.int32)
+    ref_pad = ref_pad.astype(jnp.int32)
+    side = S + 2 * W_r
+
+    def patch(i):
+        # top-left of the search patch in padded coords
+        y0 = bxy[i, 1] * S + centers[i, 1] + pad - W_r
+        x0 = bxy[i, 0] * S + centers[i, 0] + pad - W_r
+        return jax.lax.dynamic_slice(ref_pad, (y0, x0), (side, side))
+
+    patches = jax.vmap(patch)(jnp.arange(N))      # [N, side, side]
+    n = 2 * W_r + 1
+
+    def body(carry, d):
+        best_cost, best_d = carry
+        dy = d // n
+        dx = d % n
+        cand = jax.lax.dynamic_slice(patches, (0, dy, dx), (N, S, S))
+        sad = jnp.abs(cur_blocks - cand).sum(axis=(1, 2))
+        mv = centers + jnp.stack([dx - W_r, dy - W_r])[None, :]
+        bits = (2 * jnp.floor(jnp.log2(
+            2 * jnp.abs(4 * mv).astype(jnp.float32) + 1)) + 1).sum(axis=1)
+        cost = sad.astype(jnp.float32) + lam * bits
+        upd = cost < best_cost
+        return ((jnp.where(upd, cost, best_cost),
+                 jnp.where(upd, d, best_d)), None)
+
+    init = (jnp.full((N,), jnp.inf, jnp.float32), jnp.zeros((N,), jnp.int32))
+    (cost, bd), _ = jax.lax.scan(body, init, jnp.arange(n * n))
+    mv = centers + jnp.stack([bd % n - W_r, bd // n - W_r], axis=-1)
+    return mv, cost
+
+
 @partial(jax.jit, static_argnames=("maxv",))
 def _phase_planes(ref_pad: jnp.ndarray, maxv: int = 255) -> jnp.ndarray:
     """[4,4,H+2m,W+2m] pixel-domain quarter-pel planes from a reference
@@ -195,14 +247,47 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
     lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
 
     # --- integer search ---
-    n = 2 * R + 1
-    dys, dxs = np.mgrid[-R:R + 1, -R:R + 1]
-    mvcost = lam * (_mv_bits(4 * dxs.ravel()) + _mv_bits(4 * dys.ravel()))
-    ref_pad_i = np.pad(ref, R, mode="edge")
-    idx, cost, sad = _int_search(jnp.asarray(cur), jnp.asarray(ref_pad_i),
-                                 jnp.asarray(mvcost), S, R)
-    idx = np.asarray(idx)
-    mv_int = np.stack([(idx % n) - R, (idx // n) - R], axis=-1)  # (dx, dy)
+    if R <= 24:
+        n = 2 * R + 1
+        dys, dxs = np.mgrid[-R:R + 1, -R:R + 1]
+        mvcost = lam * (_mv_bits(4 * dxs.ravel()) + _mv_bits(4 * dys.ravel()))
+        ref_pad_i = np.pad(ref, R, mode="edge")
+        idx, cost, sad = _int_search(jnp.asarray(cur), jnp.asarray(ref_pad_i),
+                                     jnp.asarray(mvcost), S, R)
+        idx = np.asarray(idx)
+        mv_int = np.stack([(idx % n) - R, (idx // n) - R], axis=-1)  # (dx,dy)
+    else:
+        # Hierarchical ME (the x265 --hme analog, lowres.h:203-205): a
+        # dense sweep on a 2x-downscaled pair covers the full +-R range at
+        # a quarter of the cost, then a per-block +-W_r full-resolution
+        # window refine recovers full-pel accuracy. This honors ANY
+        # merange (default 57) instead of silently clamping it.
+        R2 = (R + 1) // 2
+        S2 = S // 2
+        cur_l = _downscale2(jnp.asarray(cur))
+        ref_l = _downscale2(jnp.asarray(ref))
+        n2 = 2 * R2 + 1
+        dys, dxs = np.mgrid[-R2:R2 + 1, -R2:R2 + 1]
+        mvcost2 = lam * (_mv_bits(8 * dxs.ravel())
+                         + _mv_bits(8 * dys.ravel()))
+        idx2, _, _ = _int_search(cur_l, jnp.pad(ref_l, R2, mode="edge"),
+                                 jnp.asarray(mvcost2), S2, R2)
+        idx2 = np.asarray(idx2)
+        mv_half = np.stack([(idx2 % n2) - R2, (idx2 // n2) - R2], axis=-1)
+        W_r = 7
+        centers = np.clip(mv_half * 2, -(R - W_r), R - W_r).reshape(-1, 2)
+        ref_pad_i = np.pad(ref, R, mode="edge")
+        bxr, byr = np.meshgrid(np.arange(nbx), np.arange(nby))
+        bxy_i = np.stack([bxr.reshape(-1), byr.reshape(-1)],
+                         axis=1).astype(np.int32)
+        cur_blocks_i = (cur.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3)
+                        .reshape(N, S, S))
+        mv_loc, cost_loc = _local_search(
+            jnp.asarray(cur_blocks_i), jnp.asarray(ref_pad_i),
+            jnp.asarray(centers.astype(np.int32)), jnp.asarray(bxy_i),
+            jnp.float32(lam), S, W_r, R)
+        mv_int = np.asarray(mv_loc).reshape(nby, nbx, 2)
+        cost = np.asarray(cost_loc).reshape(nby, nbx)
 
     if subme <= 0:
         mv = (mv_int * 4).astype(np.int32)

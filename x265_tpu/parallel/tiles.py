@@ -43,6 +43,15 @@ def _band_step(y_band, ref_band, S, R, n_tiles):
     # --- halo exchange (P2): R reference rows from both neighbors ---
     halo_from_above = jax.lax.ppermute(ref_band[-R:, :], "tile", perm_down)
     halo_from_below = jax.lax.ppermute(ref_band[:R, :], "tile", perm_up)
+    # frame edges: the ring wraps band 0's "rows above" to the bottom
+    # band — overwrite with edge-replicated rows (extendPicBorder
+    # semantics, reference picyuv.cpp/frameencoder.cpp:860)
+    tid = jax.lax.axis_index("tile")
+    top_rep = jnp.broadcast_to(ref_band[:1, :], halo_from_above.shape)
+    bot_rep = jnp.broadcast_to(ref_band[-1:, :], halo_from_below.shape)
+    halo_from_above = jnp.where(tid == 0, top_rep, halo_from_above)
+    halo_from_below = jnp.where(tid == n_tiles - 1, bot_rep,
+                                halo_from_below)
     ref_ext = jnp.concatenate([halo_from_above, ref_band, halo_from_below],
                               axis=0)                      # [band+2R, W]
 
