@@ -393,20 +393,23 @@ static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out) 
 
 // RDOQ, simplified (Quant::rdoQuant analog; mirrors ops/ref/transform.rdoq):
 // per-coefficient level choice among {l, l-1, 0} + whole-CG zeroing with a
-// static bin-count rate model; lam is pre-scaled by the 0.4 calibration.
+// static bin-count rate model. All-integer cost arithmetic (lambda from the
+// shared kRdoqLam32 fixed-point table) so the native finalizer, the Python
+// oracle and the TPU residual pipeline decide identically:
+//   cost*32*err_norm = 32*e^2 + (LAM32[qp] << 2*tr_shift) * rate
 static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
-                        int bd, double lam) {
+                        int bd) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int bd_shift = bd + log2 - 5;
   int64_t scale = (int64_t)kDequantScale[rem] * 16;
   int tr_shift = 15 - bd - log2;
-  double err_norm = std::pow(2.0, 2 * tr_shift);
+  int64_t lam_fx = kRdoqLam32[qp] << (2 * tr_shift);
   auto deq = [&](int64_t l) { return (l * (scale << per)) >> bd_shift; };
-  auto rate = [&](int64_t l) -> double {
-    if (l == 0) return 1.0;
-    double r = 3.0;                       // sig + gt1 + sign
-    if (l > 1) r += 1.0 + 2.0 * std::floor(std::log2((double)l)) + 1.0;
+  auto rate = [&](int64_t l) -> int64_t {
+    if (l == 0) return 1;
+    int64_t r = 3;                        // sig + gt1 + sign
+    if (l > 1) r += 2 + 2 * (63 - __builtin_clzll((uint64_t)l));
     return r;
   };
   for (int i = 0; i < n * n; i++) {
@@ -414,12 +417,12 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
     int s = lvl[i] < 0 ? -1 : 1;
     int64_t l0 = lvl[i] < 0 ? -(int64_t)lvl[i] : lvl[i];
     if (l0 == 0) continue;
-    double best = 1e30;
+    int64_t best = INT64_MAX;
     int64_t bl = l0;
     int64_t cands[3] = {l0, l0 - 1, 0};
     for (int64_t l : cands) {
-      double e = (double)(c - s * deq(l));
-      double cost = e * e / err_norm + lam * rate(l);
+      int64_t e = c - s * deq(l);
+      int64_t cost = 32 * e * e + lam_fx * rate(l);
       if (cost < best) { best = cost; bl = l; }
     }
     lvl[i] = (int32_t)(s * bl);
@@ -428,7 +431,7 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
   int ng = n / 4;
   for (int cy = 0; cy < ng; cy++)
     for (int cx = 0; cx < ng; cx++) {
-      double d_now = 0, d_zero = 0, r_now = 0;
+      int64_t d_now = 0, d_zero = 0, r_now = 0;
       bool any = false;
       for (int j = 0; j < 4; j++)
         for (int i = 0; i < 4; i++) {
@@ -436,13 +439,13 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
           int64_t c = coeff[idx];
           int64_t l = lvl[idx] < 0 ? -(int64_t)lvl[idx] : lvl[idx];
           int s = lvl[idx] < 0 ? -1 : 1;
-          double e = (double)(c - s * deq(l));
-          d_now += e * e / err_norm;
-          d_zero += (double)c * (double)c / err_norm;
+          int64_t e = c - s * deq(l);
+          d_now += e * e;
+          d_zero += c * c;
           r_now += rate(l);
           if (l) any = true;
         }
-      if (any && (d_zero - d_now) < lam * (r_now - 1.0)) {
+      if (any && 32 * (d_zero - d_now) < lam_fx * (r_now - 1)) {
         for (int j = 0; j < 4; j++)
           for (int i = 0; i < 4; i++)
             lvl[(cy * 4 + j) * n + cx * 4 + i] = 0;
@@ -1355,8 +1358,7 @@ struct Writer {
     }
     quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl, n, qpc, bd,
-                  0.4 * 0.85 * std::pow(2.0, (qpc - 12) / 3.0));
+      rdoq_adjust(cf.data(), lvl, n, qpc, bd);
     bool nz = false;
     for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1623,8 +1625,7 @@ struct Writer {
     denoise(cf.data(), nt, log2, plane, true);
     quantize(cf.data(), nt, qpc, bd, lvl.data());
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd,
-                  0.4 * 0.85 * std::pow(2.0, (qpc - 12) / 3.0));
+      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd);
     bool nz = false;
     for (int i = 0; i < nt * nt; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {

@@ -162,51 +162,51 @@ def transform_skip_residual(dequant: np.ndarray, bit_depth: int = 8) -> np.ndarr
 
 
 def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
-         lam: float, bit_depth: int = 8) -> np.ndarray:
+         lam: float = None, bit_depth: int = 8) -> np.ndarray:
     """Rate-distortion optimized quantization, simplified (x265 analog:
     Quant::rdoQuant, quant.cpp:610; this keeps the two decisions that
     carry most of the gain — per-coefficient level choice among
     {level, level-1, 0} and whole-CG zeroing — with a static bin-count
     rate model instead of live CABAC fractional bits).
 
-    coeff: pre-quant transform coefficients; level: conventional quant
-    output; lam: SSE-domain lambda (0.85 * 2^((qp-12)/3)).
-    Returns the optimized levels.
+    All-integer cost arithmetic with the shared fixed-point lambda table
+    (tables.RDOQ_LAM32), so the native finalizer, this oracle and the TPU
+    residual pipeline make bit-identical decisions:
+        cost * 32 * err_norm = 32*e^2 + (LAM32[qp] << 2*tr_shift) * rate
+    The `lam` argument is accepted for API compatibility and ignored.
     """
+    from x265_tpu.hevc.tables import RDOQ_LAM32
     n = 1 << log2
     per, rem = qp // 6, qp % 6
     bd_shift = bit_depth + log2 - 5
     scale = int(LEV_SCALE[rem]) * 16
+    tr_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2
+    lam_fx = int(RDOQ_LAM32[qp]) << (2 * tr_shift)
 
     def deq(l):
         return (l.astype(np.int64) * scale << per) >> bd_shift
-
-    # pixel-domain SSE of a coefficient-domain error (HM xRateDistOptQuant
-    # errScale): 2^(-2*transformShift), transformShift = 15 - bd - log2
-    tr_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2
-    err_norm = float(2.0 ** (2 * tr_shift))
 
     c = coeff.astype(np.int64)
     sgn = np.sign(level)
     l0 = np.abs(level).astype(np.int64)
 
-    def dist(l):
+    def dist32(l):
         e = c - sgn * deq(l)
-        return e.astype(np.float64) ** 2 / err_norm
+        return 32 * e * e
 
     def rate(l):
-        # sig + gt1 + gt2-ish + golomb + sign (bins ~ bits)
-        r = np.where(l > 0, 2.0, 1.0)
-        r += np.where(l > 1, 1.0, 0.0)
-        v = np.maximum(l - 1, 0).astype(np.float64)
-        r += np.where(l > 1, 2.0 * np.floor(np.log2(v + 1.0)) + 1.0, 0.0)
-        r += np.where(l > 0, 1.0, 0.0)
+        # sig + gt1 + sign, plus golomb-ish tail bins for l > 1
+        r = np.where(l > 0, 3, 1).astype(np.int64)
+        lg = np.zeros_like(l)
+        m = l > 1
+        lg[m] = np.floor(np.log2(l[m].astype(np.float64))).astype(np.int64)
+        r += np.where(m, 2 + 2 * lg, 0)
         return r
 
     best_l = l0.copy()
-    best_cost = dist(l0) + lam * rate(l0)
+    best_cost = dist32(l0) + lam_fx * rate(l0)
     for cand in (np.maximum(l0 - 1, 0), np.zeros_like(l0)):
-        cost = dist(cand) + lam * rate(cand)
+        cost = dist32(cand) + lam_fx * rate(cand)
         take = cost < best_cost
         best_cost = np.where(take, cost, best_cost)
         best_l = np.where(take, cand, best_l)
@@ -217,14 +217,13 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
     # distortion added (the csbf bin then codes 0)
     og = out.reshape(n // 4, 4, n // 4, 4)
     cg_l = np.abs(og).astype(np.int64)
-    d_zero = (c.reshape(n // 4, 4, n // 4, 4).astype(np.float64) ** 2
-              / err_norm)
-    e_now = (c.reshape(n // 4, 4, n // 4, 4)
-             - np.sign(og) * deq(cg_l).reshape(n // 4, 4, n // 4, 4))
-    d_now = e_now.astype(np.float64) ** 2 / err_norm
+    cgc = c.reshape(n // 4, 4, n // 4, 4)
+    d_zero = cgc * cgc
+    e_now = cgc - np.sign(og) * deq(cg_l).reshape(n // 4, 4, n // 4, 4)
+    d_now = e_now * e_now
     r_now = rate(cg_l)
     dd = (d_zero - d_now).sum(axis=(1, 3))
     rr = r_now.sum(axis=(1, 3))
-    zero_cg = (cg_l.sum(axis=(1, 3)) > 0) & (dd < lam * (rr - 1.0))
+    zero_cg = (cg_l.sum(axis=(1, 3)) > 0) & (32 * dd < lam_fx * (rr - 1))
     og[...] = np.where(zero_cg[:, None, :, None], 0, og)
     return out
