@@ -973,7 +973,8 @@ class Encoder:
         dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
         qpv = qp if qp is not None else self._slice_qp(SLICE_P)
         lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
-        from x265_tpu.engine.me import smooth_mv_field
+        from x265_tpu.engine.me import (
+            mv_field_median3, refine_with_mvp, smooth_mv_field)
         lam_satd = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
         best_cost = best_mv = best_ref = None
         for ridx, ref in enumerate(refs):
@@ -983,6 +984,12 @@ class Encoder:
                 R=p.me_range, qp=qpv,
                 subme=max(1, p.sub_me), bit_depth=p.bit_depth,
                 return_aux=True)
+            # two-phase MV cost: re-cost against the neighborhood
+            # predictor so uniform motion is cheap (x265 charges
+            # lambda*bits(mv - AMVP), motion.cpp:739 COST_MV)
+            mvp = mv_field_median3(mv_blk)
+            mv_blk, mcost = refine_with_mvp(aux, mv_blk, mvp,
+                                            max(1, p.sub_me))
             # unify near-tied MVs so 2x2 groups can merge into 32x32 CUs
             mv_blk = smooth_mv_field(mv_blk, mcost, aux, lam_satd)
             mcost = mcost + lam * 2.0 * ridx      # ~ref_idx bin cost
@@ -995,7 +1002,12 @@ class Encoder:
                 best_mv = np.where(take[..., None], mv_blk, best_mv)
                 best_ref = np.where(take, ridx, best_ref)
         icost = self._intra_cost_grid(y, S)
-        inter_blk = best_cost < icost
+        # intra pays mode bits AND its SATD is optimistic (analysis
+        # neighbors are source pixels, the coded prediction's are recon) —
+        # without a penalty half a panning frame goes intra
+        # (x265 analog: checkIntraInInter's mode-bit cost, search.cpp:1291)
+        icost_adj = icost * 1.125 + lam * 12.0
+        inter_blk = best_cost < icost_adj
         h8, w8 = p.height >> 3, p.width >> 3
         rep = S >> 3
         nby, nbx = best_mv.shape[:2]
@@ -1032,24 +1044,31 @@ class Encoder:
     def _b_decisions(self, y, ref0_y, ref1_y, qp=None) -> FrameDecisions:
         """B-frame analysis: ME vs both anchors + bi-prediction trial
         (x265 checkBidir2Nx2N analog) + intra fallback, as batched argmin."""
-        from x265_tpu.engine.me import bi_cost, motion_decide
+        from x265_tpu.engine.me import (
+            bi_cost, motion_decide, mv_field_median3, refine_with_mvp)
 
         p = self.param
         S = 16
         R = p.me_range
+        qpv = qp if qp is not None else self._slice_qp(SLICE_B)
+        lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
         dec = self._intra_decisions(y)
         mv0, c0, aux0 = motion_decide(np.asarray(y), np.asarray(ref0_y),
                                       p.width, p.height, S=S, R=R,
-                                      qp=qp if qp is not None else self._slice_qp(SLICE_B),
-                                      subme=max(1, p.sub_me),
+                                      qp=qpv, subme=max(1, p.sub_me),
                                       return_aux=True, bit_depth=p.bit_depth)
+        mv0, c0 = refine_with_mvp(aux0, mv0, mv_field_median3(mv0),
+                                  max(1, p.sub_me))
         mv1, c1, aux1 = motion_decide(np.asarray(y), np.asarray(ref1_y),
                                       p.width, p.height, S=S, R=R,
-                                      qp=qp if qp is not None else self._slice_qp(SLICE_B),
-                                      subme=max(1, p.sub_me),
+                                      qp=qpv, subme=max(1, p.sub_me),
                                       return_aux=True, bit_depth=p.bit_depth)
-        cbi = bi_cost(mv0, aux0, mv1, aux1, S=S)
+        mv1, c1 = refine_with_mvp(aux1, mv1, mv_field_median3(mv1),
+                                  max(1, p.sub_me))
+        cbi = bi_cost(mv0, aux0, mv1, aux1, S=S,
+                      mvp0=mv_field_median3(mv0), mvp1=mv_field_median3(mv1))
         icost = self._intra_cost_grid(y, S)
+        icost = icost * 1.125 + lam * 12.0   # see _p_decisions
 
         costs = np.stack([icost, c0, c1, cbi])      # choice 0..3
         choice = np.argmin(costs, axis=0)

@@ -156,12 +156,15 @@ def _phase_planes(ref_pad: jnp.ndarray, maxv: int = 255) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("S", "margin"))
-def _refine(cur_blocks, planes, mv_q, offsets, lam, mvcost_scale, S, margin):
+def _refine(cur_blocks, planes, mv_q, offsets, lam, mvp_q, S, margin):
     """One subpel refinement round.
 
     cur_blocks [N,S,S]; planes [4,4,Hp,Wp] (padded by `margin` int pels);
     mv_q [N,2] current best quarter-pel MVs; offsets [K,2] quarter-pel
-    deltas (0,0 included to keep the incumbent). Returns best mv [N,2].
+    deltas (0,0 included to keep the incumbent); mvp_q [N,2] the MV
+    predictor the bit cost is measured against (x265 charges lambda *
+    bitcost(mv - mvp), bitcost.h — a (0,0) predictor over-penalizes
+    uniform motion by ~20 bits/block). Returns best mv [N,2].
     """
     N = cur_blocks.shape[0]
     nbx_arr = mv_q[:, 2]  # packed block x index
@@ -182,9 +185,9 @@ def _refine(cur_blocks, planes, mv_q, offsets, lam, mvcost_scale, S, margin):
 
         pred = jax.vmap(one)(jnp.arange(N))
         satd = satd8_batched(cur_blocks, pred).astype(jnp.float32)
-        bits = (2 * jnp.floor(jnp.log2(2 * jnp.abs(cand).astype(jnp.float32)
-                                       + 1)) + 1).sum(axis=1)
-        return satd + lam * bits * mvcost_scale, cand
+        mvd = jnp.abs(cand - mvp_q).astype(jnp.float32)
+        bits = (2 * jnp.floor(jnp.log2(2 * mvd + 1)) + 1).sum(axis=1)
+        return satd + lam * bits, cand
 
     costs, cands = jax.vmap(eval_cand)(offsets)    # [K,N], [K,N,2]
     k = jnp.argmin(costs, axis=0)                  # [N]
@@ -311,11 +314,12 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
     mv_q = jnp.asarray(state)
     best2 = mv_q[:, :2]
     cost2 = None
+    zero_mvp = jnp.zeros((N, 2), jnp.int32)
     rounds = [_HALF_OFFS] + ([_QUARTER_OFFS] if subme >= 2 else [])
     for offs in rounds:
         best2, cost2 = _refine(cur_blocks, planes,
                                jnp.concatenate([best2, mv_q[:, 2:]], axis=1),
-                               jnp.asarray(offs), lam, jnp.float32(1.0),
+                               jnp.asarray(offs), lam, zero_mvp,
                                S, margin)
     mv = np.asarray(best2).reshape(nby, nbx, 2)
     cost = np.asarray(cost2).reshape(nby, nbx)
@@ -343,6 +347,44 @@ def _eval_fixed(cur_blocks, planes, mv, bxy, S, margin):
 
     pred = jax.vmap(one)(jnp.arange(N))
     return satd8_batched(cur_blocks, pred)
+
+
+def mv_field_median3(mv: np.ndarray) -> np.ndarray:
+    """Per-component 3x3 median of an MV field [nby,nbx,2] (edge-padded)
+    — the decision-stage MV predictor (stands in for AMVP, which is only
+    defined during the coding walk; x265 motion.cpp uses the real MVP)."""
+    p = np.pad(mv, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    stack = np.stack([p[dy:dy + mv.shape[0], dx:dx + mv.shape[1]]
+                      for dy in range(3) for dx in range(3)])
+    return np.median(stack, axis=0).astype(np.int32)
+
+
+def refine_with_mvp(aux, mv: np.ndarray, mvp: np.ndarray, subme: int = 2):
+    """Re-run the subpel refinement + final costing with MVP-relative MV
+    bits (two-phase ME: pass 1 finds the motion with a (0,0) prior,
+    pass 2 re-costs against the neighborhood predictor so uniform motion
+    fields are cheap, like x265's AMVP-based mvcost).
+
+    Returns (mv [nby,nbx,2] qpel, cost [nby,nbx])."""
+    nby, nbx = mv.shape[:2]
+    N = nby * nbx
+    S = aux["cur_blocks"].shape[1]
+    bxy = aux["bxy"]
+    state = np.concatenate([mv.reshape(N, 2), bxy], axis=1).astype(np.int32)
+    mv_q = jnp.asarray(state)
+    best2 = mv_q[:, :2]
+    mvp_dev = jnp.asarray(mvp.reshape(N, 2).astype(np.int32))
+    rounds = [_HALF_OFFS] + ([_QUARTER_OFFS] if subme >= 2 else [])
+    if subme < 1:
+        rounds = [np.array([(0, 0)], dtype=np.int32)]
+    cost2 = None
+    for offs in rounds:
+        best2, cost2 = _refine(aux["cur_blocks"], aux["planes"],
+                               jnp.concatenate([best2, mv_q[:, 2:]], axis=1),
+                               jnp.asarray(offs), aux["lam"], mvp_dev,
+                               S, aux["margin"])
+    return (np.asarray(best2).reshape(nby, nbx, 2).astype(np.int32),
+            np.asarray(cost2).reshape(nby, nbx).astype(np.float32))
 
 
 def eval_mvs(aux, mv: np.ndarray) -> np.ndarray:
@@ -388,16 +430,19 @@ def smooth_mv_field(mv, cost, aux, lam, group: int = 2,
     return out
 
 
-def bi_cost(mv0, aux0, mv1, aux1, S: int = 16):
+def bi_cost(mv0, aux0, mv1, aux1, S: int = 16, mvp0=None, mvp1=None):
     """Bi-prediction cost per block from two motion_decide aux bundles:
-    SATD of the averaged prediction + lambda * mv bits of both MVs."""
+    SATD of the averaged prediction + lambda * mv bits of both MVs
+    (MVP-relative when predictors are given)."""
     nby, nbx = mv0.shape[:2]
     bxy = jnp.asarray(aux0["bxy"])
     satd = _bi_satd(aux0["cur_blocks"], aux0["planes"], aux1["planes"],
                     jnp.asarray(mv0.reshape(-1, 2)),
                     jnp.asarray(mv1.reshape(-1, 2)),
                     bxy, S, aux0["margin"])
-    bits = (_mv_bits(mv0.reshape(-1, 2)).sum(1) +
-            _mv_bits(mv1.reshape(-1, 2)).sum(1))
+    d0 = mv0 - (mvp0 if mvp0 is not None else 0)
+    d1 = mv1 - (mvp1 if mvp1 is not None else 0)
+    bits = (_mv_bits(d0.reshape(-1, 2)).sum(1) +
+            _mv_bits(d1.reshape(-1, 2)).sum(1))
     cost = np.asarray(satd).astype(np.float32) + aux0["lam"] * bits
     return cost.reshape(nby, nbx)

@@ -97,6 +97,9 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # col dir/mv/refpoc
             ctypes.c_int, ctypes.c_int,                          # col poc, from_l0
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # nr off/sum/cnt
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # pre lvl y/cb/cr
+            ctypes.c_void_p, ctypes.c_void_p,                    # pre cbf8/has8
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # pre rec y/cb/cr
         ]
         _lib = lib
         return _lib
@@ -154,7 +157,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     strong_smooth, cb_qp_off=0, cr_qp_off=0,
                     sao_params=None, sao_luma=False, sao_chroma=False,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
-                    weights=None, col=None, col_from_l0=1, nr=None):
+                    weights=None, col=None, col_from_l0=1, nr=None,
+                    pre=None):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -165,6 +169,10 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
     TMVP (8.5.3.2.7-8.5.3.2.9).
     nr: optional (offsets u16[16,1024], sums u32[16,1024], counts u32[16])
     DCT-domain noise reduction; sums/counts accumulate in place.
+    pre: optional precomputed residual tensors from the TPU pipeline
+    (models/residual.py) — dict with lvl_y/lvl_cb/lvl_cr int16 planes,
+    cbf8 uint8 [h8,w8] (bit0=y,1=cb,2=cr), has8 uint8 [h8,w8], rec_y/
+    rec_cb/rec_cr int16 recon planes. CUs with has8=1 are emit-only.
     Returns (bytes, recon, cbf4, qp_actual) or None if unavailable.
     """
     lib = get_lib()
@@ -222,6 +230,16 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         wp_arr = c(weights[0], dtype=np.int32)
         keep.append(wp_arr)
         wp_ptr, wp_ld, wp_cd = wp_arr.ctypes.data, weights[1], weights[2]
+    pre_ptrs = [None] * 8
+    if pre is not None:
+        order = ("lvl_y", "lvl_cb", "lvl_cr", "cbf8", "has8",
+                 "rec_y", "rec_cb", "rec_cr")
+        dts = (np.int16, np.int16, np.int16, np.uint8, np.uint8,
+               np.int16, np.int16, np.int16)
+        for i, (k, dt) in enumerate(zip(order, dts)):
+            a = c(pre[k], dtype=dt)
+            keep.append(a)
+            pre_ptrs[i] = a.ctypes.data
     nro_p = nrs_p = nrc_p = None
     if nr is not None:
         assert nr[0].dtype == np.uint16 and nr[1].dtype == np.uint32 \
@@ -264,7 +282,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
         cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
-        nro_p, nrs_p, nrc_p)
+        nro_p, nrs_p, nrc_p, *pre_ptrs)
     if n < 0:
         return None
     return (out[:n].tobytes(),

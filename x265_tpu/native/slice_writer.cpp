@@ -843,6 +843,27 @@ struct Writer {
     nr_cnt[cat]++;
   }
   const int32_t* ref8 = nullptr;                 // [h8*w8] L0 ref idx
+  // --- precomputed residual tensors (the TPU decide/emit split; the
+  // device ran prediction/transform/quant/recon — frameencoder.cpp:1519's
+  // compressCTU analog — and this writer only emits bins, :1533) ---
+  const int16_t* pre_lvl_y = nullptr;   // [h*w] TU levels, raster layout
+  const int16_t* pre_lvl_cb = nullptr;  // [h/2 * w/2]
+  const int16_t* pre_lvl_cr = nullptr;
+  const uint8_t* pre_cbf8 = nullptr;    // [h8*w8] bit0=y bit1=cb bit2=cr
+  const uint8_t* pre_has8 = nullptr;    // [h8*w8] 1 = CU is precomputed
+  const int16_t* pre_rec_y = nullptr;   // recon planes (pre-loop-filter)
+  const int16_t* pre_rec_cb = nullptr;
+  const int16_t* pre_rec_cr = nullptr;
+  bool pre_cu(int x0, int y0) const {
+    return pre_has8 && pre_has8[(y0 >> 3) * w8 + (x0 >> 3)];
+  }
+  // copy a TU's precomputed levels out of the raster plane
+  void pre_levels(const int16_t* plane, int pw, int x0, int y0, int n,
+                  int32_t* dst) const {
+    for (int j = 0; j < n; j++)
+      for (int i = 0; i < n; i++)
+        dst[j * n + i] = plane[(y0 + j) * pw + (x0 + i)];
+  }
   int pad_luma = 80;
   int ref_poc[2][4] = {{0}};
   int nref[2] = {0, 0};
@@ -959,6 +980,11 @@ struct Writer {
     y.assign(width * height, 0);
     cb.assign(cw * ch, 0);
     cr.assign(cw * ch, 0);
+    if (pre_rec_y) {        // device recon pre-fills the working planes
+      memcpy(y.data(), pre_rec_y, y.size() * sizeof(int16_t));
+      memcpy(cb.data(), pre_rec_cb, cb.size() * sizeof(int16_t));
+      memcpy(cr.data(), pre_rec_cr, cr.size() * sizeof(int16_t));
+    }
     w4 = (width + 3) >> 2; h4 = (height + 3) >> 2;
     avail4.assign(w4 * h4, 0);
     isintra4.assign(w4 * h4, 0);
@@ -1382,17 +1408,19 @@ struct Writer {
                     const int32_t* ry, const int32_t* rcb, const int32_t* rcr) {
     int maxv = (1 << bd) - 1;
     int hs = size >> 1, cw = width >> 1;
-    for (int j = 0; j < size; j++)
-      for (int i = 0; i < size; i++)
-        y[(y0 + j) * width + (x0 + i)] = (int16_t)clip3(
-            0, maxv, py[j * size + i] + (ry ? ry[j * size + i] : 0));
-    for (int j = 0; j < hs; j++)
-      for (int i = 0; i < hs; i++) {
-        cb[((y0 >> 1) + j) * cw + ((x0 >> 1) + i)] = (int16_t)clip3(
-            0, maxv, pcb[j * hs + i] + (rcb ? rcb[j * hs + i] : 0));
-        cr[((y0 >> 1) + j) * cw + ((x0 >> 1) + i)] = (int16_t)clip3(
-            0, maxv, pcr[j * hs + i] + (rcr ? rcr[j * hs + i] : 0));
-      }
+    if (py) {       // null = precomputed: recon already in the planes
+      for (int j = 0; j < size; j++)
+        for (int i = 0; i < size; i++)
+          y[(y0 + j) * width + (x0 + i)] = (int16_t)clip3(
+              0, maxv, py[j * size + i] + (ry ? ry[j * size + i] : 0));
+      for (int j = 0; j < hs; j++)
+        for (int i = 0; i < hs; i++) {
+          cb[((y0 >> 1) + j) * cw + ((x0 >> 1) + i)] = (int16_t)clip3(
+              0, maxv, pcb[j * hs + i] + (rcb ? rcb[j * hs + i] : 0));
+          cr[((y0 >> 1) + j) * cw + ((x0 >> 1) + i)] = (int16_t)clip3(
+              0, maxv, pcr[j * hs + i] + (rcr ? rcr[j * hs + i] : 0));
+        }
+    }
     for (int yy = y0 >> 2; yy < (y0 + size) >> 2; yy++)
       for (int xx = x0 >> 2; xx < (x0 + size) >> 2; xx++) {
         int idx = yy * w4 + xx;
@@ -1423,17 +1451,36 @@ struct Writer {
       m.ref[l] = used ? (l == 0 ? r0sel : 0) : -1;
     }
 
-    std::vector<int32_t> py(size * size), pcb(hs * hs), pcr(hs * hs);
-    mc_cu(x0, y0, size, m, py.data(), pcb.data(), pcr.data());
-    std::vector<int32_t> ylvl(size * size), yres(size * size);
-    std::vector<int32_t> cblvl(hs * hs), cbres(hs * hs);
-    std::vector<int32_t> crlvl(hs * hs), crres(hs * hs);
-    bool cbf_y = coeffs_from_pred(0, x0, y0, size, py.data(), ylvl.data(),
-                                  yres.data());
-    bool cbf_cb = coeffs_from_pred(1, x0 >> 1, y0 >> 1, hs, pcb.data(),
-                                   cblvl.data(), cbres.data());
-    bool cbf_cr = coeffs_from_pred(2, x0 >> 1, y0 >> 1, hs, pcr.data(),
-                                   crlvl.data(), crres.data());
+    bool pre = pre_cu(x0, y0);
+    std::vector<int32_t> py, pcb, pcr;
+    std::vector<int32_t> ylvl(size * size), yres;
+    std::vector<int32_t> cblvl(hs * hs), cbres;
+    std::vector<int32_t> crlvl(hs * hs), crres;
+    bool cbf_y, cbf_cb, cbf_cr;
+    if (pre) {
+      // device computed MC/transform/quant/recon — read levels + cbf
+      int b8 = (y0 >> 3) * w8 + (x0 >> 3);
+      cbf_y = pre_cbf8[b8] & 1;
+      cbf_cb = (pre_cbf8[b8] >> 1) & 1;
+      cbf_cr = (pre_cbf8[b8] >> 2) & 1;
+      if (cbf_y) pre_levels(pre_lvl_y, width, x0, y0, size, ylvl.data());
+      if (cbf_cb)
+        pre_levels(pre_lvl_cb, width >> 1, x0 >> 1, y0 >> 1, hs,
+                   cblvl.data());
+      if (cbf_cr)
+        pre_levels(pre_lvl_cr, width >> 1, x0 >> 1, y0 >> 1, hs,
+                   crlvl.data());
+    } else {
+      py.resize(size * size); pcb.resize(hs * hs); pcr.resize(hs * hs);
+      yres.resize(size * size); cbres.resize(hs * hs); crres.resize(hs * hs);
+      mc_cu(x0, y0, size, m, py.data(), pcb.data(), pcr.data());
+      cbf_y = coeffs_from_pred(0, x0, y0, size, py.data(), ylvl.data(),
+                               yres.data());
+      cbf_cb = coeffs_from_pred(1, x0 >> 1, y0 >> 1, hs, pcb.data(),
+                                cblvl.data(), cbres.data());
+      cbf_cr = coeffs_from_pred(2, x0 >> 1, y0 >> 1, hs, pcr.data(),
+                                crlvl.data(), crres.data());
+    }
     bool all_zero = !(cbf_y || cbf_cb || cbf_cr);
 
     Motion cands[5];
@@ -1447,8 +1494,8 @@ struct Writer {
     if (skip) {
       encode_merge_idx(merge_idx);
       finish_inter(x0, y0, size, depth, m, true, false,
-                   py.data(), pcb.data(), pcr.data(), nullptr, nullptr,
-                   nullptr);
+                   pre ? nullptr : py.data(), pcb.data(), pcr.data(),
+                   nullptr, nullptr, nullptr);
       return;
     }
     cab.bin(CTX_PRED_MODE, 0);
@@ -1493,8 +1540,8 @@ struct Writer {
       cab.bin(CTX_RQT_ROOT_CBF, all_zero ? 0 : 1);
       if (all_zero) {
         finish_inter(x0, y0, size, depth, m, false, false,
-                     py.data(), pcb.data(), pcr.data(), nullptr, nullptr,
-                     nullptr);
+                     pre ? nullptr : py.data(), pcb.data(), pcr.data(),
+                     nullptr, nullptr, nullptr);
         return;
       }
     }
@@ -1513,8 +1560,8 @@ struct Writer {
       encode_residual(cab, crlvl.data(), log2_cb - 1, 2, 0, sign_hiding,
                       lossless);
     finish_inter(x0, y0, size, depth, m, false, cbf_y,
-                 py.data(), pcb.data(), pcr.data(), yres.data(), cbres.data(),
-                 crres.data());
+                 pre ? nullptr : py.data(), pcb.data(), pcr.data(),
+                 pre ? nullptr : yres.data(), cbres.data(), crres.data());
   }
 
   void coding_unit(int x0, int y0, int log2_cb, int depth) {
@@ -1588,6 +1635,18 @@ struct Writer {
     int nt = 1 << log2;
     int pw = plane == 0 ? width : width >> 1;
     int ph = plane == 0 ? height : height >> 1;
+    // precomputed (TPU) path: levels/cbf/recon came from the device;
+    // emit-only (recon already pre-filled in run())
+    if (pre_has8) {
+      int b8 = plane == 0 ? ((y0 >> 3) * w8 + (x0 >> 3))
+                          : ((y0 >> 2) * w8 + (x0 >> 2));
+      if (pre_has8[b8]) {
+        const int16_t* lp = plane == 0 ? pre_lvl_y
+                            : (plane == 1 ? pre_lvl_cb : pre_lvl_cr);
+        pre_levels(lp, pw, x0, y0, nt, coeff_out);
+        return (pre_cbf8[b8] >> plane) & 1;
+      }
+    }
     int16_t* rec = plane == 0 ? y.data() : (plane == 1 ? cb.data() : cr.data());
     const uint16_t* src = plane == 0 ? src_y : (plane == 1 ? src_cb : src_cr);
     std::vector<int32_t> ref(4 * nt + 1), pred(nt * nt);
@@ -1756,7 +1815,11 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int32_t* col_refpoc, int col_poc,
                     int col_from_l0,
                     const uint16_t* nr_off, uint32_t* nr_sum,
-                    uint32_t* nr_cnt) {
+                    uint32_t* nr_cnt,
+                    const int16_t* pre_lvl_y, const int16_t* pre_lvl_cb,
+                    const int16_t* pre_lvl_cr, const uint8_t* pre_cbf8,
+                    const uint8_t* pre_has8, const int16_t* pre_rec_y,
+                    const int16_t* pre_rec_cb, const int16_t* pre_rec_cr) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -1794,6 +1857,13 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.col_poc = col_poc; w.col_from_l0 = col_from_l0;
   if (!lossless && nr_off && nr_sum && nr_cnt) {
     w.nr_off = nr_off; w.nr_sum = nr_sum; w.nr_cnt = nr_cnt;
+  }
+  if (pre_has8) {
+    w.pre_lvl_y = pre_lvl_y; w.pre_lvl_cb = pre_lvl_cb;
+    w.pre_lvl_cr = pre_lvl_cr; w.pre_cbf8 = pre_cbf8;
+    w.pre_has8 = pre_has8;
+    w.pre_rec_y = pre_rec_y; w.pre_rec_cb = pre_rec_cb;
+    w.pre_rec_cr = pre_rec_cr;
   }
   w.run();
   if (qp_actual_out)
