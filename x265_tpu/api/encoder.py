@@ -169,6 +169,10 @@ class Encoder:
         # entropy backend: native C++ finalizer when buildable; Python
         # reference writer is the oracle (differential-tested)
         self.use_native = True
+        # finalizer split: inter-CU pixel math (MC/transform/quant/recon)
+        # batched on the device, native consumes (levels, cbf, recon)
+        # tensors and emits bins only (VERDICT r1 task 1)
+        self.use_tpu_residual = True
         self.frame_stats = []        # per-frame records in encode order
         self._awriter = self._areader = None
         if p.analysis_save:
@@ -714,6 +718,17 @@ class Encoder:
                               pad >> (0 if i == 0 else 1), mode="edge")
                        for i, pl in enumerate(planes)) for planes in lst]
                 for lst in refs)   # up to 4 refs per list
+            pre = None
+            if (self.use_tpu_residual and slice_type != SLICE_I
+                    and nr_arrs is None):
+                from x265_tpu.models.inter_residual import build_inter_pre
+                from x265_tpu.utils.profiling import scope as _scope
+                with _scope("tpu_residual"):
+                    pre = build_inter_pre(
+                        (np.asarray(y), np.asarray(cb), np.asarray(cr)),
+                        decisions, refs_padded, sh.qp, p, wp_native,
+                        self.pps.sign_data_hiding,
+                        0 if p.lossless else p.rdoq_level)
 
             def run_native(sp=None):
                 if nr_arrs is not None:      # fresh sums per (re-)emit
@@ -733,7 +748,8 @@ class Encoder:
                     bit_depth=p.bit_depth, ref8=decisions.ref8,
                     rdoq_level=0 if p.lossless else p.rdoq_level,
                     weights=wp_native, col=col,
-                    col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs)
+                    col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs,
+                    pre=pre)
 
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):

@@ -1,0 +1,298 @@
+"""Batched inter-CU residual pipeline — the P/B-frame half of the
+finalizer split.
+
+For every inter CU the decision maps already fix (MV, dir, ref), so
+motion compensation, transform, quant, RDOQ, SBH, dequant and recon have
+no intra-frame dependency at all: the whole frame's inter CUs of one size
+run as ONE batched device computation (reference analog: the per-CU
+serial Predict::motionCompensation + Quant::transformNxN walk,
+predict.cpp / quant.cpp:397, recast as tensor ops). Results feed the
+native writer's precomputed (emit-only) mode — streams are byte-identical
+to the all-CPU path (tests/test_finalizer_split.py).
+
+Bit-exactness notes: the 8/4-tap MC uses the same "tap-0 == 64" algebra
+as mc_14 (slice_writer.cpp:491) — the generic separable path equals every
+xf/yf special case exactly because 64 = 2^6 divides the stage shifts.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from x265_tpu.hevc.tables import CHROMA_QP_TABLE
+from x265_tpu.models.residual import _tq_chain
+
+_LUMA_FILT = np.array([
+    [0, 0, 0, 64, 0, 0, 0, 0],
+    [-1, 4, -10, 58, 17, -5, 1, 0],
+    [-1, 4, -11, 40, 40, -11, 4, -1],
+    [0, 1, -5, 17, 58, -10, 4, -1]], np.int32)
+_CHROMA_FILT = np.array([
+    [0, 64, 0, 0], [-2, 58, 10, -2], [-4, 54, 16, -2], [-6, 46, 28, -4],
+    [-4, 36, 36, -4], [-4, 28, 46, -6], [-2, 16, 54, -4], [-2, 10, 58, -2]],
+    np.int32)
+
+
+def _mc_gather(planes, ridx, x0, y0, mvx, mvy, filt, fb, n, taps, pad, bd):
+    """14-bit MC prediction for a batch of blocks from stacked ref planes.
+
+    planes [R, Hp, Wp] int; ridx/x0/y0/mvx/mvy [N]; filt [P, taps];
+    fb: mv fractional bits (2 luma, 3 chroma). Returns [N, n, n] int32.
+    """
+    N = x0.shape[0]
+    half = taps // 2
+    mask = (1 << fb) - 1
+    xi = x0 + (mvx >> fb)
+    yi = y0 + (mvy >> fb)
+    xf = mvx & mask
+    yf = mvy & mask
+    side = n + taps - 1
+    filt = jnp.asarray(filt)
+
+    def one(i):
+        win = jax.lax.dynamic_slice(
+            planes, (ridx[i], pad + yi[i] - half + 1, pad + xi[i] - half + 1),
+            (1, side, side))[0].astype(jnp.int32)
+        fx = filt[xf[i]]
+        fy = filt[yf[i]]
+        # horizontal: tmp[j, x] = sum_t fx[t] * win[j, x + t]  >> (bd-8)
+        cols = jnp.stack([win[:, t:t + n] for t in range(taps)], axis=-1)
+        hor = (cols @ fx) >> (bd - 8)                 # [side, n]
+        rows = jnp.stack([hor[t:t + n, :] for t in range(taps)], axis=0)
+        out = jnp.tensordot(fy, rows, axes=1) >> 6    # [n, n]
+        return out
+
+    return jax.vmap(one)(jnp.arange(N))
+
+
+@partial(jax.jit, static_argnames=("n", "bd", "sdh", "do_rdoq", "lossless",
+                                   "pad", "wld", "wcd", "cb_off", "cr_off"))
+def _inter_class(src_y, src_cb, src_cr,
+                 r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                 xy, mv, dirm, ref_i, qp, wp,
+                 n, bd, sdh, do_rdoq, lossless, pad, wld, wcd,
+                 cb_off, cr_off):
+    """One CU-size class of inter CUs: MC + residual chain, all planes.
+
+    xy [N,2] luma top-left; mv [N,2,2] (list, x/y) qpel; dirm [N] 1/2/3;
+    ref_i [N] L0 ref; qp [N] slice/CTB QpY (pre bd offset); wp [4,3,3]
+    (flag,w,off) explicit L0 weights; wld/wcd denoms.
+    Returns (lvl_y [N,n,n], lvl_cb, lvl_cr [N,n/2,n/2], cbf [N,3],
+    rec_y [N,n,n], rec_cb, rec_cr).
+    """
+    N = xy.shape[0]
+    hs = n // 2
+    maxv = (1 << bd) - 1
+    x0 = xy[:, 0]
+    y0 = xy[:, 1]
+
+    def pred_plane(pl, planes0, planes1, size, fb, taps, filt, padc):
+        xx = x0 if pl == 0 else x0 >> 1
+        yy = y0 if pl == 0 else y0 >> 1
+        use0 = (dirm & 1) > 0
+        use1 = (dirm & 2) > 0
+        r0 = jnp.where(use0, ref_i, 0)
+        p0 = _mc_gather(planes0, r0, xx, yy, mv[:, 0, 0], mv[:, 0, 1],
+                        filt, fb, size, taps, padc, bd)
+        p1 = _mc_gather(planes1, jnp.zeros_like(ref_i), xx, yy,
+                        mv[:, 1, 0], mv[:, 1, 1], filt, fb, size, taps,
+                        padc, bd)
+        # bi: (p0 + p1 + off) >> (15-bd)
+        shift_bi = 15 - bd
+        bi = jnp.clip((p0 + p1 + (1 << (shift_bi - 1))) >> shift_bi,
+                      0, maxv)
+        # uni from the used list
+        p14 = jnp.where(use0[:, None, None], p0, p1)
+        shift_u = 14 - bd
+        uni = jnp.clip((p14 + (1 << (shift_u - 1))) >> shift_u, 0, maxv)
+        # explicit weighted uni (L0 only, 8.5.4.2.3.2)
+        we = wp[jnp.where(use0, r0, 0), pl]            # [N,3] flag,w,off
+        wflag = (we[:, 0] > 0) & use0 & ~use1
+        denom = wld if pl == 0 else wcd                # static per slice
+        log2wd = denom + 14 - bd
+        o = (we[:, 2] << (bd - 8))[:, None, None]
+        wgt = we[:, 1][:, None, None]
+        if log2wd >= 1:
+            wv = (p14 * wgt + (1 << (log2wd - 1))) >> log2wd
+        else:
+            wv = p14 * wgt
+        wuni = jnp.clip(wv + o, 0, maxv)
+        pred = jnp.where((dirm == 3)[:, None, None], bi,
+                         jnp.where(wflag[:, None, None], wuni, uni))
+        return pred
+
+    pred_y = pred_plane(0, r0y, r1y, n, 2, 8, jnp.asarray(_LUMA_FILT),
+                        pad)
+    pred_cb = pred_plane(1, r0cb, r1cb, hs, 3, 4, jnp.asarray(_CHROMA_FILT),
+                         pad >> 1)
+    pred_cr = pred_plane(2, r0cr, r1cr, hs, 3, 4, jnp.asarray(_CHROMA_FILT),
+                         pad >> 1)
+
+    def block_src(plane, size):
+        xx = x0 if plane == 0 else x0 >> 1
+        yy = y0 if plane == 0 else y0 >> 1
+        src = (src_y, src_cb, src_cr)[plane]
+
+        def one(i):
+            return jax.lax.dynamic_slice(src, (yy[i], xx[i]), (size, size))
+
+        return jax.vmap(one)(jnp.arange(N)).astype(jnp.int32)
+
+    sy = block_src(0, n)
+    scb = block_src(1, hs)
+    scr = block_src(2, hs)
+
+    qpy = qp + 6 * (bd - 8)
+    # chroma QP (8.6.1 via table; offsets are traced scalars)
+    def cqp(off):
+        bdo = 6 * (bd - 8)
+        q = jnp.clip(qp + off, -bdo, 57)
+        tab = jnp.asarray(CHROMA_QP_TABLE)
+        return jnp.where(q < 0, q + bdo, tab[jnp.maximum(q, 0)] + bdo)
+
+    zsel = jnp.zeros((N,), jnp.int32)
+    lvl_y, rres_y, cbf_y = _tq_chain(sy - pred_y, qpy, zsel, n, False,
+                                     False, bd, sdh, do_rdoq, lossless)
+    lvl_cb, rres_cb, cbf_cb = _tq_chain(scb - pred_cb, cqp(cb_off), zsel,
+                                        hs, False, False, bd, sdh, do_rdoq,
+                                        lossless)
+    lvl_cr, rres_cr, cbf_cr = _tq_chain(scr - pred_cr, cqp(cr_off), zsel,
+                                        hs, False, False, bd, sdh, do_rdoq,
+                                        lossless)
+    rec_y = jnp.clip(pred_y + rres_y, 0, maxv)
+    rec_cb = jnp.clip(pred_cb + rres_cb, 0, maxv)
+    rec_cr = jnp.clip(pred_cr + rres_cr, 0, maxv)
+    cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
+    return lvl_y, lvl_cb, lvl_cr, cbf, rec_y, rec_cb, rec_cr
+
+
+def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
+                    sdh, rdoq_level):
+    """Assemble the precomputed-residual dict for the native writer.
+
+    src: (y, cb, cr) numpy planes; decisions: FrameDecisions with
+    inter8/dir8/mv8/ref8/cu_log2_map/qp_map; refs_padded: ([(y,cb,cr)
+    padded int16] per list) — the same arrays handed to the native call;
+    wp_native: (wp[4,3,3] int32, luma_denom, chroma_denom) or None.
+    Returns the `pre` dict for native.encode_slice_px, or None when there
+    is nothing to precompute.
+    """
+    from jax import enable_x64
+    if decisions.inter8 is None or not np.any(decisions.inter8):
+        return None
+    h, w = src[0].shape
+    h8, w8 = decisions.cu_log2_map.shape
+    bd = p.bit_depth
+    maxv = (1 << bd) - 1
+
+    pad = 80
+
+    def stack_refs(lst, plane):
+        if not lst:
+            # dummy full-size plane (never selected; dir excludes the list)
+            sh_ = ((h + 2 * pad, w + 2 * pad) if plane == 0
+                   else (h // 2 + pad, w // 2 + pad))
+            return jnp.zeros(sh_, jnp.int16)[None]
+        return jnp.asarray(np.stack([r[plane] for r in lst]))
+
+    r0y = stack_refs(refs_padded[0], 0)
+    r0cb = stack_refs(refs_padded[0], 1)
+    r0cr = stack_refs(refs_padded[0], 2)
+    r1y = stack_refs(refs_padded[1], 0)
+    r1cb = stack_refs(refs_padded[1], 1)
+    r1cr = stack_refs(refs_padded[1], 2)
+    sy = jnp.asarray(np.asarray(src[0], dtype=np.int32))
+    scb = jnp.asarray(np.asarray(src[1], dtype=np.int32))
+    scr = jnp.asarray(np.asarray(src[2], dtype=np.int32))
+    if wp_native is not None:
+        wp_arr = jnp.asarray(np.asarray(wp_native[0], np.int32))
+        wld, wcd = int(wp_native[1]), int(wp_native[2])
+    else:
+        wp_arr = jnp.zeros((4, 3, 3), jnp.int32)
+        wld = wcd = 0
+
+    lvl_y = np.zeros((h, w), np.int16)
+    lvl_cb = np.zeros((h // 2, w // 2), np.int16)
+    lvl_cr = np.zeros((h // 2, w // 2), np.int16)
+    cbf8 = np.zeros((h8, w8), np.uint8)
+    has8 = np.zeros((h8, w8), np.uint8)
+    rec_y = np.asarray(src[0], dtype=np.int16).copy()
+    rec_cb = np.asarray(src[1], dtype=np.int16).copy()
+    rec_cr = np.asarray(src[2], dtype=np.int16).copy()
+
+    inter8 = decisions.inter8.astype(bool)
+    ref8 = (decisions.ref8 if decisions.ref8 is not None
+            else np.zeros((h8, w8), np.int32))
+    qmap = decisions.qp_map
+    ctb_l2 = p.ctb_log2
+    any_pre = False
+    for s_log2 in (3, 4, 5):
+        n = 1 << s_log2
+        r = n >> 3
+        ys8, xs8 = np.nonzero(
+            (decisions.cu_log2_map == s_log2) & inter8 &
+            ((np.arange(h8)[:, None] % r) == 0) &
+            ((np.arange(w8)[None, :] % r) == 0))
+        # full CUs only (partial frame-edge CUs stay on the CPU path)
+        keep = ((ys8 * 8 + n) <= h) & ((xs8 * 8 + n) <= w)
+        ys8, xs8 = ys8[keep], xs8[keep]
+        N = len(ys8)
+        if N == 0:
+            continue
+        any_pre = True
+        x0 = (xs8 * 8).astype(np.int32)
+        y0 = (ys8 * 8).astype(np.int32)
+        mv = np.ascontiguousarray(decisions.mv8[ys8, xs8]).astype(np.int32)
+        dirm = decisions.dir8[ys8, xs8].astype(np.int32)
+        ref_i = ref8[ys8, xs8].astype(np.int32)
+        if qmap is not None:
+            qp_cu = qmap[y0 >> ctb_l2, x0 >> ctb_l2].astype(np.int32)
+        else:
+            qp_cu = np.full(N, qp_slice, np.int32)
+        # bucket N to limit recompiles
+        NB = -(-N // 128) * 128
+        pad_n = NB - N
+
+        def padn(a, fill=0):
+            return np.concatenate(
+                [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
+                if pad_n else a
+
+        with enable_x64():
+            out = _inter_class(
+                sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                jnp.asarray(padn(np.stack([x0, y0], 1))),
+                jnp.asarray(padn(mv)), jnp.asarray(padn(dirm, 1)),
+                jnp.asarray(padn(ref_i)), jnp.asarray(padn(qp_cu, 26)),
+                wp_arr, n, bd, bool(sdh), rdoq_level > 0,
+                bool(p.lossless), 80, wld, wcd,
+                int(p.cb_qp_offset), int(p.cr_qp_offset))
+        ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N] for o in out)
+        ii = np.arange(n)
+        yy = y0[:, None, None] + ii[None, :, None]
+        xx = x0[:, None, None] + ii[None, None, :]
+        lvl_y[yy, xx] = ly.astype(np.int16)
+        rec_y[yy, xx] = ry.astype(np.int16)
+        hh = ii[:n // 2]
+        cyy = (y0 >> 1)[:, None, None] + hh[None, :, None]
+        cxx = (x0 >> 1)[:, None, None] + hh[None, None, :]
+        lvl_cb[cyy, cxx] = lcb.astype(np.int16)
+        lvl_cr[cyy, cxx] = lcr.astype(np.int16)
+        rec_cb[cyy, cxx] = rcb.astype(np.int16)
+        rec_cr[cyy, cxx] = rcr.astype(np.int16)
+        bits = (cbf[:, 0].astype(np.uint8)
+                | (cbf[:, 1].astype(np.uint8) << 1)
+                | (cbf[:, 2].astype(np.uint8) << 2))
+        jj = np.arange(r)
+        byy = ys8[:, None, None] + jj[None, :, None]
+        bxx = xs8[:, None, None] + jj[None, None, :]
+        cbf8[byy, bxx] = bits[:, None, None]
+        has8[byy, bxx] = 1
+    if not any_pre:
+        return None
+    return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
+            "cbf8": cbf8, "has8": has8,
+            "rec_y": rec_y, "rec_cb": rec_cb, "rec_cr": rec_cr}
