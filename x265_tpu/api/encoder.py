@@ -976,48 +976,42 @@ class Encoder:
         return np.ascontiguousarray(
             np.repeat(np.repeat(grid, rep, 0), rep, 1)[:h8, :w8])
 
+    def _intra_analysis_with_cost(self, y):
+        p = self.param
+        cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+        if self.use_tpu_analysis:
+            from x265_tpu.models.intra_frame import (
+                decide_intra_frame_tpu_with_cost)
+            return decide_intra_frame_tpu_with_cost(
+                np.asarray(y), p.width, p.height, cu_log2=cu_log2)
+        return self._intra_decisions(y), self._intra_cost_grid(y)
+
     def _p_decisions(self, y, refs, qp=None) -> FrameDecisions:
-        """Inter/intra split + MVs + ref choice for a P frame (TPU ME +
-        intra bank; the pme bonded group becomes per-ref batched sweeps +
-        an argmin over the ref axis)."""
-        from x265_tpu.engine.me import motion_decide
+        """Inter/intra split + MVs + ref choice for a P frame: ONE fused
+        device dispatch covers all refs' integer search + subpel +
+        MVP-relative re-cost + smoothing (the pme bonded group becomes an
+        argmin over the ref axis; x265 motion.cpp:739 per-PU loop)."""
+        from x265_tpu.engine.me import motion_fused
 
         p = self.param
         S = 16
         if isinstance(refs, np.ndarray) or not isinstance(refs, list):
             refs = [refs]          # legacy single-plane call
-        dec = self._intra_decisions(y)       # modes + cu map (incl boundary)
         qpv = qp if qp is not None else self._slice_qp(SLICE_P)
         lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
-        from x265_tpu.engine.me import (
-            mv_field_median3, refine_with_mvp, smooth_mv_field)
-        lam_satd = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
-        best_cost = best_mv = best_ref = None
-        for ridx, ref in enumerate(refs):
-            ref_y = ref[0] if isinstance(ref, tuple) else ref
-            mv_blk, mcost, aux = motion_decide(
-                np.asarray(y), np.asarray(ref_y), p.width, p.height, S=S,
-                R=p.me_range, qp=qpv,
-                subme=max(1, p.sub_me), bit_depth=p.bit_depth,
-                return_aux=True)
-            # two-phase MV cost: re-cost against the neighborhood
-            # predictor so uniform motion is cheap (x265 charges
-            # lambda*bits(mv - AMVP), motion.cpp:739 COST_MV)
-            mvp = mv_field_median3(mv_blk)
-            mv_blk, mcost = refine_with_mvp(aux, mv_blk, mvp,
-                                            max(1, p.sub_me))
-            # unify near-tied MVs so 2x2 groups can merge into 32x32 CUs
-            mv_blk = smooth_mv_field(mv_blk, mcost, aux, lam_satd)
-            mcost = mcost + lam * 2.0 * ridx      # ~ref_idx bin cost
-            if best_cost is None:
-                best_cost, best_mv = mcost, mv_blk
-                best_ref = np.zeros(mcost.shape, np.int32)
-            else:
-                take = mcost < best_cost
-                best_cost = np.where(take, mcost, best_cost)
-                best_mv = np.where(take[..., None], mv_blk, best_mv)
-                best_ref = np.where(take, ridx, best_ref)
-        icost = self._intra_cost_grid(y, S)
+        dec, icost = self._intra_analysis_with_cost(y)
+        ref_ys = [np.asarray(r[0] if isinstance(r, tuple) else r)
+                  for r in refs]
+        mv, cost, satd, _ = motion_fused(
+            np.asarray(y), ref_ys, p.width, p.height, S=S, R=p.me_range,
+            qp=qpv, subme=max(1, p.sub_me), bit_depth=p.bit_depth)
+        cost = cost + lam * 2.0 * np.arange(len(ref_ys),
+                                            dtype=np.float32)[:, None, None]
+        best_ref = np.argmin(cost, axis=0).astype(np.int32)
+        best_cost = np.take_along_axis(cost, best_ref[None], 0)[0]
+        best_mv = np.take_along_axis(
+            mv, best_ref[None, ..., None], 0)[0]
+        satd16 = np.take_along_axis(satd, best_ref[None], 0)[0]
         # intra pays mode bits AND its SATD is optimistic (analysis
         # neighbors are source pixels, the coded prediction's are recon) —
         # without a penalty half a panning frame goes intra
@@ -1033,8 +1027,6 @@ class Encoder:
         dec.dir8 = self._to8(np.ones((nby, nbx), np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
-        from x265_tpu.engine.me import eval_mvs
-        satd16 = eval_mvs(aux, best_mv).reshape(best_mv.shape[:2])
         self._merge_cu32(dec, satd16, qpv)
         self._apply_intra_refresh(dec)
         return dec
@@ -1061,29 +1053,24 @@ class Encoder:
         """B-frame analysis: ME vs both anchors + bi-prediction trial
         (x265 checkBidir2Nx2N analog) + intra fallback, as batched argmin."""
         from x265_tpu.engine.me import (
-            bi_cost, motion_decide, mv_field_median3, refine_with_mvp)
+            _mv_bits, motion_fused, mv_field_median3)
 
         p = self.param
         S = 16
         R = p.me_range
         qpv = qp if qp is not None else self._slice_qp(SLICE_B)
         lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
-        dec = self._intra_decisions(y)
-        mv0, c0, aux0 = motion_decide(np.asarray(y), np.asarray(ref0_y),
-                                      p.width, p.height, S=S, R=R,
-                                      qp=qpv, subme=max(1, p.sub_me),
-                                      return_aux=True, bit_depth=p.bit_depth)
-        mv0, c0 = refine_with_mvp(aux0, mv0, mv_field_median3(mv0),
-                                  max(1, p.sub_me))
-        mv1, c1, aux1 = motion_decide(np.asarray(y), np.asarray(ref1_y),
-                                      p.width, p.height, S=S, R=R,
-                                      qp=qpv, subme=max(1, p.sub_me),
-                                      return_aux=True, bit_depth=p.bit_depth)
-        mv1, c1 = refine_with_mvp(aux1, mv1, mv_field_median3(mv1),
-                                  max(1, p.sub_me))
-        cbi = bi_cost(mv0, aux0, mv1, aux1, S=S,
-                      mvp0=mv_field_median3(mv0), mvp1=mv_field_median3(mv1))
-        icost = self._intra_cost_grid(y, S)
+        dec, icost = self._intra_analysis_with_cost(y)
+        mv, cost, satd, bi_satd = motion_fused(
+            np.asarray(y), [np.asarray(ref0_y), np.asarray(ref1_y)],
+            p.width, p.height, S=S, R=R, qp=qpv, subme=max(1, p.sub_me),
+            bit_depth=p.bit_depth, do_bi=True)
+        mv0, mv1 = mv[0], mv[1]
+        c0, c1 = cost[0], cost[1]
+        d0 = mv0 - mv_field_median3(mv0)
+        d1 = mv1 - mv_field_median3(mv1)
+        bi_bits = (_mv_bits(d0).sum(-1) + _mv_bits(d1).sum(-1))
+        cbi = bi_satd.astype(np.float32) + lam * bi_bits
         icost = icost * 1.125 + lam * 12.0   # see _p_decisions
 
         costs = np.stack([icost, c0, c1, cbi])      # choice 0..3

@@ -446,3 +446,186 @@ def bi_cost(mv0, aux0, mv1, aux1, S: int = 16, mvp0=None, mvp1=None):
             _mv_bits(d1.reshape(-1, 2)).sum(1))
     cost = np.asarray(satd).astype(np.float32) + aux0["lam"] * bits
     return cost.reshape(nby, nbx)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-frame motion search: ONE device dispatch per frame covering all
+# refs x (integer search -> quarter-pel phase planes -> half/quarter refine
+# -> MVP re-cost -> 2x2 modal smoothing). The per-stage dispatch chain cost
+# ~12 tunnel RPCs per frame; this is the P2 re-imagining's throughput form.
+# ---------------------------------------------------------------------------
+
+def _median3x3_dev(mv):
+    """[nby,nbx,2] int -> per-component 3x3 median (edge-padded), device."""
+    p = jnp.pad(mv, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    nby, nbx = mv.shape[:2]
+    stack = jnp.stack([p[dy:dy + nby, dx:dx + nbx]
+                       for dy in range(3) for dx in range(3)])
+    return jnp.sort(stack, axis=0)[4]
+
+
+def _int_stage(cur, ref_R, mvcost_flat, S, R):
+    """Dense integer search body (one ref). ref_R padded by R."""
+    H, W = cur.shape
+    nby, nbx = H // S, W // S
+    n = 2 * R + 1
+
+    def body(carry, d):
+        best_cost, best_idx = carry
+        dy = d // n
+        dx = d % n
+        sh = jax.lax.dynamic_slice(ref_R, (dy, dx), (H, W))
+        sad = jnp.abs(cur - sh).reshape(nby, S, nbx, S).sum(axis=(1, 3))
+        cost = sad.astype(jnp.float32) + mvcost_flat[d]
+        upd = cost < best_cost
+        return ((jnp.where(upd, cost, best_cost),
+                 jnp.where(upd, d, best_idx)), None)
+
+    init = (jnp.full((nby, nbx), jnp.inf, jnp.float32),
+            jnp.zeros((nby, nbx), jnp.int32))
+    (cost, idx), _ = jax.lax.scan(body, init, jnp.arange(n * n))
+    mv = jnp.stack([idx % n - R, idx // n - R], axis=-1)
+    return mv
+
+
+@partial(jax.jit, static_argnames=("S", "R", "subme", "bd", "do_bi"))
+def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi):
+    """cur [H,W] int32 (padded to S multiples); refs_big [nref, H+2P, W+2P]
+    edge-padded by P = R+6. Returns (mv [nref,nby,nbx,2] qpel,
+    cost [nref,nby,nbx] satd+lam*mvpbits, satd [nref,nby,nbx],
+    bi_satd [nby,nbx] (zeros unless do_bi))."""
+    nref = refs_big.shape[0]
+    H, W = cur.shape
+    nby, nbx = H // S, W // S
+    N = nby * nbx
+    P = R + 6
+    margin = R + 2
+    cur = cur.astype(jnp.int32)
+    refs_big = refs_big.astype(jnp.int32)
+    maxv = (1 << bd) - 1
+
+    # --- stage 1: integer search (dense <=24, else 2-level HME) ---
+    if R <= 24:
+        dys, dxs = np.mgrid[-R:R + 1, -R:R + 1]
+        mvcost = jnp.asarray(
+            (_mv_bits(4 * dxs.ravel()) + _mv_bits(4 * dys.ravel()))
+            .astype(np.float32))
+        ref_R = refs_big[:, P - R:P + H + R, P - R:P + W + R]
+        mv_int = jax.vmap(lambda r: _int_stage(cur, r, lam * mvcost, S, R)
+                          )(ref_R)
+    else:
+        R2 = (R + 1) // 2
+        S2 = S // 2
+        dys, dxs = np.mgrid[-R2:R2 + 1, -R2:R2 + 1]
+        mvcost2 = jnp.asarray(
+            (_mv_bits(8 * dxs.ravel()) + _mv_bits(8 * dys.ravel()))
+            .astype(np.float32))
+        cur_l = _downscale2(cur)
+        W_r = 7
+        bxr, byr = np.meshgrid(np.arange(nbx), np.arange(nby))
+        bxy_i = jnp.asarray(np.stack([bxr.reshape(-1), byr.reshape(-1)],
+                                     axis=1).astype(np.int32))
+        cur_blocks_i = (cur.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3)
+                        .reshape(N, S, S))
+
+        def one_ref(rb):
+            ref_l = _downscale2(rb[P:P + H, P:P + W])
+            mvh = _int_stage(cur_l, jnp.pad(ref_l, R2, mode="edge"),
+                             lam * mvcost2, S2, R2)
+            centers = jnp.clip(mvh * 2, -(R - W_r), R - W_r).reshape(-1, 2)
+            ref_R = rb[P - R:P + H + R, P - R:P + W + R]
+            mv_loc, _ = _local_search(cur_blocks_i, ref_R, centers, bxy_i,
+                                      lam, S, W_r, R)
+            return mv_loc.reshape(nby, nbx, 2)
+
+        mv_int = jax.vmap(one_ref)(refs_big)
+
+    # --- stage 2: phase planes + subpel/MVP/smoothing per ref ---
+    ref_S = refs_big[:, P - margin - 3:P + H + margin + 4,
+                     P - margin - 3:P + W + margin + 4]
+    planes = jax.vmap(lambda r: _phase_planes(r, maxv))(ref_S)
+    bx, by = np.meshgrid(np.arange(nbx), np.arange(nby))
+    bxy = jnp.asarray(np.concatenate(
+        [bx.reshape(-1, 1), by.reshape(-1, 1)], axis=1).astype(np.int32))
+    cur_blocks = (cur.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3)
+                  .reshape(N, S, S))
+    state_xy = bxy
+
+    rounds = [jnp.asarray(_HALF_OFFS)]
+    if subme >= 2:
+        rounds.append(jnp.asarray(_QUARTER_OFFS))
+
+    def refine_ref(planes_r, mv0):
+        best = mv0.reshape(N, 2) * 4
+        zero = jnp.zeros((N, 2), jnp.int32)
+        for offs in rounds:
+            best, cost = _refine(cur_blocks, planes_r,
+                                 jnp.concatenate([best, state_xy], axis=1),
+                                 offs, lam, zero, S, margin)
+        # MVP re-cost pass
+        mvp = _median3x3_dev(best.reshape(nby, nbx, 2)).reshape(N, 2)
+        for offs in rounds:
+            best, cost = _refine(cur_blocks, planes_r,
+                                 jnp.concatenate([best, state_xy], axis=1),
+                                 offs, lam, mvp, S, margin)
+        # 2x2 modal smoothing (smooth_mv_field, device form)
+        mvf = best.reshape(nby, nbx, 2)
+        gy, gx = nby // 2, nbx // 2
+        g = mvf[:gy * 2, :gx * 2].reshape(gy, 2, gx, 2, 2)
+        g = jnp.moveaxis(g, 3, 2).reshape(gy, gx, 4, 2)
+        d = jnp.abs(g[:, :, :, None, :] - g[:, :, None, :, :]).sum((3, 4))
+        modal = jnp.take_along_axis(
+            g, d.argmin(axis=2)[..., None, None], axis=2)[:, :, 0]
+        cand = jnp.repeat(jnp.repeat(modal, 2, 0), 2, 1)
+        full = mvf.at[:gy * 2, :gx * 2].set(cand)
+        satd_mode = _eval_fixed(cur_blocks, planes_r,
+                                full.reshape(N, 2), bxy, S, margin)
+        satd_best = _eval_fixed(cur_blocks, planes_r,
+                                mvf.reshape(N, 2), bxy, S, margin)
+        dsum = (satd_mode - satd_best).reshape(nby, nbx)
+        dsum = dsum[:gy * 2, :gx * 2].reshape(gy, 2, gx, 2).sum((1, 3))
+        acc = (dsum <= lam * 24.0)
+        accf = jnp.repeat(jnp.repeat(acc, 2, 0), 2, 1)
+        sel = jnp.zeros((nby, nbx), bool).at[:gy * 2, :gx * 2].set(accf)
+        mv_out = jnp.where(sel[..., None], full, mvf)
+        satd_out = jnp.where(sel.reshape(-1), satd_mode, satd_best)
+        mvd = jnp.abs(mv_out.reshape(N, 2) - mvp).astype(jnp.float32)
+        bits = (2 * jnp.floor(jnp.log2(2 * mvd + 1)) + 1).sum(axis=1)
+        cost_out = satd_out.astype(jnp.float32) + lam * bits
+        return mv_out, cost_out.reshape(nby, nbx), satd_out.reshape(nby, nbx)
+
+    mv, cost, satd = jax.vmap(refine_ref)(planes, mv_int)
+
+    if do_bi:
+        bi = _bi_satd(cur_blocks, planes[0], planes[1],
+                      mv[0].reshape(N, 2), mv[1].reshape(N, 2), bxy, S,
+                      margin)
+        bi = bi.reshape(nby, nbx)
+    else:
+        bi = jnp.zeros((nby, nbx), jnp.int32)
+    return mv, cost, satd, bi
+
+
+def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
+                 subme=2, bit_depth=8, do_bi=False):
+    """Host wrapper: one device dispatch for all refs' motion search.
+
+    cur_y [H,W]; ref_ys: list of reference luma planes.
+    Returns (mv [nref,nby,nbx,2], cost [nref,nby,nbx], satd [...], bi).
+    """
+    ph = -(-height // S) * S
+    pw = -(-width // S) * S
+    wire = np.int16 if bit_depth > 8 else np.uint8
+    cur = np.pad(np.asarray(cur_y).astype(wire),
+                 ((0, ph - height), (0, pw - width)), mode="edge")
+    P = R + 6
+    refs = np.stack([
+        np.pad(np.pad(np.asarray(r).astype(wire),
+                      ((0, ph - height), (0, pw - width)), mode="edge"),
+               P, mode="edge") for r in ref_ys])
+    lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
+    mv, cost, satd, bi = _motion_fused(jnp.asarray(cur), jnp.asarray(refs),
+                                       jnp.float32(lam), S, R,
+                                       max(1, subme), bit_depth, do_bi)
+    return (np.asarray(mv), np.asarray(cost), np.asarray(satd),
+            np.asarray(bi))

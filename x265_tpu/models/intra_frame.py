@@ -155,6 +155,20 @@ def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
         submit_intra_analysis(src_y, width, height, cu_log2))
 
 
+def decide_intra_frame_tpu_with_cost(src_y: np.ndarray, width: int,
+                                     height: int, cu_log2: int = 4):
+    """Like decide_intra_frame_tpu but also returns the per-block intra
+    cost grid [ph/S, pw/S] — one dispatch serves both the mode decisions
+    and the inter/intra comparator (the analysis already computed it)."""
+    h = submit_intra_analysis(src_y, width, height, cu_log2)
+    dec = finish_intra_analysis(h)
+    S = 1 << cu_log2
+    ph = -(-height // S) * S
+    pw = -(-width // S) * S
+    icost = np.asarray(h[1]).reshape(ph // S, pw // S)
+    return dec, icost
+
+
 def _build_decisions(modes, cu_log2, width, height, ph, pw):
     from x265_tpu.engine.ctu_writer import FrameDecisions
 
