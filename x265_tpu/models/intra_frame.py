@@ -58,14 +58,22 @@ def extract_block_refs(y: jnp.ndarray, S: int) -> jnp.ndarray:
     return refs.reshape(nby * nbx, 4 * S + 1)
 
 
-@partial(jax.jit, static_argnames=("S", "lambda_bits"))
+# --fast-intra (x265 param.bEnableFastIntra): coarse angular scan —
+# planar/DC + every 4th angle (intrapred "allangs" subset idea)
+_FAST_MODES = np.array([0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34], np.int32)
+
+
+@partial(jax.jit, static_argnames=("S", "lambda_bits", "fast"))
 def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
-                         lambda_bits: float = 2.0) -> jnp.ndarray:
+                         lambda_bits: float = 2.0,
+                         fast: bool = False) -> jnp.ndarray:
     """y: [H, W] (multiples of S) uint8/int32 -> best mode per block [nB]."""
     H, W = y.shape
     yf = y.astype(jnp.float32)
     refs = extract_block_refs(yf, S)                         # [nB, R]
     Wm = jnp.asarray(intra_weight_matrices(S))               # [35, S², R]
+    if fast:
+        Wm = Wm[jnp.asarray(_FAST_MODES)]
 
     # prediction bank: one big contraction (MXU)
     preds = jnp.einsum("mpr,br->bmp", Wm, refs,
@@ -75,21 +83,24 @@ def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
     nby, nbx = H // S, W // S
     blocks = yf.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3).reshape(-1, S * S)
 
-    resid = preds - blocks[:, None, :]                       # [nB, 35, S²]
+    resid = preds - blocks[:, None, :]                       # [nB, nm, S²]
     # SATD over 8x8 tiles via Hadamard matmuls
     k = 8 if S >= 8 else 4
     h = jnp.asarray(_hadamard(k), dtype=jnp.float32)
-    r = resid.reshape(-1, 35, S // k, k, S // k, k)
+    r = resid.reshape(-1, Wm.shape[0], S // k, k, S // k, k)
     r = r.transpose(0, 1, 2, 4, 3, 5)                        # [..., k, k]
     t = jnp.einsum("ij,...jk,kl->...il", h, r, h,
                    preferred_element_type=jnp.float32)
     satd = jnp.sum(jnp.abs(t), axis=(-1, -2, -3, -4)) / (4.0 if k == 8 else 2.0)
 
     # rough mode-bit bias: non-MPM modes cost ~4 extra bins
-    bias = jnp.full((35,), 4.0 * lambda_bits, dtype=jnp.float32)
+    nm = Wm.shape[0]
+    bias = jnp.full((nm,), 4.0 * lambda_bits, dtype=jnp.float32)
     bias = bias.at[0].set(0.0).at[1].set(2.0 * lambda_bits)
     cost = satd + bias[None, :]
     best = jnp.argmin(cost, axis=1).astype(jnp.int32)        # [nB]
+    if fast:
+        best = jnp.asarray(_FAST_MODES)[best]
     return best, jnp.min(cost, axis=1)
 
 
@@ -97,12 +108,13 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _batched_analysis(S: int):
-    return jax.jit(jax.vmap(lambda y: frame_intra_analysis(y, S=S)))
+def _batched_analysis(S: int, fast: bool = False):
+    return jax.jit(jax.vmap(
+        lambda y: frame_intra_analysis(y, S=S, fast=fast)))
 
 
 def submit_intra_analysis_batch(srcs, width: int, height: int,
-                                cu_log2: int = 4):
+                                cu_log2: int = 4, fast: bool = False):
     """One dispatch for a whole batch of frames (vmapped analysis): on a
     tunneled TPU the per-RPC latency dominates, so N frames per round
     trip beats N round trips (the frame-pipeline P2 batching form)."""
@@ -114,13 +126,13 @@ def submit_intra_analysis_batch(srcs, width: int, height: int,
     yp = np.stack([np.pad(np.asarray(s, dtype=wire),
                           ((0, ph - height), (0, pw - width)), mode="edge")
                    for s in srcs])
-    modes_dev, cost_dev = _batched_analysis(S)(jnp.asarray(yp))
+    modes_dev, cost_dev = _batched_analysis(S, fast)(jnp.asarray(yp))
     return [(modes_dev[i], cost_dev[i], cu_log2, width, height)
             for i in range(len(srcs))]
 
 
 def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
-                          cu_log2: int = 4):
+                          cu_log2: int = 4, fast: bool = False):
     """Dispatch the batched analysis; returns an opaque handle whose device
     buffers materialize asynchronously (frame-pipeline building block: the
     TPU computes frame N+1 while the CPU finalizer writes frame N — the
@@ -133,7 +145,8 @@ def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
     wire = np.uint8 if np.asarray(src_y).max(initial=0) < 256 else np.int16
     y = np.asarray(src_y, dtype=wire)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
-    modes_dev, cost_dev = frame_intra_analysis(jnp.asarray(yp), S=S)
+    modes_dev, cost_dev = frame_intra_analysis(jnp.asarray(yp), S=S,
+                                               fast=fast)
     return (modes_dev, cost_dev, cu_log2, width, height)
 
 
@@ -148,19 +161,21 @@ def finish_intra_analysis(handle) -> "FrameDecisions":
 
 
 def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
-                           cu_log2: int = 4) -> "FrameDecisions":
+                           cu_log2: int = 4,
+                           fast: bool = False) -> "FrameDecisions":
     """Drop-in replacement for engine.mode_decision.decide_intra_frame:
     batched TPU analysis at S=2^cu_log2 with 8x8 boundary fallback."""
     return finish_intra_analysis(
-        submit_intra_analysis(src_y, width, height, cu_log2))
+        submit_intra_analysis(src_y, width, height, cu_log2, fast))
 
 
 def decide_intra_frame_tpu_with_cost(src_y: np.ndarray, width: int,
-                                     height: int, cu_log2: int = 4):
+                                     height: int, cu_log2: int = 4,
+                                     fast: bool = False):
     """Like decide_intra_frame_tpu but also returns the per-block intra
     cost grid [ph/S, pw/S] — one dispatch serves both the mode decisions
     and the inter/intra comparator (the analysis already computed it)."""
-    h = submit_intra_analysis(src_y, width, height, cu_log2)
+    h = submit_intra_analysis(src_y, width, height, cu_log2, fast)
     dec = finish_intra_analysis(h)
     S = 1 << cu_log2
     ph = -(-height // S) * S
