@@ -375,6 +375,7 @@ class Encoder:
             out += au
             bref = (poc_m, self._bref_recon)
             rest = bs[:mid] + bs[mid + 1:]
+        sched = []
         for (poc_b, frame_b, cost_b, *_aux) in rest:
             if bref is not None:
                 a0 = bref if bref[0] < poc_b else prev_anchor
@@ -384,6 +385,18 @@ class Encoder:
                         if x not in (a0[0], a1[0])]
             else:
                 a0, a1, keep = prev_anchor, new_anchor, []
+            sched.append((poc_b, frame_b, cost_b, a0, a1, keep))
+        # batch the leaf-B analyses: one intra + one ME dispatch per
+        # shared anchor pair instead of two dispatches per frame
+        self._bdec_cache = {}
+        groups = {}
+        for it in sched:
+            groups.setdefault((it[3][0], it[4][0]), []).append(it)
+        for items in groups.values():
+            if len(items) >= 2 and self.use_tpu_analysis:
+                self._precompute_b_batch(items, items[0][3][1],
+                                         items[0][4][1])
+        for (poc_b, frame_b, cost_b, a0, a1, keep) in sched:
             qp = self.rc.start(SLICE_B, cost_b)
             au = self._encode_b_frame(frame_b, poc_b, a0, a1, qp,
                                       extra_keep=keep)
@@ -905,7 +918,8 @@ class Encoder:
             max_num_merge_cand=max(1, min(5, p.max_merge)),
         )
         decisions = (self._areader.get() if self._areader
-                     else self._b_decisions(y, rec0[0], rec1[0], qp))
+                     else getattr(self, "_bdec_cache", {}).pop(poc, None)
+                     or self._b_decisions(y, rec0[0], rec1[0], qp))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
@@ -1114,6 +1128,13 @@ class Encoder:
                 bit_depth=p.bit_depth, do_bi=True,
                 slack=48.0 if p.early_skip else 24.0,
                 force_dense=p.me_method == "full")
+        return self._b_select(dec, icost, mv, cost, bi_satd, lam)
+
+    def _b_select(self, dec, icost, mv, cost, bi_satd, lam):
+        """Per-block B choice (intra/L0/L1/bi) from batched ME results."""
+        from x265_tpu.engine.me import _mv_bits, mv_field_median3
+        p = self.param
+        S = 16
         mv0, mv1 = mv[0], mv[1]
         c0, c1 = cost[0], cost[1]
         d0 = mv0 - mv_field_median3(mv0)
@@ -1140,6 +1161,38 @@ class Encoder:
         if p.rd_level >= 2:
             self._merge_cu32(dec)
         return dec
+
+    def _precompute_b_batch(self, items, rec0, rec1):
+        """Batched leaf-B analysis: one intra dispatch + one ME dispatch
+        for ALL Bs sharing an anchor pair (the lookahead-pool P5 and
+        pmode P3 re-imagining — frames are just another batch axis).
+        items: [(poc, frame, cost, a0, a1, keep)]."""
+        from x265_tpu.engine.me import motion_fused_frames
+        from x265_tpu.models.intra_frame import (
+            finish_intra_analysis, submit_intra_analysis_batch)
+        p = self.param
+        cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+        ys = [it[1][0] for it in items]
+        from x265_tpu.engine.ratecontrol import qscale2qp
+        qp_est = int(round(qscale2qp(self.rc.last_qscale)))
+        qp_est = max(0, min(51, qp_est + 3))
+        lam = float(np.sqrt(0.85 * 2.0 ** ((qp_est - 12) / 3.0)))
+        handles = submit_intra_analysis_batch(ys, p.width, p.height,
+                                              cu_log2, fast=p.fast_intra)
+        res = motion_fused_frames(
+            ys, [np.asarray(rec0[0]), np.asarray(rec1[0])],
+            p.width, p.height, R=p.me_range, qps=[qp_est] * len(ys),
+            subme=max(1, p.sub_me), bit_depth=p.bit_depth, do_bi=True,
+            slack=48.0 if p.early_skip else 24.0,
+            force_dense=p.me_method == "full")
+        S = 1 << cu_log2
+        ph = -(-p.height // S) * S
+        pw = -(-p.width // S) * S
+        for it, h, (mv, cost, satd, bi) in zip(items, handles, res):
+            dec = finish_intra_analysis(h)
+            icost = np.asarray(h[1]).reshape(ph // S, pw // S)
+            self._bdec_cache[it[0]] = self._b_select(
+                dec, icost, mv, cost, bi, lam)
 
     def encode(self, frames) -> bytes:
         """Encode an iterable of (y, cb, cr) frames; returns full stream."""

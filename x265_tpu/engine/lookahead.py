@@ -27,6 +27,49 @@ def lowres_downscale(y: jnp.ndarray) -> jnp.ndarray:
     return (y.reshape(H // 2, 2, W // 2, 2).sum((1, 3)) + 2) >> 2
 
 
+@partial(jax.jit, static_argnames=("R", "lh", "lw"))
+def _downscale_and_costs(y: jnp.ndarray, prev: jnp.ndarray, lh: int,
+                         lw: int, R: int = 4):
+    """Fused downscale + lowres costs: ONE device dispatch per frame
+    (each tunnel round trip costs ~100ms; the old two-step path paid
+    two). Returns (low, icost, mcost, mv)."""
+    low = lowres_downscale(y)
+    ph = lh - low.shape[0]
+    pw = lw - low.shape[1]
+    low = jnp.pad(low, ((0, ph), (0, pw)), mode="edge")
+    icost, mcost, mv = _lowres_costs_body(low, prev, R)
+    return low, icost, mcost, mv
+
+
+def _lowres_costs_body(low, prev, R):
+    H, W = low.shape
+    nby, nbx = H // 8, W // 8
+    blocks = low.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+    dc = blocks.mean(axis=(2, 3), keepdims=True).astype(jnp.int32)
+    flat = (blocks - dc).reshape(-1, 8, 8)
+    icost = satd8_batched(flat, jnp.zeros_like(flat)).reshape(nby, nbx)
+
+    prev_pad = jnp.pad(prev, R, mode="edge")
+    n = 2 * R + 1
+
+    def body(carry, d):
+        best, bidx = carry
+        dy = d // n
+        dx = d % n
+        sh = jax.lax.dynamic_slice(prev_pad, (dy, dx), (H, W))
+        sad = jnp.abs(low - sh).reshape(nby, 8, nbx, 8).sum(axis=(1, 3))
+        upd = sad < best
+        return (jnp.where(upd, sad, best), jnp.where(upd, d, bidx)), None
+
+    init = (jnp.full((nby, nbx), 1 << 30, jnp.int32),
+            jnp.zeros((nby, nbx), jnp.int32))
+    (mcost, midx), _ = jax.lax.scan(body, init, jnp.arange(n * n))
+    mvx = (midx % n) - R
+    mvy = (midx // n) - R
+    return (icost.astype(jnp.int32), mcost.astype(jnp.int32),
+            jnp.stack([mvx, mvy], axis=-1).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnames=("R",))
 def _lowres_costs(low: jnp.ndarray, prev: jnp.ndarray, R: int = 4):
     """Per-8x8-block (intra_cost, inter_cost, best_mv) on the lowres plane.
@@ -85,12 +128,16 @@ class Lookahead:
         yw = np.asarray(y)
         if yw.dtype not in (np.uint8, np.int16, np.uint16):
             yw = yw.astype(np.int16)
-        low = np.asarray(lowres_downscale(jnp.asarray(yw)))
-        ph, pw = self.lh - low.shape[0], self.lw - low.shape[1]
-        low = np.pad(low, ((0, ph), (0, pw)), mode="edge")
         first = self.prev_low is None
-        prev = low if first else self.prev_low
-        icost, mcost, mv = _lowres_costs(jnp.asarray(low), jnp.asarray(prev))
+        if first:
+            low0 = np.asarray(lowres_downscale(jnp.asarray(yw)))
+            low0 = np.pad(low0, ((0, self.lh - low0.shape[0]),
+                                 (0, self.lw - low0.shape[1])), mode="edge")
+            self._prev_dev = jnp.asarray(low0)
+        low_dev, icost, mcost, mv = _downscale_and_costs(
+            jnp.asarray(yw), self._prev_dev, self.lh, self.lw)
+        low = np.asarray(low_dev)
+        self._prev_dev = low_dev
         icost = np.asarray(icost)
         mcost2 = np.asarray(mcost) * 2
         self.last_blocks = {"icost": icost, "mcost": mcost2,

@@ -16,7 +16,7 @@ predictor (x265 uses the real MVP via its BitCost LUTs, bitcost.h).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -648,3 +648,58 @@ def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
                                        float(slack), bool(force_dense))
     return (np.asarray(mv), np.asarray(cost), np.asarray(satd),
             np.asarray(bi))
+
+
+@lru_cache(maxsize=16)
+def _motion_fused_multi_fn(S, R, subme, bd, do_bi, slack, force_dense):
+    def run(curs, refs_big, lams):
+        return jax.vmap(
+            lambda c, l: _motion_fused(c, refs_big, l, S, R, subme, bd,
+                                       do_bi, slack, force_dense),
+            in_axes=(0, 0))(curs, lams)
+    return jax.jit(run)
+
+
+def motion_fused_frames(cur_list, ref_ys, width, height, S=16, R=57,
+                        qps=None, subme=2, bit_depth=8, do_bi=False,
+                        slack=24.0, force_dense=False):
+    """Motion search for SEVERAL frames against the same reference set in
+    ONE device dispatch (the mini-GOP's leaf Bs all predict from the same
+    two anchors — x265 runs CostEstimateGroup jobs per frame,
+    slicetype.h:219; here the frame axis is just another batch dim).
+
+    Returns per-frame tuples [(mv, cost, satd, bi)], numpy.
+    """
+    K = len(cur_list)
+    ph = -(-height // S) * S
+    pw = -(-width // S) * S
+    wire = np.int16 if bit_depth > 8 else np.uint8
+    curs = np.stack([
+        np.pad(np.asarray(c).astype(wire),
+               ((0, ph - height), (0, pw - width)), mode="edge")
+        for c in cur_list])
+    P = R + 6
+    from x265_tpu.utils import devcache
+
+    def upload_ref(r):
+        def build():
+            rp = np.pad(np.pad(np.asarray(r).astype(wire),
+                               ((0, ph - height), (0, pw - width)),
+                               mode="edge"), P, mode="edge")
+            return jnp.asarray(rp)
+        return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
+
+    refs = jnp.stack([upload_ref(r) for r in ref_ys])
+    if qps is None:
+        qps = [32] * K
+    lams = jnp.asarray(np.sqrt(
+        0.85 * 2.0 ** ((np.asarray(qps, np.float32) - 12) / 3.0)
+    ).astype(np.float32))
+    fn = _motion_fused_multi_fn(S, R, max(1, subme), bit_depth, do_bi,
+                                float(slack), bool(force_dense))
+    mv, cost, satd, bi = fn(jnp.asarray(curs), refs, lams)
+    mv = np.asarray(mv)
+    cost = np.asarray(cost)
+    satd = np.asarray(satd)
+    bi = np.asarray(bi)
+    return [(mv[k], cost[k], satd[k], bi[k]) for k in range(K)]
