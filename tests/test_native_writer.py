@@ -32,6 +32,8 @@ def _setup(w=96, h=64, qp=30):
     p = param_default_preset("medium")
     p.width, p.height = w, h
     p.qp, p.rc_mode, p.bframes = qp, RC_CQP, 2
+    p.rc_lookahead = 0        # close mini-GOPs at bframes+1 (x265-style
+    #                           latency is rc_lookahead frames otherwise)
     enc = Encoder(p)
     enc.encode_frame(*frames[0])
     return enc, frames

@@ -260,7 +260,7 @@ class Encoder:
         # slicetypeAnalyse over the whole lookahead, slicetype.cpp:1867 —
         # rc_lookahead was previously parsed and never read)
         depth = self.bframes + 1
-        if p.b_adapt and p.rc_lookahead > depth:
+        if self.bframes and p.b_adapt and p.rc_lookahead > depth:
             depth = min(p.rc_lookahead, 32)
         close = len(self.pending) >= depth
         if close:
@@ -316,9 +316,14 @@ class Encoder:
                 and all(e[4] is not None for e in queue)):
             from x265_tpu.engine.lookahead import slicetype_split
             from x265_tpu.utils.profiling import scope
+            # the DP only places the NEXT anchor, so a window of a couple
+            # of mini-GOPs is enough — the full rc_lookahead queue made
+            # the pair-cost sweep O(window^2) (x265 likewise re-analyses a
+            # sliding window, slicetype.cpp:1867)
+            win = queue[:2 * (self.bframes + 1)]
             with scope("slicetype"):
                 k = slicetype_split(self._anchor_low,
-                                    [e[4] for e in queue],
+                                    [e[4] for e in win],
                                     max_bs=self.bframes,
                                     b_discount=0.9
                                     * (1.0 - p_.bframe_bias / 100.0))

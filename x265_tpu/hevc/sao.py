@@ -133,14 +133,19 @@ def _best_offset(cnt, dsum, lo, hi):
 
 
 def analyze_plane(src: np.ndarray, rec: np.ndarray, ctb: int, cy: int,
-                  cx: int, lam: float, bd: int = 8):
+                  cx: int, lam: float, bd: int = 8, stats=None):
     """Per-CTU best SAO params for one plane.
 
     Returns (type, cls, offsets[4], gain) arrays; gain = -(dD + lam*bits)
     clipped at 0 (off has gain 0).
     """
     max_off = (1 << (min(bd, 10) - 5)) - 1
-    ecnt, esum = _eo_stats(src, rec, cy, cx, ctb)
+    if stats is not None:
+        ecnt, esum, bcnt_pre, bsum_pre = [np.asarray(a, np.int64)
+                                          for a in stats]
+    else:
+        ecnt, esum = _eo_stats(src, rec, cy, cx, ctb)
+        bcnt_pre = bsum_pre = None
     # EO: cats 1,2 positive offsets; 3,4 negative
     eo_cost = np.zeros((4, cy, cx), dtype=np.float64)
     eo_offs = np.zeros((4, 4, cy, cx), dtype=np.int64)
@@ -152,7 +157,10 @@ def analyze_plane(src: np.ndarray, rec: np.ndarray, ctb: int, cy: int,
             eo_offs[eo, c - 1] = h
             tot += d + lam * (np.abs(h) + 1)      # ~TR bits per offset
         eo_cost[eo] = tot + lam * 3               # type + class bits
-    bcnt, bsum = _bo_stats(src, rec, cy, cx, ctb, bd)
+    if bcnt_pre is not None:
+        bcnt, bsum = bcnt_pre, bsum_pre
+    else:
+        bcnt, bsum = _bo_stats(src, rec, cy, cx, ctb, bd)
     bh, bdist = _best_offset(bcnt, bsum, -max_off, max_off)
     # best 4-band window
     win = np.stack([sum(bdist[(s + i) % 32] for i in range(4))
@@ -178,6 +186,67 @@ def analyze_plane(src: np.ndarray, rec: np.ndarray, ctb: int, cy: int,
             np.where(cost < 0, -cost, 0.0))
 
 
+from functools import partial as _partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _plane_stats_jax(src, rec, cy, cx, ctb, bd):
+    """Device EO/BO statistics, bit-identical to _eo_stats/_bo_stats."""
+    H, W = src.shape
+    diff = (src - rec).astype(jnp.int32)
+
+    def reduce(v):
+        out = jnp.zeros((cy * ctb, cx * ctb), jnp.int32)
+        out = out.at[:H, :W].set(v)
+        return out.reshape(cy, ctb, cx, ctb).sum(axis=(1, 3))
+
+    def shifted(day, dax):
+        big = 1 << 20
+        a = jnp.full((H, W), big, jnp.int32)
+        ys = slice(max(0, day), H + min(0, day))
+        xs = slice(max(0, dax), W + min(0, dax))
+        ys_s = slice(max(0, -day), H + min(0, -day))
+        xs_s = slice(max(0, -dax), W + min(0, -dax))
+        return a.at[ys_s, xs_s].set(rec[ys, xs])
+
+    ecnt = jnp.zeros((4, 5, cy, cx), jnp.int32)
+    esum = jnp.zeros((4, 5, cy, cx), jnp.int32)
+    for eo in range(4):
+        day, dax = EO_DIRS[eo]
+        a = shifted(day, dax)
+        b = shifted(-day, -dax)
+        big = 1 << 20
+        valid = (a != big) & (b != big)
+        sgn = jnp.sign(rec - a) + jnp.sign(rec - b)
+        cat = jnp.where(sgn == -2, 1,
+                        jnp.where(sgn == -1, 2,
+                                  jnp.where(sgn == 1, 3,
+                                            jnp.where(sgn == 2, 4, 0))))
+        cat = jnp.where(valid, cat, 0)
+        for c in range(1, 5):
+            m = cat == c
+            ecnt = ecnt.at[eo, c].set(reduce(m.astype(jnp.int32)))
+            esum = esum.at[eo, c].set(reduce(jnp.where(m, diff, 0)))
+    band = (rec >> (bd - 5)).astype(jnp.int32)
+    bcnt = jnp.zeros((32, cy, cx), jnp.int32)
+    bsum = jnp.zeros((32, cy, cx), jnp.int32)
+    for bnd in range(32):
+        m = band == bnd
+        bcnt = bcnt.at[bnd].set(reduce(m.astype(jnp.int32)))
+        bsum = bsum.at[bnd].set(reduce(jnp.where(m, diff, 0)))
+    return ecnt, esum, bcnt, bsum
+
+
+@_partial(jax.jit, static_argnames=("cy", "cx", "ctb", "bd"))
+def _frame_stats_jax(sy, ry, scb, rcb, scr, rcr, cy, cx, ctb, bd):
+    """All three planes' SAO stats in one dispatch."""
+    return (_plane_stats_jax(sy, ry, cy, cx, ctb, bd),
+            _plane_stats_jax(scb, rcb, cy, cx, ctb >> 1, bd),
+            _plane_stats_jax(scr, rcr, cy, cx, ctb >> 1, bd))
+
+
 def analyze_frame(src_planes, rec_planes, ctb_log2: int, qp: int,
                   bd: int = 8) -> Optional[SaoParams]:
     """Choose SAO params for all planes (x265 saoLumaComponentParamDist /
@@ -186,16 +255,28 @@ def analyze_frame(src_planes, rec_planes, ctb_log2: int, qp: int,
     H, W = src_planes[0].shape
     cy, cx = -(-H // ctb), -(-W // ctb)
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
+    # 48 full-frame category/band passes are the bulk of the work: run
+    # them as ONE device dispatch (the saoCuStats* kernel family,
+    # SURVEY 2.3), keep the tiny per-CTB RD optimisation on the host
+    stats = _frame_stats_jax(
+        jnp.asarray(np.asarray(src_planes[0], np.int32)),
+        jnp.asarray(np.asarray(rec_planes[0], np.int32)),
+        jnp.asarray(np.asarray(src_planes[1], np.int32)),
+        jnp.asarray(np.asarray(rec_planes[1], np.int32)),
+        jnp.asarray(np.asarray(src_planes[2], np.int32)),
+        jnp.asarray(np.asarray(rec_planes[2], np.int32)),
+        cy, cx, ctb, bd)
+    stats = jax.device_get(stats)
     ty, cly, offy, _ = analyze_plane(
         np.asarray(src_planes[0], np.int64), np.asarray(rec_planes[0]),
-        ctb, cy, cx, lam, bd)
+        ctb, cy, cx, lam, bd, stats=stats[0])
     ctbc = ctb >> 1
     tcb, clcb, offcb, gcb = analyze_plane(
         np.asarray(src_planes[1], np.int64), np.asarray(rec_planes[1]),
-        ctbc, cy, cx, lam, bd)
+        ctbc, cy, cx, lam, bd, stats=stats[1])
     tcr, clcr, offcr, gcr = analyze_plane(
         np.asarray(src_planes[2], np.int64), np.asarray(rec_planes[2]),
-        ctbc, cy, cx, lam, bd)
+        ctbc, cy, cx, lam, bd, stats=stats[2])
     # chroma: one type + eo class shared by cb/cr — take cb's choice when
     # it has the larger gain, else cr's; the other component re-fits
     use_cb = gcb >= gcr
