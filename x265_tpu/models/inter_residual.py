@@ -68,9 +68,7 @@ def _mc_gather(planes, ridx, x0, y0, mvx, mvy, filt, fb, n, taps, pad, bd):
     return jax.vmap(one)(jnp.arange(N))
 
 
-@partial(jax.jit, static_argnames=("n", "bd", "sdh", "do_rdoq", "lossless",
-                                   "pad", "wld", "wcd", "cb_off", "cr_off"))
-def _inter_class(src_y, src_cb, src_cr,
+def _inter_class_body(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  xy, mv, dirm, ref_i, qp, wp,
                  n, bd, sdh, do_rdoq, lossless, pad, wld, wcd,
@@ -173,6 +171,30 @@ def _inter_class(src_y, src_cb, src_cr,
             rec_cb.astype(jnp.int16), rec_cr.astype(jnp.int16))
 
 
+_inter_class = partial(jax.jit, static_argnames=(
+    "n", "bd", "sdh", "do_rdoq", "lossless", "pad", "wld", "wcd",
+    "cb_off", "cr_off"))(_inter_class_body)
+
+
+@partial(jax.jit, static_argnames=("ns", "bd", "sdh", "do_rdoq", "lossless",
+                                   "pad", "wld", "wcd", "cb_off", "cr_off"))
+def _inter_multi(src_y, src_cb, src_cr,
+                 r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                 per_class, wp, ns, bd, sdh, do_rdoq, lossless, pad,
+                 wld, wcd, cb_off, cr_off):
+    """Several CU-size classes in ONE dispatch (one tunnel round trip
+    instead of one per class). per_class: tuple of (xy, mv, dirm, ref_i,
+    qp) batches matching `ns`."""
+    outs = []
+    for (n, args) in zip(ns, per_class):
+        xy, mv, dirm, ref_i, qp = args
+        outs.append(_inter_class_body(
+            src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+            xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
+            pad, wld, wcd, cb_off, cr_off))
+    return tuple(outs)
+
+
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     sdh, rdoq_level):
     """Assemble the precomputed-residual dict for the native writer.
@@ -238,6 +260,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     qmap = decisions.qp_map
     ctb_l2 = p.ctb_log2
     any_pre = False
+    classes = []          # (n, N, x0, y0, ys8, xs8, device batch args)
     for s_log2 in (3, 4, 5):
         n = 1 << s_log2
         r = n >> 3
@@ -262,7 +285,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         else:
             qp_cu = np.full(N, qp_slice, np.int32)
         # FIXED batch shape per size class (the whole grid): a varying N
-        # would recompile _inter_class every frame (20-40s each on the
+        # would recompile the kernel every frame (20-40s each on the
         # tunneled TPU) — padding to the worst case costs only redundant
         # lanes, compiling costs a frame.
         NB = max(256, ((w // n) * (h // n)))
@@ -275,36 +298,42 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
                 if pad_n else a
 
-        with enable_x64():
-            out = _inter_class(
-                sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
-                jnp.asarray(padn(np.stack([x0, y0], 1))),
+        args = (jnp.asarray(padn(np.stack([x0, y0], 1))),
                 jnp.asarray(padn(mv)), jnp.asarray(padn(dirm, 1)),
-                jnp.asarray(padn(ref_i)), jnp.asarray(padn(qp_cu, 26)),
-                wp_arr, n, bd, bool(sdh), rdoq_level > 0,
-                bool(p.lossless), 80, wld, wcd,
-                int(p.cb_qp_offset), int(p.cr_qp_offset))
-        ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N] for o in out)
-        ii = np.arange(n)
-        yy = y0[:, None, None] + ii[None, :, None]
-        xx = x0[:, None, None] + ii[None, None, :]
-        lvl_y[yy, xx] = ly.astype(np.int16)
-        rec_y[yy, xx] = ry.astype(np.int16)
-        hh = ii[:n // 2]
-        cyy = (y0 >> 1)[:, None, None] + hh[None, :, None]
-        cxx = (x0 >> 1)[:, None, None] + hh[None, None, :]
-        lvl_cb[cyy, cxx] = lcb.astype(np.int16)
-        lvl_cr[cyy, cxx] = lcr.astype(np.int16)
-        rec_cb[cyy, cxx] = rcb.astype(np.int16)
-        rec_cr[cyy, cxx] = rcr.astype(np.int16)
-        bits = (cbf[:, 0].astype(np.uint8)
-                | (cbf[:, 1].astype(np.uint8) << 1)
-                | (cbf[:, 2].astype(np.uint8) << 2))
-        jj = np.arange(r)
-        byy = ys8[:, None, None] + jj[None, :, None]
-        bxx = xs8[:, None, None] + jj[None, None, :]
-        cbf8[byy, bxx] = bits[:, None, None]
-        has8[byy, bxx] = 1
+                jnp.asarray(padn(ref_i)), jnp.asarray(padn(qp_cu, 26)))
+        classes.append((n, N, x0, y0, ys8, xs8, r, args))
+    if any_pre:
+        ns = tuple(c[0] for c in classes)
+        with enable_x64():
+            outs = _inter_multi(
+                sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                tuple(c[7] for c in classes), wp_arr, ns, bd,
+                bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
+                wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset))
+        outs = jax.device_get(outs)
+        for (n, N, x0, y0, ys8, xs8, r, _a), out in zip(classes, outs):
+            ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N]
+                                               for o in out)
+            ii = np.arange(n)
+            yy = y0[:, None, None] + ii[None, :, None]
+            xx = x0[:, None, None] + ii[None, None, :]
+            lvl_y[yy, xx] = ly.astype(np.int16)
+            rec_y[yy, xx] = ry.astype(np.int16)
+            hh = ii[:n // 2]
+            cyy = (y0 >> 1)[:, None, None] + hh[None, :, None]
+            cxx = (x0 >> 1)[:, None, None] + hh[None, None, :]
+            lvl_cb[cyy, cxx] = lcb.astype(np.int16)
+            lvl_cr[cyy, cxx] = lcr.astype(np.int16)
+            rec_cb[cyy, cxx] = rcb.astype(np.int16)
+            rec_cr[cyy, cxx] = rcr.astype(np.int16)
+            bits = (cbf[:, 0].astype(np.uint8)
+                    | (cbf[:, 1].astype(np.uint8) << 1)
+                    | (cbf[:, 2].astype(np.uint8) << 2))
+            jj = np.arange(r)
+            byy = ys8[:, None, None] + jj[None, :, None]
+            bxx = xs8[:, None, None] + jj[None, None, :]
+            cbf8[byy, bxx] = bits[:, None, None]
+            has8[byy, bxx] = 1
     if not any_pre:
         return None
     return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
