@@ -528,13 +528,23 @@ class Encoder:
             (y, cb, cr), sh, decisions, ([], []), ((), ()), 0, SLICE_I)
         self._record_colmv(decisions, ((), ()), 0)
         self._last_recon = recon
-        hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_IDR_W_RADL)
-        nal = make_nal(NAL_IDR_W_RADL, hdr_bw.data() + slice_data)
-        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I) + annexb([nal])
+        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I)
+              + self._assemble_slices(slice_data, sh, NAL_IDR_W_RADL)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
                           len(au) * 8, 0)
         return au
+
+    def _assemble_slices(self, payload, sh, nal_type) -> bytes:
+        """One or many slice NALs from _inter_slice_data's payload."""
+        if isinstance(payload, (bytes, bytearray)):
+            hdr = write_slice_header(sh, self.sps, self.pps, nal_type)
+            return annexb([make_nal(nal_type, hdr.data() + payload)])
+        out = b""
+        for (sh_i, data) in payload:
+            hdr = write_slice_header(sh_i, self.sps, self.pps, nal_type)
+            out += annexb([make_nal(nal_type, hdr.data() + data)])
+        return out
 
     def _deblock_intra_recon(self, recon, decisions, qp):
         """Deblock the recon returned by the native intra finalizer.
@@ -625,15 +635,14 @@ class Encoder:
             (pocs_l0, ()), poc, SLICE_P)
         self._record_colmv(decisions, (pocs_l0, ()), poc)
         self._last_recon = recon
-        hdr_bw = write_slice_header(sh, self.sps, self.pps, NAL_TRAIL_R)
-        nal = make_nal(NAL_TRAIL_R, hdr_bw.data() + slice_data)
         rp = b""
         if getattr(self, "_ir_recovery", None) is not None:
             from x265_tpu.hevc.sei import recovery_point_sei
             rp = annexb([recovery_point_sei(self._ir_recovery)])
             self._ir_recovery = None
         au = (self._aud(SLICE_P) + self._hrd_sei(SLICE_P) + rp
-              + annexb([nal]) + self._hash_sei(recon))
+              + self._assemble_slices(slice_data, sh, NAL_TRAIL_R)
+              + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
                           len(au) * 8, poc)
         return au
@@ -762,7 +771,7 @@ class Encoder:
                         self.pps.sign_data_hiding,
                         0 if p.lossless else p.rdoq_level)
 
-            def run_native(sp=None):
+            def run_native_range(sp, begin, count):
                 if nr_arrs is not None:      # fresh sums per (re-)emit
                     nr_arrs[1][:] = 0
                     nr_arrs[2][:] = 0
@@ -781,7 +790,54 @@ class Encoder:
                     rdoq_level=0 if p.lossless else p.rdoq_level,
                     weights=wp_native, col=col,
                     col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs,
-                    pre=pre)
+                    pre=pre, ctb_begin=begin, ctb_count=count)
+
+            wc = p.pic_width_in_ctbs
+            hc = p.pic_height_in_ctbs
+            n_slices = max(1, min(p.slices, hc))
+
+            def run_native(sp=None):
+                if n_slices == 1:
+                    return run_native_range(sp, 0, -1)
+                # multi-slice picture (x265 --slices,
+                # frameencoder.cpp:820-876): even CTU-row bands, each an
+                # independent slice segment with its own CABAC state —
+                # the parallel-entropy shard axis (SURVEY 2.4 P4)
+                import copy as _copy
+                bounds = [round(i * hc / n_slices)
+                          for i in range(n_slices + 1)]
+                ctu = p.ctu_size
+                payload = []
+                rec = cbf = qpa = None
+                for i in range(n_slices):
+                    r0, r1 = bounds[i], bounds[i + 1]
+                    if r0 == r1:
+                        continue
+                    res_i = run_native_range(sp, r0 * wc, (r1 - r0) * wc)
+                    if res_i is None:
+                        return None
+                    data_i, rec_i, cbf_i, qp_i = res_i
+                    sh_i = _copy.copy(sh)
+                    sh_i.first_slice_in_pic = (r0 == 0)
+                    sh_i.segment_address = r0 * wc
+                    payload.append((sh_i, data_i))
+                    if rec is None:
+                        rec = [np.array(pl) for pl in rec_i]
+                        cbf = np.array(cbf_i)
+                        qpa = np.array(qp_i)
+                    else:
+                        y0p = r0 * ctu
+                        y1p = min(p.height, r1 * ctu)
+                        rec[0][y0p:y1p] = rec_i[0][y0p:y1p]
+                        rec[1][y0p >> 1:(y1p + 1) >> 1] = \
+                            rec_i[1][y0p >> 1:(y1p + 1) >> 1]
+                        rec[2][y0p >> 1:(y1p + 1) >> 1] = \
+                            rec_i[2][y0p >> 1:(y1p + 1) >> 1]
+                        cbf[y0p >> 2:(y1p + 3) >> 2] = \
+                            cbf_i[y0p >> 2:(y1p + 3) >> 2]
+                        qpa[y0p >> 2:(y1p + 3) >> 2] = \
+                            qp_i[y0p >> 2:(y1p + 3) >> 2]
+                return payload, tuple(rec), cbf, qpa
 
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):
@@ -932,9 +988,8 @@ class Encoder:
             self._record_colmv(decisions, ((p0,), (p1,)), poc)
             self._bref_recon = recon
         nal_type = NAL_TRAIL_R if as_ref else NAL_TRAIL_N
-        hdr_bw = write_slice_header(sh, self.sps, self.pps, nal_type)
-        nal = make_nal(nal_type, hdr_bw.data() + slice_data)
-        au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B) + annexb([nal])
+        au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B)
+              + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
                           len(au) * 8, poc)

@@ -97,6 +97,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # col dir/mv/refpoc
             ctypes.c_int, ctypes.c_int,                          # col poc, from_l0
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # nr off/sum/cnt
+            ctypes.c_int, ctypes.c_int,                          # ctb begin/count
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # pre lvl y/cb/cr
             ctypes.c_void_p, ctypes.c_void_p,                    # pre cbf8/has8
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # pre rec y/cb/cr
@@ -158,7 +159,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     sao_params=None, sao_luma=False, sao_chroma=False,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
                     weights=None, col=None, col_from_l0=1, nr=None,
-                    pre=None):
+                    pre=None, ctb_begin=0, ctb_count=-1):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -282,7 +283,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
         cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
-        nro_p, nrs_p, nrc_p, *pre_ptrs)
+        nro_p, nrs_p, nrc_p, int(ctb_begin), int(ctb_count), *pre_ptrs)
     if n < 0:
         return None
     return (out[:n].tobytes(),

@@ -901,6 +901,12 @@ struct Writer {
                 *sao_class_cb = nullptr, *sao_class_cr = nullptr,
                 *sao_off_cb = nullptr, *sao_off_cr = nullptr;
   int wc_ctbs = 0;
+  // multi-slice (x265 --slices, frameencoder.cpp:820-876): this writer
+  // instance covers CTU addresses [ctb_begin, ctb_begin + ctb_count);
+  // availability starts false outside, so intra refs / merge / MPM
+  // treat other slices as unavailable (spec slice isolation)
+  int ctb_begin = 0;
+  int ctb_count = -1;          // -1 = whole picture
   // state
   std::vector<uint8_t> avail4, isintra4;
   std::vector<int16_t> mode4;
@@ -932,14 +938,14 @@ struct Writer {
     if (v < cmax) cab.ep(0);
   }
 
-  void write_sao(int cy_i, int cx_i) {
+  void write_sao(int cy_i, int cx_i, bool first_row_of_slice = false) {
     int idx = cy_i * wc_ctbs + cx_i;
     int max_off = (1 << (std::min(bd, 10) - 5)) - 1;
     if (cx_i > 0) {
       if (sao_params_equal(idx, idx - 1)) { cab.bin(CTX_SAO_MERGE, 1); return; }
       cab.bin(CTX_SAO_MERGE, 0);
     }
-    if (cy_i > 0) {
+    if (cy_i > 0 && !first_row_of_slice) {
       if (sao_params_equal(idx, idx - wc_ctbs)) { cab.bin(CTX_SAO_MERGE, 1); return; }
       cab.bin(CTX_SAO_MERGE, 0);
     }
@@ -1001,22 +1007,25 @@ struct Writer {
     int wc = (width + ctb - 1) / ctb, hc = (height + ctb - 1) / ctb;
     wc_ctbs = wc;
     int n_ctbs = wc * hc;
+    int begin = ctb_begin;
+    int end = ctb_count < 0 ? n_ctbs : ctb_begin + ctb_count;
+    if (end > n_ctbs) end = n_ctbs;
     bool sao_on = (sao_luma || sao_chroma) && sao_type_y;
     qp_prev = qp;
     qp_actual.assign(w4 * h4, qp);
     int slice_qp = qp;
-    for (int addr = 0; addr < n_ctbs; addr++) {
+    for (int addr = begin; addr < end; addr++) {
       int x0 = (addr % wc) * ctb, y0 = (addr / wc) * ctb;
       if (qp_map) {
         qg_wanted = qp_map[addr];
         qg_coded = false;
         qp = qg_wanted;                 // quantize with the target QP
       }
-      if (sao_on) write_sao(addr / wc, addr % wc);
+      if (sao_on) write_sao(addr / wc, addr % wc, addr - begin < wc);
       quadtree(x0, y0, ctb_log2, 0);
       if (qp_map)   // qPY_PREV for the next QG = last CU's QpY
         qp_prev = qg_coded ? qg_wanted : qp_prev;
-      cab.trm(addr == n_ctbs - 1 ? 1 : 0);
+      cab.trm(addr == end - 1 ? 1 : 0);
     }
     qp = slice_qp;
     cab.finish();
@@ -1815,7 +1824,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int32_t* col_refpoc, int col_poc,
                     int col_from_l0,
                     const uint16_t* nr_off, uint32_t* nr_sum,
-                    uint32_t* nr_cnt,
+                    uint32_t* nr_cnt, int ctb_begin, int ctb_count,
                     const int16_t* pre_lvl_y, const int16_t* pre_lvl_cb,
                     const int16_t* pre_lvl_cr, const uint8_t* pre_cbf8,
                     const uint8_t* pre_has8, const int16_t* pre_rec_y,
@@ -1858,6 +1867,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   if (!lossless && nr_off && nr_sum && nr_cnt) {
     w.nr_off = nr_off; w.nr_sum = nr_sum; w.nr_cnt = nr_cnt;
   }
+  w.ctb_begin = ctb_begin;
+  w.ctb_count = ctb_count;
   if (pre_has8) {
     w.pre_lvl_y = pre_lvl_y; w.pre_lvl_cb = pre_lvl_cb;
     w.pre_lvl_cr = pre_lvl_cr; w.pre_cbf8 = pre_cbf8;
