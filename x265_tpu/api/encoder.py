@@ -167,6 +167,10 @@ class Encoder:
         # analysis backend: batched TPU graph by default; numpy reference
         # path retained for differential testing (engine.mode_decision)
         self.use_tpu_analysis = True
+        # optional device mesh: analysis shards over CTU-row bands
+        # (attach_mesh); combine with p.slices == n_devices for per-band
+        # entropy — the integrated multi-chip encode (SURVEY 2.4 P1/P4)
+        self.mesh = None
         # entropy backend: native C++ finalizer when buildable; Python
         # reference writer is the oracle (differential-tested)
         self.use_native = True
@@ -576,6 +580,10 @@ class Encoder:
     def _intra_decisions(self, y) -> FrameDecisions:
         p = self.param
         cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+        if self.mesh is not None:
+            from x265_tpu.parallel.tiles import mesh_intra_decisions
+            return mesh_intra_decisions(self.mesh, y, p.width, p.height,
+                                        cu_log2, p.fast_intra)[0]
         if self.use_tpu_analysis:
             from x265_tpu.models.intra_frame import decide_intra_frame_tpu
             return decide_intra_frame_tpu(
@@ -1068,6 +1076,13 @@ class Encoder:
     def _to8(grid, h8, w8, rep):
         return np.ascontiguousarray(
             np.repeat(np.repeat(grid, rep, 0), rep, 1)[:h8, :w8])
+
+    def attach_mesh(self, mesh) -> None:
+        """Shard the frame analysis over a jax Mesh's 'tile' axis. The
+        sharded graph is the same jitted computation, so streams are
+        byte-identical to the single-device encoder (asserted by
+        dryrun_multichip)."""
+        self.mesh = mesh
 
     def _pad_ref(self, planes, pad=80):
         """Edge-padded int16 reference planes, cached per recon identity:

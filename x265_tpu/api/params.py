@@ -403,8 +403,12 @@ COERCED_OPTIONS = {
 }
 
 
+_warned = set()
+
+
 def _warn(p: Param, msg: str) -> None:
-    if p.log_level >= 2:
+    if p.log_level >= 2 and msg not in _warned:
+        _warned.add(msg)
         import sys
         print(f"x265_tpu [warning]: {msg}", file=sys.stderr)
 

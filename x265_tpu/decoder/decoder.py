@@ -115,6 +115,11 @@ class SliceDecoder:
         if self.dqp_on and pic.qp4 is None:
             h4, w4 = pic.avail4.shape
             pic.qp4 = np.full((h4, w4), sh.qp, dtype=np.int32)
+        # slice isolation: neighbours in a different slice segment are
+        # unavailable for intra refs / MPM / merge / AMVP (the map is
+        # only consulted for current-slice decisions, so resetting per
+        # slice start implements the spec's availability rule)
+        pic.avail4[:] = False
         addr = self.sh.segment_address
         while True:
             x0 = (addr % w_ctbs) * ctb

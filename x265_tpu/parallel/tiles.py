@@ -105,3 +105,30 @@ def sharded_frame_analysis(mesh: Mesh, y: np.ndarray, ref: np.ndarray,
     y_dev = jax.device_put(jnp.asarray(y, dtype=jnp.int32), sharding)
     ref_dev = jax.device_put(jnp.asarray(ref, dtype=jnp.int32), sharding)
     return step(y_dev, ref_dev)
+
+
+def mesh_intra_decisions(mesh: Mesh, y: np.ndarray, width: int, height: int,
+                         cu_log2: int = 4, fast: bool = False):
+    """Whole-frame intra analysis with the input sharded in CTU-row bands
+    over the mesh — XLA GSPMD partitions the SAME jitted graph the
+    single-chip path runs, so the decisions are identical by construction
+    (blocks are neighbor-free; SURVEY §7.1 "batch over CTUs").
+
+    Returns (FrameDecisions, icost grid) like
+    models.intra_frame.decide_intra_frame_tpu_with_cost.
+    """
+    from x265_tpu.models.intra_frame import (
+        _build_decisions, frame_intra_analysis)
+    S = 1 << cu_log2
+    n = mesh.devices.size
+    ph = -(-height // (S * n)) * (S * n)   # band-divisible padding
+    pw = -(-width // S) * S
+    yp = np.pad(np.asarray(y, dtype=np.int32),
+                ((0, ph - height), (0, pw - width)), mode="edge")
+    sharding = NamedSharding(mesh, P("tile", None))
+    y_dev = jax.device_put(jnp.asarray(yp), sharding)
+    modes, cost = frame_intra_analysis(y_dev, S=S, fast=fast)
+    modes = np.asarray(modes)
+    dec = _build_decisions(modes, cu_log2, width, height, ph, pw)
+    icost = np.asarray(cost).reshape(ph // S, pw // S)
+    return dec, icost
