@@ -240,6 +240,17 @@ class Encoder:
             is_idr = True
         self.frame_count += 1
         if is_idr:
+            if (p.open_gop and self.ipp and self.anchor is not None
+                    and self.frame_count > 1):
+                # open GOP (x265 default; dpb.cpp:229 getNalUnitType):
+                # the keyframe is a CRA anchoring the open mini-GOP; the
+                # queued pictures become RASL leading pictures (decode
+                # after the CRA, display before it, reference across it)
+                out += self._emit_minigop(cra=(frame, cost))
+                self.frames_since_idr = 1
+                self._anchor_low = (getattr(self.la, "last_low", None)
+                                    if need_la else None)
+                return out
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
             self.frames_since_idr = 1
@@ -306,15 +317,45 @@ class Encoder:
             self._awriter.close()
             self._awriter = None
 
-    def _emit_minigop(self) -> bytes:
+    def _emit_minigop(self, cra=None) -> bytes:
         """One queued frame becomes the P anchor (coded first), earlier
         frames become B pictures between the two anchors. With --b-adapt
         the anchor position comes from a lowres cost search over the
         window (slicetypePath reduced to one mini-GOP); without it, the
-        whole queue forms one GOP (fixed bframes)."""
+        whole queue forms one GOP (fixed bframes).
+
+        cra=(frame, cost): open-GOP keyframe — the given frame anchors
+        this mini-GOP as a CRA intra picture and every queued picture is
+        coded as a RASL_N leading picture."""
+        from x265_tpu.hevc.bitstream import NAL_CRA, NAL_RASL_N
         p_ = self.param
         queue = self.pending
         leftover = []
+        if cra is not None:
+            cra_frame, cra_cost = cra
+            cra_poc = self.poc
+            self.poc += 1
+            bs = queue
+            self.pending = []
+            prev_anchor = self.anchor
+            qp = self.rc.start(SLICE_I, cra_cost)
+            au = self._encode_intra_frame(*cra_frame, qp=qp, poc=cra_poc,
+                                          nal_type=NAL_CRA)
+            self.rc.end(len(au) * 8)
+            out = au
+            new_anchor = (cra_poc, self._last_recon)
+            for (poc_b, frame_b, cost_b, *_aux) in bs:
+                qp = self.rc.start(SLICE_B, cost_b)
+                au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
+                                          new_anchor, qp,
+                                          nal_override=NAL_RASL_N)
+                self.rc.end(len(au) * 8)
+                out += au
+            # random-access point: nothing before the CRA may be
+            # referenced afterwards
+            self.anchor = new_anchor
+            self.anchors = [new_anchor]
+            return out
         if (p_.b_adapt and len(queue) > 1
                 and getattr(self, "_anchor_low", None) is not None
                 and all(e[4] is not None for e in queue)):
@@ -520,23 +561,28 @@ class Encoder:
             out["global_ssim"] = sum(s["ssim"] for s in self.frame_stats) / n
         return out
 
-    def _encode_intra_frame(self, y, cb, cr, decisions=None, qp=None) -> bytes:
+    def _encode_intra_frame(self, y, cb, cr, decisions=None, qp=None,
+                            poc=0, nal_type=NAL_IDR_W_RADL) -> bytes:
         p = self.param
         if qp is None:
             qp = self._slice_qp(SLICE_I)
         sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=qp)
+        if nal_type != NAL_IDR_W_RADL:       # CRA: POC + (empty) RPS ride
+            sh.pic_order_cnt_lsb = poc & 0xFF
+            sh.rps_in_sps = False
+            sh.short_term_rps = ShortTermRPS(num_negative=0)
         if decisions is None:
             decisions = (self._areader.get() if self._areader
                          else self._intra_decisions(y))
         slice_data, recon = self._inter_slice_data(
-            (y, cb, cr), sh, decisions, ([], []), ((), ()), 0, SLICE_I)
-        self._record_colmv(decisions, ((), ()), 0)
+            (y, cb, cr), sh, decisions, ([], []), ((), ()), poc, SLICE_I)
+        self._record_colmv(decisions, ((), ()), poc)
         self._last_recon = recon
         au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I)
-              + self._assemble_slices(slice_data, sh, NAL_IDR_W_RADL)
+              + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
-                          len(au) * 8, 0)
+                          len(au) * 8, poc)
         return au
 
     def _assemble_slices(self, payload, sh, nal_type) -> bytes:
@@ -955,7 +1001,8 @@ class Encoder:
         return yy, cbb, crr
 
     def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None,
-                        as_ref=False, extra_keep=()) -> bytes:
+                        as_ref=False, extra_keep=(),
+                        nal_override=None) -> bytes:
         """B picture between two anchors: TRAIL_N when unreferenced,
         TRAIL_R for the pyramid's middle B (--b-pyramid)."""
         p = self.param
@@ -995,7 +1042,8 @@ class Encoder:
         if as_ref:
             self._record_colmv(decisions, ((p0,), (p1,)), poc)
             self._bref_recon = recon
-        nal_type = NAL_TRAIL_R if as_ref else NAL_TRAIL_N
+        nal_type = (nal_override if nal_override is not None
+                    else (NAL_TRAIL_R if as_ref else NAL_TRAIL_N))
         au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B)
               + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
