@@ -64,8 +64,16 @@ def test_bframes_keyint_boundary():
     p = param_default_preset("medium")
     p.width, p.height = 96, 64
     p.qp, p.rc_mode, p.bframes, p.keyint = 32, RC_CQP, 2, 6
+    # default open GOP: the mid-stream keyframe is a CRA with RASL
+    # leading pictures — both decoders must agree bit-exactly
     ours = _conform(Encoder(p).encode(frames))
     assert len(ours) == 11
+    p2 = param_default_preset("medium")
+    p2.width, p2.height = 96, 64
+    p2.qp, p2.rc_mode, p2.bframes, p2.keyint = 32, RC_CQP, 2, 6
+    p2.open_gop = False
+    ours2 = _conform(Encoder(p2).encode(frames))
+    assert len(ours2) == 11
 
 
 def test_bframes_lossless():

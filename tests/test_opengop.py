@@ -45,13 +45,16 @@ def test_open_gop_emits_cra_and_rasl():
     kinds = _nal_types(stream)
     assert NAL_CRA in kinds, kinds
     assert NAL_RASL_N in kinds, kinds
-    if de265.available():
-        pics = de265.decode(stream)
-        assert len(pics) == len(frames)
-    # our own decoder round-trips it too
     from x265_tpu.decoder.decoder import HEVCDecoder
     own = HEVCDecoder().decode(stream)
     assert len(own) == len(frames)
+    if de265.available():
+        pics = de265.decode(stream)
+        assert len(pics) == len(frames)
+        for o, e in zip(own, pics):
+            assert np.array_equal(o.y, e[0].astype(np.int32))
+            assert np.array_equal(o.cb, e[1].astype(np.int32))
+            assert np.array_equal(o.cr, e[2].astype(np.int32))
 
 
 def test_closed_gop_still_idr():

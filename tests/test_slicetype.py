@@ -28,14 +28,28 @@ def _idr_count(stream):
                if ((nal[0] >> 1) & 0x3F) in (19, 20))
 
 
+def _keyframe_count(stream):
+    # IDR or CRA (open GOP, the x265 default, emits CRA at scenecuts)
+    return sum(1 for nal in split_annexb(stream)
+               if ((nal[0] >> 1) & 0x3F) in (19, 20, 21))
+
+
 def test_scenecut_inserts_idr():
     frames = _two_scene_clip()
     p = param_default_preset("medium")
     p.width, p.height = 176, 144
     p.rc_mode, p.crf, p.bframes = RC_CRF, 30, 3
     stream = Encoder(p).encode(frames)
-    assert _idr_count(stream) == 2          # opening IDR + the cut
+    # opening IDR + a CRA at the cut (open GOP default); with
+    # --no-open-gop the cut is an IDR
+    assert _keyframe_count(stream) == 2
     assert len(HEVCDecoder().decode(stream)) == 12
+    p2 = param_default_preset("medium")
+    p2.width, p2.height = 176, 144
+    p2.rc_mode, p2.crf, p2.bframes = RC_CRF, 30, 3
+    p2.open_gop = False
+    stream2 = Encoder(p2).encode(frames)
+    assert _idr_count(stream2) == 2
 
 
 def test_scenecut_off_single_idr():

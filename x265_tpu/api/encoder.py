@@ -339,8 +339,13 @@ class Encoder:
             self.pending = []
             prev_anchor = self.anchor
             qp = self.rc.start(SLICE_I, cra_cost)
+            # the CRA's RPS must KEEP the prior anchors alive (used=0):
+            # its leading RASL pictures reference them, and an empty RPS
+            # would evict them from a conformant decoder's DPB
+            keep = sorted((a[0] for a in self.anchors), reverse=True)
             au = self._encode_intra_frame(*cra_frame, qp=qp, poc=cra_poc,
-                                          nal_type=NAL_CRA)
+                                          nal_type=NAL_CRA,
+                                          keep_pocs=keep)
             self.rc.end(len(au) * 8)
             out = au
             new_anchor = (cra_poc, self._last_recon)
@@ -562,15 +567,19 @@ class Encoder:
         return out
 
     def _encode_intra_frame(self, y, cb, cr, decisions=None, qp=None,
-                            poc=0, nal_type=NAL_IDR_W_RADL) -> bytes:
+                            poc=0, nal_type=NAL_IDR_W_RADL,
+                            keep_pocs=()) -> bytes:
         p = self.param
         if qp is None:
             qp = self._slice_qp(SLICE_I)
         sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=qp)
-        if nal_type != NAL_IDR_W_RADL:       # CRA: POC + (empty) RPS ride
+        if nal_type != NAL_IDR_W_RADL:       # CRA: POC + keep-alive RPS
             sh.pic_order_cnt_lsb = poc & 0xFF
             sh.rps_in_sps = False
-            sh.short_term_rps = ShortTermRPS(num_negative=0)
+            sh.short_term_rps = ShortTermRPS(
+                num_negative=len(keep_pocs),
+                delta_poc_s0=[k - poc for k in keep_pocs],
+                used_s0=[False] * len(keep_pocs))
         if decisions is None:
             decisions = (self._areader.get() if self._areader
                          else self._intra_decisions(y))
@@ -1090,7 +1099,10 @@ class Encoder:
                 g16 = satd16[:h32 * 2, :w32 * 2].reshape(
                     h32, 2, w32, 2).sum(axis=(1, 3))
                 qstep = 2.0 ** ((qp - 4) / 6.0)
-                ok_inter &= g16 < 48.0 * qstep
+                # loose gate: a merged 32 CU saves 3 CUs' syntax even
+                # when it carries coefficients; only clearly textured
+                # groups keep the finer tree
+                ok_inter &= g16 < 192.0 * qstep
         else:
             ok_inter = np.zeros((h32, w32), dtype=bool)
         # intra: merge only uniform planar/DC (32x32 prediction of flat

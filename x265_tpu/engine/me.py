@@ -578,6 +578,19 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi,
             best, cost = _refine(cur_blocks, planes_r,
                                  jnp.concatenate([best, state_xy], axis=1),
                                  offs, lam, mvp, S, margin)
+        # snap-to-predictor: quarter-pel measurement noise leaves each
+        # block an mvd of +-1 qpel, which breaks the writer's merge
+        # detection and costs ~10 bits/CU of AMVP+MVD syntax; taking the
+        # predictor exactly when its SATD is within the saved bits is the
+        # RD-correct choice (the merge/skip candidate the writer will
+        # find for a uniform field IS this predictor)
+        satd_mvp = _eval_fixed(cur_blocks, planes_r, mvp, bxy, S, margin)
+        satd_cur = _eval_fixed(cur_blocks, planes_r, best, bxy, S, margin)
+        mvd_now = jnp.abs(best - mvp).astype(jnp.float32)
+        bits_now = (2 * jnp.floor(jnp.log2(2 * mvd_now + 1)) + 1).sum(1)
+        snap = (satd_mvp.astype(jnp.float32)
+                <= satd_cur.astype(jnp.float32) + lam * (bits_now + 6.0))
+        best = jnp.where(snap[:, None], mvp, best)
         # 2x2 modal smoothing (smooth_mv_field, device form)
         mvf = best.reshape(nby, nbx, 2)
         gy, gx = nby // 2, nbx // 2
