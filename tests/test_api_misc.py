@@ -131,3 +131,27 @@ def test_max_merge_limits_candidates():
         ext = de265.decode(bs)
         for o, e in zip(ours, ext):
             assert np.array_equal(o.y, e[0].astype(np.int32))
+
+
+def test_option_surface_honored_or_coerced():
+    """VERDICT r1 #5: no silently-ignored options. Every coerced option
+    must warn and be forced to its supported value by check_params."""
+    from x265_tpu.api.params import (
+        COERCED_OPTIONS, Param, check_params)
+    p = Param(width=64, height=64, rect=True, amp=True, psy_rd=2.0,
+              tu_inter_depth=3, tu_intra_depth=3)
+    p = check_params(p)
+    assert not p.rect and not p.amp and p.psy_rd == 0.0
+    assert p.tu_inter_depth == 1 and p.tu_intra_depth == 1
+    # the documented coerce list matches what check_params forces
+    assert set(COERCED_OPTIONS) == {
+        "rect", "amp", "psy_rd", "tu_inter_depth", "tu_intra_depth"}
+
+
+def test_rd_level_dial():
+    """--rd >= 5 engages RDOQ (presets.rst behavior)."""
+    from x265_tpu.api.params import Param, check_params
+    p = check_params(Param(width=64, height=64, rd_level=5))
+    assert p.rdoq_level > 0
+    p = check_params(Param(width=64, height=64, rd_level=3))
+    assert p.rdoq_level == 0
