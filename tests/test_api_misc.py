@@ -155,3 +155,30 @@ def test_rd_level_dial():
     assert p.rdoq_level > 0
     p = check_params(Param(width=64, height=64, rd_level=3))
     assert p.rdoq_level == 0
+
+
+def test_qpfile_forces_keyframe_and_qp(tmp_path):
+    """x265 --qpfile: 'frame type QP' lines force per-frame keyframes and
+    QPs (x265cli parseQPFile analog)."""
+    import numpy as np
+    from x265_tpu.api.encoder import Encoder
+    from x265_tpu.api.params import RC_CQP, param_default_preset
+    rng = np.random.default_rng(3)
+    frames = [(rng.integers(0, 255, (64, 64)).astype(np.uint8),
+               np.full((32, 32), 120, np.uint8),
+               np.full((32, 32), 130, np.uint8)) for _ in range(6)]
+    qf = tmp_path / "qp.txt"
+    qf.write_text("0 I 30\n3 I 25\n")
+    p = param_default_preset("ultrafast")
+    p.width = p.height = 64
+    p.rc_mode, p.qp, p.bframes = RC_CQP, 34, 0
+    p.keyint, p.scenecut, p.open_gop = 250, 0, False
+    p.qpfile = str(qf)
+    enc = Encoder(p)
+    enc.encode(frames)
+    stats = {s["poc"]: s for s in enc.frame_stats}
+    types = [s["type"] for s in enc.frame_stats]
+    assert types.count("I") == 2               # frames 0 and 3 forced
+    forced = [s for s in enc.frame_stats if s["type"] == "I"]
+    assert forced[0]["qp"] == 30
+    assert forced[1]["qp"] == 25

@@ -180,6 +180,19 @@ class Encoder:
         self.use_tpu_residual = True
         self.frame_stats = []        # per-frame records in encode order
         self._awriter = self._areader = None
+        # --qpfile: "frameNumber frameType QP" per line (display order;
+        # x265 CLIOptions::parseQPFile). Type I/K forces a keyframe; the
+        # QP (when >= 0) overrides rate control for that picture.
+        self._qpfile = {}
+        if p.qpfile:
+            with open(p.qpfile) as f:
+                for line in f:
+                    parts = line.split()
+                    if len(parts) >= 2:
+                        idx = int(parts[0])
+                        typ = parts[1].upper()
+                        qpv = int(parts[2]) if len(parts) > 2 else -1
+                        self._qpfile[idx] = (typ, qpv)
         if p.analysis_save:
             from x265_tpu.api.analysis_io import AnalysisWriter
             self._awriter = AnalysisWriter(p.analysis_save)
@@ -221,6 +234,13 @@ class Encoder:
         out = b""
         is_idr = (self.frame_count == 0 or
                   (p.keyint > 0 and self.frames_since_idr >= p.keyint))
+        qpf_entry = self._qpfile.get(self.frame_count)
+        qp_forced = None
+        if qpf_entry is not None:
+            if qpf_entry[0] in ("I", "K"):
+                is_idr = True
+            if qpf_entry[1] >= 0:
+                qp_forced = qpf_entry[1]
         # lookahead: needed by rate control and/or scenecut detection
         from x265_tpu.api.params import RC_CQP
         need_la = (self.rc.mode != RC_CQP or
@@ -254,7 +274,8 @@ class Encoder:
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
             self.frames_since_idr = 1
-            qp = self.rc.start(SLICE_I, cost)
+            qp = qp_forced if qp_forced is not None \
+                else self.rc.start(SLICE_I, cost)
             au = self._encode_intra_frame(*frame, decisions, qp=qp)
             self.rc.end(len(au) * 8)
             out += au
@@ -267,7 +288,7 @@ class Encoder:
         self.frames_since_idr += 1
         rec = getattr(self.la, "last_blocks", None) if need_la else None
         low = getattr(self.la, "last_low", None) if need_la else None
-        self.pending.append((self.poc, frame, cost, rec, low))
+        self.pending.append((self.poc, frame, cost, rec, low, qp_forced))
         self.poc += 1
         # queue depth: bframes+1 normally; with b-adapt the queue extends
         # to rc_lookahead frames so (a) anchor placement optimises over a
@@ -379,8 +400,8 @@ class Encoder:
                                     * (1.0 - p_.bframe_bias / 100.0))
             leftover = queue[k + 1:]
             queue = queue[:k + 1]
-        anchor_poc, anchor_frame, anchor_cost, anchor_rec, anchor_low \
-            = queue[-1]
+        (anchor_poc, anchor_frame, anchor_cost, anchor_rec, anchor_low,
+         anchor_qpf) = queue[-1]
         bs = queue[:-1]
         self.pending = leftover
         self._anchor_low = anchor_low
@@ -393,11 +414,11 @@ class Encoder:
         p = self.param
         if (p.cu_tree and anchor_rec is not None and
                 self.pps.cu_qp_delta_enabled and
-                all(r is not None for (_, _, _, r, _) in bs)):
+                all(e[3] is not None for e in bs)):
             from x265_tpu.engine.lookahead import cutree_propagate
             recs = [anchor_rec] + [
-                {"icost": r["icost"], "mcost": r["mcost"],
-                 "mv": -r["mv"]} for (_, _, _, r, _) in reversed(bs)]
+                {"icost": e[3]["icost"], "mcost": e[3]["mcost"],
+                 "mv": -e[3]["mv"]} for e in reversed(bs)]
             off = cutree_propagate(recs, p.ctb_log2, self.rc.qcompress)
             if off is not None:
                 self._cutree[anchor_poc] = off
@@ -407,7 +428,8 @@ class Encoder:
             [(SLICE_B, e[2]) for e in bs]
             + [(SLICE_P if i % (self.bframes + 1) == self.bframes
                 else SLICE_B, e[2]) for i, e in enumerate(leftover)])
-        qp = self.rc.start(SLICE_P, anchor_cost)
+        qp = anchor_qpf if anchor_qpf is not None \
+            else self.rc.start(SLICE_P, anchor_cost)
         out = self._encode_p_frame(anchor_frame, anchor_poc,
                                    list(self.anchors), qp)
         self.rc.end(len(out) * 8)

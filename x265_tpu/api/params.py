@@ -148,6 +148,9 @@ class Param:
     analysis_save: str = ""
     analysis_load: str = ""
 
+    # --- per-frame QP/type forcing (x265 --qpfile; x265cli.h qpfile) ---
+    qpfile: str = ""
+
     # --- multi-pass rate control (x265 --pass/--stats) ---
     pass_num: int = 0            # 0=single pass, 1=analysis, 2=final
     stats_file: str = "x265_tpu_2pass.log"
@@ -326,6 +329,7 @@ _OPT_ALIASES = {
     "ssim": "psnr_metrics",
     "analysis-save": "analysis_save",
     "analysis-load": "analysis_load",
+    "qpfile": "qpfile",
     "pass": "pass_num",
     "stats": "stats_file",
     "fps": None,  # handled specially
