@@ -139,13 +139,15 @@ def test_option_surface_honored_or_coerced():
     from x265_tpu.api.params import (
         COERCED_OPTIONS, Param, check_params)
     p = Param(width=64, height=64, rect=True, amp=True, psy_rd=2.0,
-              tu_inter_depth=3, tu_intra_depth=3)
+              tu_inter_depth=3, tu_intra_depth=3, wpp=True, tiles=(2, 2))
     p = check_params(p)
     assert not p.rect and not p.amp and p.psy_rd == 0.0
     assert p.tu_inter_depth == 1 and p.tu_intra_depth == 1
+    assert not p.wpp and p.tiles == (1, 1)
     # the documented coerce list matches what check_params forces
     assert set(COERCED_OPTIONS) == {
-        "rect", "amp", "psy_rd", "tu_inter_depth", "tu_intra_depth"}
+        "rect", "amp", "psy_rd", "tu_inter_depth", "tu_intra_depth",
+        "wpp", "tiles"}
 
 
 def test_rd_level_dial():
@@ -182,3 +184,37 @@ def test_qpfile_forces_keyframe_and_qp(tmp_path):
     forced = [s for s in enc.frame_stats if s["type"] == "I"]
     assert forced[0]["qp"] == 30
     assert forced[1]["qp"] == 25
+
+
+def test_qpfile_open_gop_bframes(tmp_path):
+    """ADVICE r2: forced QPs must survive the default configuration —
+    open GOP (forced keyframe takes the CRA path) and queued B frames."""
+    import numpy as np
+    from x265_tpu.api.encoder import Encoder
+    from x265_tpu.api.params import RC_CQP, param_default_preset
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, (64, 64)).astype(np.int32)
+    frames = [(np.clip(np.roll(base, 2 * i, 1)
+                       + rng.integers(-3, 4, (64, 64)), 0, 255)
+               .astype(np.uint8),
+               np.full((32, 32), 120, np.uint8),
+               np.full((32, 32), 130, np.uint8)) for i in range(8)]
+    qf = tmp_path / "qp.txt"
+    # frame 4: forced CRA keyframe at QP 26; frame 2 (a B) forced QP 40;
+    # junk + comment lines must be skipped
+    qf.write_text("# comment\n2 B 40\nnot-a-number x\n4 K 26\n")
+    p = param_default_preset("medium")
+    p.width = p.height = 64
+    p.rc_mode, p.qp = RC_CQP, 34
+    p.bframes = 2
+    p.keyint, p.scenecut = 250, 0
+    p.aq_mode, p.cu_tree, p.sao = 0, False, False
+    assert p.open_gop
+    p.qpfile = str(qf)
+    enc = Encoder(p)
+    enc.encode(frames)
+    istats = [s for s in enc.frame_stats if s["type"] == "I"]
+    assert len(istats) == 2            # frame 0 IDR + forced CRA
+    assert istats[1]["qp"] == 26       # forced through the CRA path
+    bstats = [s for s in enc.frame_stats if s["qp"] == 40]
+    assert len(bstats) == 1 and bstats[0]["type"] == "B"

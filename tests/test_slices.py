@@ -60,6 +60,32 @@ def test_slices_lossless_intra_bit_exact():
         assert np.array_equal(d[2], f[2])
 
 
+def test_slices_sao_inrepo_decoder_matches_de265():
+    """ADVICE r2: parse_sao_ctu must omit the up-merge bin at the first
+    CTU row of each slice segment (mirroring the native writer) — the
+    in-repo decoder used to desync on multi-slice+SAO streams."""
+    from x265_tpu.decoder.decoder import HEVCDecoder
+    frames = _frames(3)
+    p = param_default_preset("medium")     # medium: SAO on
+    p.width = p.height = 192
+    p.rc_mode, p.qp = RC_CQP, 32
+    p.bframes = 0
+    p.slices = 2
+    assert p.sao
+    enc = Encoder(p)
+    stream = enc.headers()
+    for f in frames:
+        stream += enc.encode_frame(*f)
+    stream += enc.flush()
+    ours = HEVCDecoder().decode(stream)
+    ext = de265.decode(stream)
+    assert len(ours) == len(ext) == len(frames)
+    for o, e in zip(ours, ext):
+        assert np.array_equal(o.y, e[0].astype(np.int32))
+        assert np.array_equal(o.cb, e[1].astype(np.int32))
+        assert np.array_equal(o.cr, e[2].astype(np.int32))
+
+
 def test_slices_pb_conformance():
     frames = _frames(5)
     p = param_default_preset("medium")

@@ -185,14 +185,29 @@ class Encoder:
         # QP (when >= 0) overrides rate control for that picture.
         self._qpfile = {}
         if p.qpfile:
+            warned_types = set()
             with open(p.qpfile) as f:
                 for line in f:
                     parts = line.split()
-                    if len(parts) >= 2:
+                    if len(parts) < 2 or parts[0].startswith("#"):
+                        continue
+                    try:
                         idx = int(parts[0])
-                        typ = parts[1].upper()
+                        typ = parts[1]       # case-significant: 'I' IDR,
+                        #                      'i'/'K' keyframe (CRA ok)
                         qpv = int(parts[2]) if len(parts) > 2 else -1
-                        self._qpfile[idx] = (typ, qpv)
+                    except ValueError:
+                        from x265_tpu.api.params import _warn
+                        _warn(p, f"qpfile: skipping unparsable line: "
+                              f"{line.strip()!r}")
+                        continue
+                    if typ in ("P", "B", "b") and typ not in warned_types:
+                        warned_types.add(typ)
+                        from x265_tpu.api.params import _warn
+                        _warn(p, "qpfile: P/B/b slice-type forcing is not "
+                              "supported (only I/i/K keyframes); the QP "
+                              "override is still honored")
+                    self._qpfile[idx] = (typ, qpv)
         if p.analysis_save:
             from x265_tpu.api.analysis_io import AnalysisWriter
             self._awriter = AnalysisWriter(p.analysis_save)
@@ -236,9 +251,11 @@ class Encoder:
                   (p.keyint > 0 and self.frames_since_idr >= p.keyint))
         qpf_entry = self._qpfile.get(self.frame_count)
         qp_forced = None
+        force_closed = False          # 'I' = IDR even with --open-gop
         if qpf_entry is not None:
-            if qpf_entry[0] in ("I", "K"):
+            if qpf_entry[0] in ("I", "i", "K"):
                 is_idr = True
+                force_closed = qpf_entry[0] == "I"
             if qpf_entry[1] >= 0:
                 qp_forced = qpf_entry[1]
         # lookahead: needed by rate control and/or scenecut detection
@@ -260,13 +277,13 @@ class Encoder:
             is_idr = True
         self.frame_count += 1
         if is_idr:
-            if (p.open_gop and self.ipp and self.anchor is not None
-                    and self.frame_count > 1):
+            if (p.open_gop and not force_closed and self.ipp
+                    and self.anchor is not None and self.frame_count > 1):
                 # open GOP (x265 default; dpb.cpp:229 getNalUnitType):
                 # the keyframe is a CRA anchoring the open mini-GOP; the
                 # queued pictures become RASL leading pictures (decode
                 # after the CRA, display before it, reference across it)
-                out += self._emit_minigop(cra=(frame, cost))
+                out += self._emit_minigop(cra=(frame, cost, qp_forced))
                 self.frames_since_idr = 1
                 self._anchor_low = (getattr(self.la, "last_low", None)
                                     if need_la else None)
@@ -274,8 +291,9 @@ class Encoder:
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
             self.frames_since_idr = 1
-            qp = qp_forced if qp_forced is not None \
-                else self.rc.start(SLICE_I, cost)
+            qp = (self.rc.start_forced(SLICE_I, qp_forced, cost)
+                  if qp_forced is not None
+                  else self.rc.start(SLICE_I, cost))
             au = self._encode_intra_frame(*frame, decisions, qp=qp)
             self.rc.end(len(au) * 8)
             out += au
@@ -345,21 +363,23 @@ class Encoder:
         window (slicetypePath reduced to one mini-GOP); without it, the
         whole queue forms one GOP (fixed bframes).
 
-        cra=(frame, cost): open-GOP keyframe — the given frame anchors
-        this mini-GOP as a CRA intra picture and every queued picture is
-        coded as a RASL_N leading picture."""
+        cra=(frame, cost, qp_forced): open-GOP keyframe — the given
+        frame anchors this mini-GOP as a CRA intra picture and every
+        queued picture is coded as a RASL_N leading picture."""
         from x265_tpu.hevc.bitstream import NAL_CRA, NAL_RASL_N
         p_ = self.param
         queue = self.pending
         leftover = []
         if cra is not None:
-            cra_frame, cra_cost = cra
+            cra_frame, cra_cost, cra_qpf = cra
             cra_poc = self.poc
             self.poc += 1
             bs = queue
             self.pending = []
             prev_anchor = self.anchor
-            qp = self.rc.start(SLICE_I, cra_cost)
+            qp = (self.rc.start_forced(SLICE_I, cra_qpf, cra_cost)
+                  if cra_qpf is not None
+                  else self.rc.start(SLICE_I, cra_cost))
             # the CRA's RPS must KEEP the prior anchors alive (used=0):
             # its leading RASL pictures reference them, and an empty RPS
             # would evict them from a conformant decoder's DPB
@@ -370,8 +390,10 @@ class Encoder:
             self.rc.end(len(au) * 8)
             out = au
             new_anchor = (cra_poc, self._last_recon)
-            for (poc_b, frame_b, cost_b, *_aux) in bs:
-                qp = self.rc.start(SLICE_B, cost_b)
+            for (poc_b, frame_b, cost_b, _rec, _low, qpf_b) in bs:
+                qp = (self.rc.start_forced(SLICE_B, qpf_b, cost_b)
+                      if qpf_b is not None
+                      else self.rc.start(SLICE_B, cost_b))
                 au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
                                           new_anchor, qp,
                                           nal_override=NAL_RASL_N)
@@ -428,8 +450,9 @@ class Encoder:
             [(SLICE_B, e[2]) for e in bs]
             + [(SLICE_P if i % (self.bframes + 1) == self.bframes
                 else SLICE_B, e[2]) for i, e in enumerate(leftover)])
-        qp = anchor_qpf if anchor_qpf is not None \
-            else self.rc.start(SLICE_P, anchor_cost)
+        qp = (self.rc.start_forced(SLICE_P, anchor_qpf, anchor_cost)
+              if anchor_qpf is not None
+              else self.rc.start(SLICE_P, anchor_cost))
         out = self._encode_p_frame(anchor_frame, anchor_poc,
                                    list(self.anchors), qp)
         self.rc.end(len(out) * 8)
@@ -444,8 +467,11 @@ class Encoder:
             # nearest anchors around them
             mid = len(bs) // 2
             poc_m, frame_m, cost_m = bs[mid][:3]
+            qpf_m = bs[mid][5]
             # referenced B sits between P and leaf-B on the QP ladder
-            qp = max(0, self.rc.start(SLICE_B, cost_m) - 2)
+            qp = (self.rc.start_forced(SLICE_B, qpf_m, cost_m)
+                  if qpf_m is not None
+                  else max(0, self.rc.start(SLICE_B, cost_m) - 2))
             au = self._encode_b_frame(frame_m, poc_m, prev_anchor,
                                       new_anchor, qp, as_ref=True)
             self.rc.end(len(au) * 8)
@@ -453,7 +479,7 @@ class Encoder:
             bref = (poc_m, self._bref_recon)
             rest = bs[:mid] + bs[mid + 1:]
         sched = []
-        for (poc_b, frame_b, cost_b, *_aux) in rest:
+        for (poc_b, frame_b, cost_b, _rec, _low, qpf_b) in rest:
             if bref is not None:
                 a0 = bref if bref[0] < poc_b else prev_anchor
                 a1 = bref if bref[0] > poc_b else new_anchor
@@ -462,7 +488,7 @@ class Encoder:
                         if x not in (a0[0], a1[0])]
             else:
                 a0, a1, keep = prev_anchor, new_anchor, []
-            sched.append((poc_b, frame_b, cost_b, a0, a1, keep))
+            sched.append((poc_b, frame_b, cost_b, a0, a1, keep, qpf_b))
         # batch the leaf-B analyses: one intra + one ME dispatch per
         # shared anchor pair instead of two dispatches per frame
         self._bdec_cache = {}
@@ -473,8 +499,10 @@ class Encoder:
             if len(items) >= 2 and self.use_tpu_analysis:
                 self._precompute_b_batch(items, items[0][3][1],
                                          items[0][4][1])
-        for (poc_b, frame_b, cost_b, a0, a1, keep) in sched:
-            qp = self.rc.start(SLICE_B, cost_b)
+        for (poc_b, frame_b, cost_b, a0, a1, keep, qpf_b) in sched:
+            qp = (self.rc.start_forced(SLICE_B, qpf_b, cost_b)
+                  if qpf_b is not None
+                  else self.rc.start(SLICE_B, cost_b))
             au = self._encode_b_frame(frame_b, poc_b, a0, a1, qp,
                                       extra_keep=keep)
             self.rc.end(len(au) * 8)
@@ -627,16 +655,18 @@ class Encoder:
             out += annexb([make_nal(nal_type, hdr.data() + data)])
         return out
 
-    def _deblock_intra_recon(self, recon, decisions, qp):
+    def _deblock_intra_recon(self, recon, decisions, qp, sao_src=None):
         """Deblock the recon returned by the native intra finalizer.
 
         All-intra ⇒ bS=2 at every CU(==TU/PU) boundary on the 8-grid
         regardless of cbf (spec 8.7.2.4), so the edge maps derive from the
-        CU-size map alone."""
+        CU-size map alone. Runs on the device (models/loopfilter.py);
+        with sao_src the SAO statistics ride the same dispatch and
+        (recon, stats) is returned."""
         p = self.param
         if not p.deblock or p.lossless:
-            return recon
-        from x265_tpu.hevc.deblock import DeblockState, deblock_frame
+            return recon if sao_src is None else (recon, None)
+        from x265_tpu.hevc.deblock import NOPOC, DeblockState
         h, w = p.height, p.width
         h4, w4 = (h + 3) // 4, (w + 3) // 4
         cl4 = np.repeat(np.repeat(decisions.cu_log2_map, 2, 0),
@@ -647,12 +677,39 @@ class Encoder:
         st.edge_v = (xs % (1 << cl4)) == 0
         st.edge_h = (ys % (1 << cl4)) == 0
         is_intra4 = np.ones((h4, w4), dtype=bool)
+        mv4 = np.zeros((h4, w4, 2, 2), dtype=np.int32)
+        refpoc4 = np.full((h4, w4, 2), NOPOC, dtype=np.int64)
+        return self._run_loopfilter(recon, st, is_intra4, mv4, refpoc4,
+                                    qp, sao_src)
+
+    def _run_loopfilter(self, recon, st, is_intra4, mv4, refpoc4, qp,
+                        sao_src):
+        """Dispatch the deblock (+fused SAO stats) on the device, or the
+        numpy reference when use_tpu_loopfilter is off (differential
+        testing)."""
+        p = self.param
+        if getattr(self, "use_tpu_loopfilter", True):
+            from x265_tpu.models.loopfilter import deblock_frame_device
+            from x265_tpu.utils.profiling import scope
+            with scope("loopfilter"):
+                out = deblock_frame_device(
+                    recon, st, is_intra4, mv4, refpoc4, qp,
+                    p.deblock_beta_offset, p.deblock_tc_offset,
+                    p.cb_qp_offset, p.cr_qp_offset, p.bit_depth,
+                    sao_src=sao_src, ctb_log2=p.ctb_log2)
+            if sao_src is None:
+                return out
+            return out[:3], out[3]
+        from x265_tpu.hevc.deblock import deblock_frame
         yy, cbb, crr = deblock_frame(
-            recon[0].astype(np.int32), recon[1].astype(np.int32),
-            recon[2].astype(np.int32), st, is_intra4, None, None,
-            qp, p.deblock_beta_offset, p.deblock_tc_offset,
+            np.asarray(recon[0]).astype(np.int32),
+            np.asarray(recon[1]).astype(np.int32),
+            np.asarray(recon[2]).astype(np.int32), st, is_intra4, mv4,
+            refpoc4, qp, p.deblock_beta_offset, p.deblock_tc_offset,
             p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
-        return yy, cbb, crr
+        if sao_src is None:
+            return yy, cbb, crr
+        return (yy, cbb, crr), None
 
     def _intra_decisions(self, y) -> FrameDecisions:
         p = self.param
@@ -857,9 +914,6 @@ class Encoder:
                         0 if p.lossless else p.rdoq_level)
 
             def run_native_range(sp, begin, count):
-                if nr_arrs is not None:      # fresh sums per (re-)emit
-                    nr_arrs[1][:] = 0
-                    nr_arrs[2][:] = 0
                 return native.encode_slice_px(
                     np.asarray(y), np.asarray(cb), np.asarray(cr),
                     decisions.cu_log2_map, decisions.luma_mode8,
@@ -882,6 +936,12 @@ class Encoder:
             n_slices = max(1, min(p.slices, hc))
 
             def run_native(sp=None):
+                if nr_arrs is not None:
+                    # fresh sums once per (re-)emit — NOT per band, or a
+                    # multi-slice encode would keep only the last band's
+                    # DCT-domain statistics (the native call accumulates)
+                    nr_arrs[1][:] = 0
+                    nr_arrs[2][:] = 0
                 if n_slices == 1:
                     return run_native_range(sp, 0, -1)
                 # multi-slice picture (x265 --slices,
@@ -932,19 +992,30 @@ class Encoder:
                 qp_arg = (qp_actual if decisions.qp_map is not None
                           else sh.qp)
                 from x265_tpu.utils.profiling import scope as _sc
-                with _sc("loopfilter"):
-                    if slice_type == SLICE_I:
-                        recon = self._deblock_intra_recon(recon, decisions,
-                                                          qp_arg)
-                    else:
-                        recon = self._deblock_inter_recon(
-                            recon, decisions, cbf4, ref_poc, qp_arg)
+                # deblock on device; with SAO on, the EO/BO statistics of
+                # the deblocked recon ride the SAME dispatch (one round
+                # trip for the whole loop-filter analysis)
+                sao_src = (y, cb, cr) if sao_on else None
+                if slice_type == SLICE_I:
+                    out_lf = self._deblock_intra_recon(recon, decisions,
+                                                       qp_arg,
+                                                       sao_src=sao_src)
+                else:
+                    out_lf = self._deblock_inter_recon(
+                        recon, decisions, cbf4, ref_poc, qp_arg,
+                        sao_src=sao_src)
+                stats = None
+                if sao_on:
+                    recon, stats = out_lf
+                else:
+                    recon = out_lf
                 if sao_on:
                     from x265_tpu.hevc import sao as sao_mod
                     with _sc("sao_analyze"):
                         sp = sao_mod.analyze_frame((y, cb, cr), recon,
                                                    p.ctb_log2, sh.qp,
-                                                   p.bit_depth)
+                                                   p.bit_depth,
+                                                   stats=stats)
                     sh.sao_luma = sh.sao_chroma = True
                     with _sc("finalize"):
                         slice_data = run_native(sp)[0]
@@ -984,21 +1055,24 @@ class Encoder:
             self._nr["cnt"] += nr_arrs[2]
         return slice_data, recon
 
-    def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp):
+    def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp,
+                             sao_src=None):
         """Deblock a native-finalizer recon using the decision maps (CU ==
-        TU == PU boundaries) + the native cbf map."""
+        TU == PU boundaries) + the native cbf map. Device dispatch; with
+        sao_src the SAO stats are fused in and (recon, stats) returns."""
         p = self.param
         if not p.deblock or p.lossless:
-            return recon
-        from x265_tpu.hevc.deblock import (
-            DeblockState, NOPOC, deblock_frame)
+            return recon if sao_src is None else (recon, None)
+        from x265_tpu.hevc.deblock import DeblockState, NOPOC
         h, w = p.height, p.width
         h4, w4 = (h + 3) // 4, (w + 3) // 4
 
         def to4(m):
             return np.repeat(np.repeat(m, 2, 0), 2, 1)[:h4, :w4]
 
-        cl4 = to4(decisions.cu_log2_map)
+        # TU grid: a 64 CU transforms as 4x32 TUs (implicit RQT split),
+        # so TU edges cap at 32; BS stays 0 on them unless cbf is set
+        cl4 = np.minimum(to4(decisions.cu_log2_map), 5)
         st = DeblockState(h, w)
         xs = (np.arange(w4) * 4)[None, :]
         ys = (np.arange(h4) * 4)[:, None]
@@ -1025,11 +1099,8 @@ class Encoder:
         if ref_poc[1]:
             refpoc4[..., 1] = np.where(inter4 & ((dir4 & 2) > 0),
                                        ref_poc[1][0], NOPOC)
-        yy, cbb, crr = deblock_frame(
-            recon[0], recon[1], recon[2], st, is_intra4, mv4, refpoc4,
-            qp, p.deblock_beta_offset, p.deblock_tc_offset,
-            p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
-        return yy, cbb, crr
+        return self._run_loopfilter(recon, st, is_intra4, mv4, refpoc4,
+                                    qp, sao_src)
 
     def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None,
                         as_ref=False, extra_keep=(),
@@ -1143,6 +1214,46 @@ class Encoder:
         up = np.repeat(np.repeat(ok, 4, 0), 4, 1)
         dec.cu_log2_map[:h32 * 4, :w32 * 4][up] = 5
 
+    def _merge_cu64(self, dec, satd16=None, qp=None) -> None:
+        """Promote 2x2 groups of 32x32 inter CUs to one 64x64 CU when
+        they carry identical motion — one skip/merge per CTB instead of
+        four (the 16x16-CU syntax floor VERDICT r2 blamed for the BD
+        gap; x265 codes these as depth-0 skip CUs, analysis.cpp:1146).
+        Residual coding still works (implicit RQT split to 4x32 TUs),
+        but the energy gate keeps textured regions on the finer tree."""
+        p = self.param
+        if p.ctb_log2 < 6 or dec.inter8 is None:
+            return
+        h8, w8 = dec.cu_log2_map.shape
+        h64, w64 = h8 // 8, w8 // 8
+        if h64 == 0 or w64 == 0:
+            return
+
+        def grp(m):
+            t = m[:h64 * 8, :w64 * 8]
+            t = t.reshape(h64, 8, w64, 8, *m.shape[2:])
+            return np.moveaxis(t, 1, 2).reshape(h64, w64, 64, *m.shape[2:])
+
+        all32 = (grp(dec.cu_log2_map) == 5).all(axis=2)
+        inter = grp(dec.inter8.astype(bool)).all(axis=2)
+        d = grp(dec.dir8)
+        same_dir = (d == d[:, :, :1]).all(axis=2)
+        mv = grp(dec.mv8)
+        same_mv = (mv == mv[:, :, :1]).all(axis=(2, 3, 4))
+        r = (grp(dec.ref8) if dec.ref8 is not None else np.zeros_like(d))
+        same_ref = (r == r[:, :, :1]).all(axis=2)
+        ok = all32 & inter & same_dir & same_mv & same_ref
+        if satd16 is not None and qp is not None:
+            h16, w16 = satd16.shape
+            g16 = satd16[:h64 * 4, :w64 * 4].reshape(
+                h64, 4, w64, 4).sum(axis=(1, 3))
+            qstep = 2.0 ** ((qp - 4) / 6.0)
+            ok &= g16 < 640.0 * qstep
+        if not ok.any():
+            return
+        up = np.repeat(np.repeat(ok, 8, 0), 8, 1)
+        dec.cu_log2_map[:h64 * 8, :w64 * 8][up] = 6
+
     def _intra_cost_grid(self, y, S=16):
         from x265_tpu.models.intra_frame import frame_intra_analysis
         import jax.numpy as jnp
@@ -1243,6 +1354,7 @@ class Encoder:
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
         if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
             self._merge_cu32(dec, satd16, qpv)
+            self._merge_cu64(dec, satd16, qpv)
         self._apply_intra_refresh(dec)
         return dec
 
@@ -1317,6 +1429,7 @@ class Encoder:
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         if p.rd_level >= 2:
             self._merge_cu32(dec)
+            self._merge_cu64(dec)
         return dec
 
     def _precompute_b_batch(self, items, rec0, rec1):

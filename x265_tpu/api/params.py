@@ -126,8 +126,9 @@ class Param:
     sao: bool = True
 
     # --- slices / parallelism (TPU: mesh axes) ---
-    frame_parallelism: int = 1   # frames in flight (pipeline axis)
-    wpp: bool = True             # re-imagined: batched CTU diagonals
+    frame_parallelism: int = 2   # frames in flight (dispatch pipeline)
+    wpp: bool = False            # re-imagined: batched whole-frame
+    #   analysis needs no wavefront; explicit --wpp is coerced off loudly
     slices: int = 1
     tiles: Tuple[int, int] = (1, 1)
 
@@ -404,6 +405,9 @@ COERCED_OPTIONS = {
     "psy_rd": "psychovisual rd cost not implemented (satd/sse costs only)",
     "tu_inter_depth": "RQT depth >1 not implemented (TU == CU)",
     "tu_intra_depth": "RQT depth >1 not implemented (TU == CU)",
+    "wpp": ("WPP entry-point substreams not emitted (analysis is "
+            "wave-free batched; use --slices for parallel entropy)"),
+    "tiles": "tiles not implemented (use --slices for picture splitting)",
 }
 
 
@@ -441,6 +445,12 @@ def check_params(p: Param) -> Param:
         _warn(p, COERCED_OPTIONS["tu_intra_depth"]
               + " — forcing --tu-intra-depth 1")
         p.tu_intra_depth = 1
+    if p.wpp:
+        _warn(p, COERCED_OPTIONS["wpp"] + " — forcing --no-wpp")
+        p.wpp = False
+    if p.tiles != (1, 1):
+        _warn(p, COERCED_OPTIONS["tiles"] + " — forcing 1x1")
+        p.tiles = (1, 1)
     # rd-level implications (presets.rst: rdoq engages at rd >= 5; our
     # dial additionally gates the 32x32 promotion pass at rd >= 2)
     if p.rd_level >= 5 and p.rdoq_level == 0:

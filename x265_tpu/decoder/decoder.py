@@ -132,7 +132,9 @@ class SliceDecoder:
                 from x265_tpu.hevc.sao import parse_sao_ctu
                 parse_sao_ctu(self.cab, CTX_OFF, pic.sao_params,
                               addr // w_ctbs, addr % w_ctbs,
-                              sh.sao_luma, sh.sao_chroma, self.bd)
+                              sh.sao_luma, sh.sao_chroma, self.bd,
+                              first_row_of_slice=(
+                                  addr - sh.segment_address < w_ctbs))
             self._coding_quadtree(pic, x0, y0, sps.ctb_log2, 0)
             if self.dqp_on:
                 self.qp_prev = self.qp_y
@@ -368,6 +370,12 @@ class SliceDecoder:
             root_cbf = 1
             if not merge:
                 root_cbf = cab.decode_bin(CTX_OFF["rqt_root_cbf"])
+            if log2_cb == 6 and root_cbf:
+                # 64x64 CU: implicit transform split into 4 32x32 TUs
+                # (log2TrafoSize > MaxTbLog2SizeY, no split flag bins);
+                # hierarchical chroma cbfs, z-order leaves
+                self._inter_cu64_tree(pic, x0, y0, depth, tqb, motion)
+                return
             if root_cbf:
                 cbf_cb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
                 cbf_cr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
@@ -403,6 +411,46 @@ class SliceDecoder:
         pic.ic.set_block(x0, y0, size, size, motion, skip)
         s4 = (slice(y0 >> 2, (y0 + size) >> 2),
               slice(x0 >> 2, (x0 + size) >> 2))
+        pic.depth4[s4] = depth
+        pic.avail4[s4] = True
+
+    def _inter_cu64_tree(self, pic, x0, y0, depth, tqb, motion) -> None:
+        """Transform tree of a 64x64 inter CU with coded residual: the
+        implicit split yields 4 32x32 luma TUs (+16x16 chroma) in
+        z-order; chroma cbfs are hierarchical (ctxInc = trafoDepth)."""
+        cab, sh = self.cab, self.sh
+        cu = _CuCtx(tqb=tqb, luma_modes=[0], chroma_mode=0, part_nxn=False,
+                    cu_x=x0, cu_y=y0, log2_cb=6)
+        maxv = (1 << self.bd) - 1
+        acb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
+        acr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
+        pred_y = self._mc_pred(pic, 0, x0, y0, 64, motion)
+        pred_cb = self._mc_pred(pic, 1, x0 >> 1, y0 >> 1, 32, motion)
+        pred_cr = self._mc_pred(pic, 2, x0 >> 1, y0 >> 1, 32, motion)
+        pic.dbs.mark_block(x0, y0, 64)
+        for (dx, dy) in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            qcb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 1) if acb else 0
+            qcr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 1) if acr else 0
+            qy = cab.decode_bin(CTX_OFF["cbf_luma"] + 0)
+            self._maybe_parse_dqp(bool(qy or qcb or qcr))
+            qx0, qy0 = x0 + dx * 32, y0 + dy * 32
+            pic.dbs.mark_block(qx0, qy0, 32)
+            pic.dbs.set_tu(qx0, qy0, 32, bool(qy), tqb)
+            res_y = (self._decode_tb_residual_inter(cu, 5, 0) if qy else 0)
+            pic.y[qy0:qy0 + 32, qx0:qx0 + 32] = np.clip(
+                pred_y[dy * 32:dy * 32 + 32, dx * 32:dx * 32 + 32] + res_y,
+                0, maxv)
+            res_cb = (self._decode_tb_residual_inter(cu, 4, 1) if qcb else 0)
+            res_cr = (self._decode_tb_residual_inter(cu, 4, 2) if qcr else 0)
+            cx0, cy0 = (qx0 >> 1), (qy0 >> 1)
+            pic.cb[cy0:cy0 + 16, cx0:cx0 + 16] = np.clip(
+                pred_cb[dy * 16:dy * 16 + 16, dx * 16:dx * 16 + 16]
+                + res_cb, 0, maxv)
+            pic.cr[cy0:cy0 + 16, cx0:cx0 + 16] = np.clip(
+                pred_cr[dy * 16:dy * 16 + 16, dx * 16:dx * 16 + 16]
+                + res_cr, 0, maxv)
+        pic.ic.set_block(x0, y0, 64, 64, motion, False)
+        s4 = (slice(y0 >> 2, (y0 + 64) >> 2), slice(x0 >> 2, (x0 + 64) >> 2))
         pic.depth4[s4] = depth
         pic.avail4[s4] = True
 

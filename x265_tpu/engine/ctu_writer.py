@@ -388,14 +388,40 @@ class FrameSyntaxWriter:
         pred_y = self._mc_pred(0, x0, y0, size, motion)
         pred_cb = self._mc_pred(1, x0 >> 1, y0 >> 1, size >> 1, motion)
         pred_cr = self._mc_pred(2, x0 >> 1, y0 >> 1, size >> 1, motion)
-        y_lvl, y_res = self._coeffs_from_pred(0, x0, y0, log2_cb, pred_y, False)
-        cb_lvl, cb_res = self._coeffs_from_pred(1, x0 >> 1, y0 >> 1,
-                                                log2_cb - 1, pred_cb, False)
-        cr_lvl, cr_res = self._coeffs_from_pred(2, x0 >> 1, y0 >> 1,
-                                                log2_cb - 1, pred_cr, False)
-        cbf_y = 1 if np.any(y_lvl) else 0
-        cbf_cb = 1 if np.any(cb_lvl) else 0
-        cbf_cr = 1 if np.any(cr_lvl) else 0
+        # 64x64 CU: log2TrafoSize 6 > MaxTbLog2SizeY => implicit split
+        # into 4 32x32 luma TUs (+16x16 chroma), no split flag bins
+        # (7.3.8.8; x265 estimateResidualQT forced split, search.cpp:3178)
+        cu64 = log2_cb == 6
+        tn = 32 if cu64 else size           # luma TB size
+        tc = tn >> 1
+        quads = (((0, 0),) if not cu64
+                 else ((0, 0), (1, 0), (0, 1), (1, 1)))  # z-order (dx,dy)
+        lvls = []                           # per quadrant (y, cb, cr)
+        y_res = np.zeros((size, size), np.int64)
+        cb_res = np.zeros((size >> 1, size >> 1), np.int64)
+        cr_res = np.zeros((size >> 1, size >> 1), np.int64)
+        tnl2 = tn.bit_length() - 1
+        for (dx, dy) in quads:
+            py = pred_y[dy * tn:dy * tn + tn, dx * tn:dx * tn + tn]
+            pb = pred_cb[dy * tc:dy * tc + tc, dx * tc:dx * tc + tc]
+            pr = pred_cr[dy * tc:dy * tc + tc, dx * tc:dx * tc + tc]
+            yl, yr = self._coeffs_from_pred(0, x0 + dx * tn, y0 + dy * tn,
+                                            tnl2, py, False)
+            bl, br = self._coeffs_from_pred(1, (x0 >> 1) + dx * tc,
+                                            (y0 >> 1) + dy * tc,
+                                            tnl2 - 1, pb, False)
+            rl, rr = self._coeffs_from_pred(2, (x0 >> 1) + dx * tc,
+                                            (y0 >> 1) + dy * tc,
+                                            tnl2 - 1, pr, False)
+            lvls.append((yl, bl, rl))
+            y_res[dy * tn:dy * tn + tn, dx * tn:dx * tn + tn] = yr
+            cb_res[dy * tc:dy * tc + tc, dx * tc:dx * tc + tc] = br
+            cr_res[dy * tc:dy * tc + tc, dx * tc:dx * tc + tc] = rr
+        qy = [1 if np.any(l[0]) else 0 for l in lvls]
+        qcb = [1 if np.any(l[1]) else 0 for l in lvls]
+        qcr = [1 if np.any(l[2]) else 0 for l in lvls]
+        cbf_y, cbf_cb, cbf_cr = max(qy), max(qcb), max(qcr)
+        y_lvl, cb_lvl, cr_lvl = lvls[0]
         all_zero = not (cbf_y or cbf_cb or cbf_cr)
 
         is_b = sh.slice_type == SLICE_B
@@ -473,28 +499,62 @@ class FrameSyntaxWriter:
                 self._finish_inter(x0, y0, size, depth, motion, False,
                                    pred_y, pred_cb, pred_cr, 0, 0, 0)
                 return
-        # transform tree, single TU (hierarchy depth 0)
-        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
-        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
-        if cbf_cb or cbf_cr:
-            cab.encode_bin(CTX_OFF["cbf_luma"] + 1, cbf_y)
-        # else cbf_luma inferred 1 (guaranteed: not all_zero, chroma zero)
-        self._maybe_code_dqp(True)
-        if cbf_y:
-            encode_residual(cab, y_lvl, log2_cb, 0, 0,
-                            sign_hiding=pps.sign_data_hiding,
-                            transquant_bypass=self.lossless)
-        if cbf_cb:
-            encode_residual(cab, cb_lvl, log2_cb - 1, 1, 0,
-                            sign_hiding=pps.sign_data_hiding,
-                            transquant_bypass=self.lossless)
-        if cbf_cr:
-            encode_residual(cab, cr_lvl, log2_cb - 1, 2, 0,
-                            sign_hiding=pps.sign_data_hiding,
-                            transquant_bypass=self.lossless)
+        sdh = pps.sign_data_hiding
+        if not cu64:
+            # transform tree, single TU (hierarchy depth 0)
+            cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
+            cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
+            if cbf_cb or cbf_cr:
+                cab.encode_bin(CTX_OFF["cbf_luma"] + 1, cbf_y)
+            # else cbf_luma inferred 1 (not all_zero, chroma zero)
+            self._maybe_code_dqp(True)
+            if cbf_y:
+                encode_residual(cab, y_lvl, log2_cb, 0, 0, sign_hiding=sdh,
+                                transquant_bypass=self.lossless)
+            if cbf_cb:
+                encode_residual(cab, cb_lvl, log2_cb - 1, 1, 0,
+                                sign_hiding=sdh,
+                                transquant_bypass=self.lossless)
+            if cbf_cr:
+                encode_residual(cab, cr_lvl, log2_cb - 1, 2, 0,
+                                sign_hiding=sdh,
+                                transquant_bypass=self.lossless)
+        else:
+            # transform_tree depth 0 (implicit split): hierarchical
+            # chroma cbfs (ctxInc = trafoDepth), 4 z-order leaves, each a
+            # transform_unit with cbf_luma ctx 0 (trafoDepth 1)
+            cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
+            cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
+            for q in range(4):
+                if cbf_cb:
+                    cab.encode_bin(CTX_OFF["cbf_chroma"] + 1, qcb[q])
+                if cbf_cr:
+                    cab.encode_bin(CTX_OFF["cbf_chroma"] + 1, qcr[q])
+                cab.encode_bin(CTX_OFF["cbf_luma"] + 0, qy[q])
+                if qy[q] or qcb[q] or qcr[q]:
+                    self._maybe_code_dqp(True)
+                    if qy[q]:
+                        encode_residual(cab, lvls[q][0], 5, 0, 0,
+                                        sign_hiding=sdh,
+                                        transquant_bypass=self.lossless)
+                    if qcb[q]:
+                        encode_residual(cab, lvls[q][1], 4, 1, 0,
+                                        sign_hiding=sdh,
+                                        transquant_bypass=self.lossless)
+                    if qcr[q]:
+                        encode_residual(cab, lvls[q][2], 4, 2, 0,
+                                        sign_hiding=sdh,
+                                        transquant_bypass=self.lossless)
         self._finish_inter(x0, y0, size, depth, motion, False,
                            pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,
                            cbf_luma=cbf_y)
+        if cu64:
+            # per-quadrant TU deblock maps (TU != CU here): the 32-grid
+            # internal TU edges exist and cbf varies per quadrant
+            for q, (dx, dy) in enumerate(quads):
+                self.dbs.mark_block(x0 + dx * 32, y0 + dy * 32, 32)
+                self.dbs.set_tu(x0 + dx * 32, y0 + dy * 32, 32,
+                                bool(qy[q]), self.lossless)
 
     def _finish_inter(self, x0, y0, size, depth, motion, skip,
                       pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,

@@ -228,7 +228,11 @@ def batched_pair_costs(pairs):
     if not pairs:
         return []
     n = len(pairs)
-    bucket = 1
+    # floor at 128: a steady-state b-adapt window needs ~90-100 pairs,
+    # and the shrinking windows at flush would otherwise walk through
+    # several pow-2 buckets — each a fresh 20-40s compile on the
+    # tunneled TPU (the round-3 bench showed this INSIDE the timed run)
+    bucket = 128
     while bucket < n:
         bucket <<= 1
     pad = bucket - n

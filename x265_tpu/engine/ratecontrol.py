@@ -156,6 +156,19 @@ class RateControl:
                 return z
         return None
 
+    def start_forced(self, slice_type: int, qp: int,
+                     satd_cost: float) -> int:
+        """--qpfile forced-QP frame: no RC decision is made, but the
+        ABR/VBV models must still see the real operating point — else
+        end() falls back to last_qscale and the bits predictor / buffer
+        model drift whenever forced QPs differ from RC's own choice."""
+        qp = max(self.qp_min, min(self.qp_max, int(qp)))
+        qscale = qp2qscale(qp)
+        rceq = max(1.0, satd_cost) ** (1 - self.qcompress)
+        self._pending = (slice_type, satd_cost, qscale, rceq)
+        self.last_qscale = qscale
+        return qp
+
     def start(self, slice_type: int, satd_cost: float,
               frame_idx=None) -> int:
         """Pick the slice QP for the next frame in encode order."""

@@ -248,25 +248,30 @@ def _frame_stats_jax(sy, ry, scb, rcb, scr, rcr, cy, cx, ctb, bd):
 
 
 def analyze_frame(src_planes, rec_planes, ctb_log2: int, qp: int,
-                  bd: int = 8) -> Optional[SaoParams]:
+                  bd: int = 8, stats=None) -> Optional[SaoParams]:
     """Choose SAO params for all planes (x265 saoLumaComponentParamDist /
-    saoChromaComponentParamDist, sao.cpp:1479)."""
+    saoChromaComponentParamDist, sao.cpp:1479).
+
+    stats: precomputed per-plane (ecnt, esum, bcnt, bsum) — e.g. from the
+    fused device deblock+stats dispatch (models/loopfilter.py); when
+    None the stats run here as their own dispatch."""
     ctb = 1 << ctb_log2
     H, W = src_planes[0].shape
     cy, cx = -(-H // ctb), -(-W // ctb)
     lam = 0.85 * 2.0 ** ((qp - 12) / 3.0)
-    # 48 full-frame category/band passes are the bulk of the work: run
-    # them as ONE device dispatch (the saoCuStats* kernel family,
-    # SURVEY 2.3), keep the tiny per-CTB RD optimisation on the host
-    stats = _frame_stats_jax(
-        jnp.asarray(np.asarray(src_planes[0], np.int32)),
-        jnp.asarray(np.asarray(rec_planes[0], np.int32)),
-        jnp.asarray(np.asarray(src_planes[1], np.int32)),
-        jnp.asarray(np.asarray(rec_planes[1], np.int32)),
-        jnp.asarray(np.asarray(src_planes[2], np.int32)),
-        jnp.asarray(np.asarray(rec_planes[2], np.int32)),
-        cy, cx, ctb, bd)
-    stats = jax.device_get(stats)
+    if stats is None:
+        # 48 full-frame category/band passes are the bulk of the work:
+        # run them as ONE device dispatch (the saoCuStats* kernel family,
+        # SURVEY 2.3), keep the tiny per-CTB RD optimisation on the host
+        stats = _frame_stats_jax(
+            jnp.asarray(np.asarray(src_planes[0], np.int32)),
+            jnp.asarray(np.asarray(rec_planes[0], np.int32)),
+            jnp.asarray(np.asarray(src_planes[1], np.int32)),
+            jnp.asarray(np.asarray(rec_planes[1], np.int32)),
+            jnp.asarray(np.asarray(src_planes[2], np.int32)),
+            jnp.asarray(np.asarray(rec_planes[2], np.int32)),
+            cy, cx, ctb, bd)
+        stats = jax.device_get(stats)
     ty, cly, offy, _ = analyze_plane(
         np.asarray(src_planes[0], np.int64), np.asarray(rec_planes[0]),
         ctb, cy, cx, lam, bd, stats=stats[0])
@@ -413,8 +418,14 @@ def write_sao_ctu(cab, ctx_off, sp: SaoParams, cy_i: int, cx_i: int,
 
 
 def parse_sao_ctu(cab, ctx_off, sp: SaoParams, cy_i: int, cx_i: int,
-                  sao_luma: bool, sao_chroma: bool, bd: int = 8) -> None:
-    """Decoder-side sao(); fills sp maps at (cy_i, cx_i)."""
+                  sao_luma: bool, sao_chroma: bool, bd: int = 8,
+                  first_row_of_slice: bool = False) -> None:
+    """Decoder-side sao(); fills sp maps at (cy_i, cx_i).
+
+    first_row_of_slice: the above CTB belongs to a previous slice
+    segment, so the up-merge bin is absent (7.3.8.3 condition on
+    CtbAddrInTs / slice segment; mirrors write_sao in
+    native/slice_writer.cpp)."""
     max_off = (1 << (min(bd, 10) - 5)) - 1
 
     def copy_from(sy, sx):
@@ -430,7 +441,8 @@ def parse_sao_ctu(cab, ctx_off, sp: SaoParams, cy_i: int, cx_i: int,
     if cx_i > 0 and cab.decode_bin(ctx_off["sao_merge"]):
         copy_from(cy_i, cx_i - 1)
         return
-    if cy_i > 0 and cab.decode_bin(ctx_off["sao_merge"]):
+    if cy_i > 0 and not first_row_of_slice and \
+            cab.decode_bin(ctx_off["sao_merge"]):
         copy_from(cy_i - 1, cx_i)
         return
     shared_type = SAO_OFF

@@ -152,18 +152,43 @@ def _inter_class_body(src_y, src_cb, src_cr,
         return jnp.where(q < 0, q + bdo, tab[jnp.maximum(q, 0)] + bdo)
 
     zsel = jnp.zeros((N,), jnp.int32)
-    lvl_y, rres_y, cbf_y = _tq_chain(sy - pred_y, qpy, zsel, n, False,
-                                     False, bd, sdh, do_rdoq, lossless)
-    lvl_cb, rres_cb, cbf_cb = _tq_chain(scb - pred_cb, cqp(cb_off), zsel,
-                                        hs, False, False, bd, sdh, do_rdoq,
-                                        lossless)
-    lvl_cr, rres_cr, cbf_cr = _tq_chain(scr - pred_cr, cqp(cr_off), zsel,
-                                        hs, False, False, bd, sdh, do_rdoq,
-                                        lossless)
+    if n <= 32:
+        lvl_y, rres_y, cbf_y = _tq_chain(sy - pred_y, qpy, zsel, n, False,
+                                         False, bd, sdh, do_rdoq, lossless)
+        lvl_cb, rres_cb, cbf_cb = _tq_chain(scb - pred_cb, cqp(cb_off),
+                                            zsel, hs, False, False, bd,
+                                            sdh, do_rdoq, lossless)
+        lvl_cr, rres_cr, cbf_cr = _tq_chain(scr - pred_cr, cqp(cr_off),
+                                            zsel, hs, False, False, bd,
+                                            sdh, do_rdoq, lossless)
+        cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
+    else:
+        # 64x64 CU: the transform tree splits implicitly into 4 32x32
+        # luma (+16x16 chroma) TUs — transform/quant run per quadrant,
+        # cbf is per quadrant (z-order) for the writer's tree emission
+        def tq_quads(res, qvec, m):
+            """res [N,2m,2m] -> per-quadrant chain at m; returns
+            (lvl [N,2m,2m], rres [N,2m,2m], cbf [N,4])."""
+            q = res.reshape(N, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
+            q = q.reshape(N * 4, m, m)
+            lv, rr, cb_ = _tq_chain(q, jnp.repeat(qvec, 4),
+                                    jnp.zeros((N * 4,), jnp.int32), m,
+                                    False, False, bd, sdh, do_rdoq,
+                                    lossless)
+            def back(a):
+                return (a.reshape(N, 2, 2, m, m).transpose(0, 1, 3, 2, 4)
+                        .reshape(N, 2 * m, 2 * m))
+            return back(lv), back(rr), cb_.reshape(N, 4)
+
+        lvl_y, rres_y, qcbf_y = tq_quads(sy - pred_y, qpy, n // 2)
+        lvl_cb, rres_cb, qcbf_cb = tq_quads(scb - pred_cb, cqp(cb_off),
+                                            hs // 2)
+        lvl_cr, rres_cr, qcbf_cr = tq_quads(scr - pred_cr, cqp(cr_off),
+                                            hs // 2)
+        cbf = jnp.stack([qcbf_y, qcbf_cb, qcbf_cr], axis=2)  # [N,4,3]
     rec_y = jnp.clip(pred_y + rres_y, 0, maxv)
     rec_cb = jnp.clip(pred_cb + rres_cb, 0, maxv)
     rec_cr = jnp.clip(pred_cr + rres_cr, 0, maxv)
-    cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
     # int16 wire: halves the device->host transfer (levels clamp to
     # +-32767, recon to the pixel range)
     return (lvl_y.astype(jnp.int16), lvl_cb.astype(jnp.int16),
@@ -261,8 +286,10 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     ctb_l2 = p.ctb_log2
     any_pre = False
     classes = []          # (n, N, x0, y0, ys8, xs8, device batch args)
-    for s_log2 in (3, 4, 5):
+    for s_log2 in (3, 4, 5, 6):
         n = 1 << s_log2
+        if n > min(h, w):
+            continue
         r = n >> 3
         ys8, xs8 = np.nonzero(
             (decisions.cu_log2_map == s_log2) & inter8 &
@@ -272,9 +299,11 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         keep = ((ys8 * 8 + n) <= h) & ((xs8 * 8 + n) <= w)
         ys8, xs8 = ys8[keep], xs8[keep]
         N = len(ys8)
-        if N == 0:
-            continue
-        any_pre = True
+        # N == 0 classes still dispatch (all-padding lanes): dropping
+        # them would change the static `ns` signature frame-to-frame and
+        # recompile the fused graph (20-40s each on the tunnel) — the
+        # exact trap the FIXED-batch-shape rule below exists to avoid
+        any_pre = any_pre or N > 0
         x0 = (xs8 * 8).astype(np.int32)
         y0 = (ys8 * 8).astype(np.int32)
         mv = np.ascontiguousarray(decisions.mv8[ys8, xs8]).astype(np.int32)
@@ -326,13 +355,29 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             lvl_cr[cyy, cxx] = lcr.astype(np.int16)
             rec_cb[cyy, cxx] = rcb.astype(np.int16)
             rec_cr[cyy, cxx] = rcr.astype(np.int16)
-            bits = (cbf[:, 0].astype(np.uint8)
-                    | (cbf[:, 1].astype(np.uint8) << 1)
-                    | (cbf[:, 2].astype(np.uint8) << 2))
             jj = np.arange(r)
             byy = ys8[:, None, None] + jj[None, :, None]
             bxx = xs8[:, None, None] + jj[None, None, :]
-            cbf8[byy, bxx] = bits[:, None, None]
+            if n < 64:
+                bits = (cbf[:, 0].astype(np.uint8)
+                        | (cbf[:, 1].astype(np.uint8) << 1)
+                        | (cbf[:, 2].astype(np.uint8) << 2))
+                cbf8[byy, bxx] = bits[:, None, None]
+            else:
+                # per-quadrant cbf bits land on each 32x32 quadrant's
+                # 8x8-block range (the writer reads the quadrant's
+                # top-left block); cbf is [N, 4, 3], z-order quadrants
+                qbits = (cbf[:, :, 0].astype(np.uint8)
+                         | (cbf[:, :, 1].astype(np.uint8) << 1)
+                         | (cbf[:, :, 2].astype(np.uint8) << 2))  # [N,4]
+                half = r // 2
+                qmap = np.zeros((len(ys8), r, r), np.uint8)
+                for q, (dx, dy) in enumerate(
+                        ((0, 0), (1, 0), (0, 1), (1, 1))):
+                    qmap[:, dy * half:(dy + 1) * half,
+                         dx * half:(dx + 1) * half] = \
+                        qbits[:, q][:, None, None]
+                cbf8[byy, bxx] = qmap
             has8[byy, bxx] = 1
     if not any_pre:
         return None

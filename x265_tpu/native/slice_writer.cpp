@@ -1460,36 +1460,81 @@ struct Writer {
       m.ref[l] = used ? (l == 0 ? r0sel : 0) : -1;
     }
 
+    // 64x64 CU: log2TrafoSize 6 > MaxTbLog2SizeY 5 => the transform
+    // tree splits implicitly into 4 32x32 luma TUs (+16x16 chroma),
+    // with NO split_transform_flag bins (7.3.8.8; x265 analog:
+    // Search::estimateResidualQT's first forced split, search.cpp:3178)
+    bool cu64 = log2_cb == 6;
+    int nq = cu64 ? 4 : 1;
+    int tn = cu64 ? 32 : size;          // luma TB size
+    int tc = tn >> 1;                   // chroma TB size
+    static const int qdx[4] = {0, 1, 0, 1}, qdy[4] = {0, 0, 1, 1};
+
     bool pre = pre_cu(x0, y0);
     std::vector<int32_t> py, pcb, pcr;
-    std::vector<int32_t> ylvl(size * size), yres;
-    std::vector<int32_t> cblvl(hs * hs), cbres;
-    std::vector<int32_t> crlvl(hs * hs), crres;
-    bool cbf_y, cbf_cb, cbf_cr;
+    std::vector<int32_t> ylvl(nq * tn * tn), yres;
+    std::vector<int32_t> cblvl(nq * tc * tc), cbres;
+    std::vector<int32_t> crlvl(nq * tc * tc), crres;
+    bool qy[4] = {0, 0, 0, 0}, qcb[4] = {0, 0, 0, 0}, qcr[4] = {0, 0, 0, 0};
     if (pre) {
       // device computed MC/transform/quant/recon — read levels + cbf
-      int b8 = (y0 >> 3) * w8 + (x0 >> 3);
-      cbf_y = pre_cbf8[b8] & 1;
-      cbf_cb = (pre_cbf8[b8] >> 1) & 1;
-      cbf_cr = (pre_cbf8[b8] >> 2) & 1;
-      if (cbf_y) pre_levels(pre_lvl_y, width, x0, y0, size, ylvl.data());
-      if (cbf_cb)
-        pre_levels(pre_lvl_cb, width >> 1, x0 >> 1, y0 >> 1, hs,
-                   cblvl.data());
-      if (cbf_cr)
-        pre_levels(pre_lvl_cr, width >> 1, x0 >> 1, y0 >> 1, hs,
-                   crlvl.data());
+      for (int q = 0; q < nq; q++) {
+        int qx0 = x0 + qdx[q] * tn, qy0 = y0 + qdy[q] * tn;
+        uint8_t bits = pre_cbf8[(qy0 >> 3) * w8 + (qx0 >> 3)];
+        qy[q] = bits & 1;
+        qcb[q] = (bits >> 1) & 1;
+        qcr[q] = (bits >> 2) & 1;
+        if (qy[q])
+          pre_levels(pre_lvl_y, width, qx0, qy0, tn,
+                     ylvl.data() + q * tn * tn);
+        if (qcb[q])
+          pre_levels(pre_lvl_cb, width >> 1, qx0 >> 1, qy0 >> 1, tc,
+                     cblvl.data() + q * tc * tc);
+        if (qcr[q])
+          pre_levels(pre_lvl_cr, width >> 1, qx0 >> 1, qy0 >> 1, tc,
+                     crlvl.data() + q * tc * tc);
+      }
     } else {
       py.resize(size * size); pcb.resize(hs * hs); pcr.resize(hs * hs);
-      yres.resize(size * size); cbres.resize(hs * hs); crres.resize(hs * hs);
+      yres.assign(size * size, 0); cbres.assign(hs * hs, 0);
+      crres.assign(hs * hs, 0);
       mc_cu(x0, y0, size, m, py.data(), pcb.data(), pcr.data());
-      cbf_y = coeffs_from_pred(0, x0, y0, size, py.data(), ylvl.data(),
-                               yres.data());
-      cbf_cb = coeffs_from_pred(1, x0 >> 1, y0 >> 1, hs, pcb.data(),
-                                cblvl.data(), cbres.data());
-      cbf_cr = coeffs_from_pred(2, x0 >> 1, y0 >> 1, hs, pcr.data(),
-                                crlvl.data(), crres.data());
+      std::vector<int32_t> predq(tn * tn), rresq(tn * tn);
+      for (int q = 0; q < nq; q++) {
+        int qx0 = x0 + qdx[q] * tn, qy0 = y0 + qdy[q] * tn;
+        // luma quadrant
+        for (int j = 0; j < tn; j++)
+          for (int i = 0; i < tn; i++)
+            predq[j * tn + i] =
+                py[(qdy[q] * tn + j) * size + qdx[q] * tn + i];
+        qy[q] = coeffs_from_pred(0, qx0, qy0, tn, predq.data(),
+                                 ylvl.data() + q * tn * tn, rresq.data());
+        for (int j = 0; j < tn; j++)
+          for (int i = 0; i < tn; i++)
+            yres[(qdy[q] * tn + j) * size + qdx[q] * tn + i] =
+                rresq[j * tn + i];
+        // chroma quadrants
+        for (int pl = 1; pl <= 2; pl++) {
+          const std::vector<int32_t>& pc = pl == 1 ? pcb : pcr;
+          std::vector<int32_t>& rc = pl == 1 ? cbres : crres;
+          int32_t* lv = (pl == 1 ? cblvl.data() : crlvl.data()) + q * tc * tc;
+          for (int j = 0; j < tc; j++)
+            for (int i = 0; i < tc; i++)
+              predq[j * tc + i] =
+                  pc[(qdy[q] * tc + j) * hs + qdx[q] * tc + i];
+          bool nz = coeffs_from_pred(pl, qx0 >> 1, qy0 >> 1, tc,
+                                     predq.data(), lv, rresq.data());
+          (pl == 1 ? qcb : qcr)[q] = nz;
+          for (int j = 0; j < tc; j++)
+            for (int i = 0; i < tc; i++)
+              rc[(qdy[q] * tc + j) * hs + qdx[q] * tc + i] =
+                  rresq[j * tc + i];
+        }
+      }
     }
+    bool cbf_y = qy[0] || qy[1] || qy[2] || qy[3];
+    bool cbf_cb = qcb[0] || qcb[1] || qcb[2] || qcb[3];
+    bool cbf_cr = qcr[0] || qcr[1] || qcr[2] || qcr[3];
     bool all_zero = !(cbf_y || cbf_cb || cbf_cr);
 
     Motion cands[5];
@@ -1554,23 +1599,59 @@ struct Writer {
         return;
       }
     }
-    cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
-    cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
-    if (cbf_cb || cbf_cr)
-      cab.bin(CTX_CBF_LUMA + 1, cbf_y);
-    // else cbf_luma inferred 1
-    maybe_code_dqp(true);
-    if (cbf_y)
-      encode_residual(cab, ylvl.data(), log2_cb, 0, 0, sign_hiding, lossless);
-    if (cbf_cb)
-      encode_residual(cab, cblvl.data(), log2_cb - 1, 1, 0, sign_hiding,
-                      lossless);
-    if (cbf_cr)
-      encode_residual(cab, crlvl.data(), log2_cb - 1, 2, 0, sign_hiding,
-                      lossless);
+    if (!cu64) {
+      cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
+      cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
+      if (cbf_cb || cbf_cr)
+        cab.bin(CTX_CBF_LUMA + 1, cbf_y);
+      // else cbf_luma inferred 1
+      maybe_code_dqp(true);
+      if (cbf_y)
+        encode_residual(cab, ylvl.data(), log2_cb, 0, 0, sign_hiding,
+                        lossless);
+      if (cbf_cb)
+        encode_residual(cab, cblvl.data(), log2_cb - 1, 1, 0, sign_hiding,
+                        lossless);
+      if (cbf_cr)
+        encode_residual(cab, crlvl.data(), log2_cb - 1, 2, 0, sign_hiding,
+                        lossless);
+    } else {
+      // transform_tree at depth 0 (implicit split): hierarchical chroma
+      // cbfs (ctxInc = trafoDepth, 9.3.4.2.2), then the 4 leaves in
+      // z-order, each a transform_unit (cbf_luma ctx 0 at depth 1)
+      cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
+      cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
+      for (int q = 0; q < 4; q++) {
+        if (cbf_cb) cab.bin(CTX_CBF_CHROMA + 1, qcb[q]);
+        if (cbf_cr) cab.bin(CTX_CBF_CHROMA + 1, qcr[q]);
+        cab.bin(CTX_CBF_LUMA + 0, qy[q]);
+        if (qy[q] || qcb[q] || qcr[q]) {
+          maybe_code_dqp(true);
+          if (qy[q])
+            encode_residual(cab, ylvl.data() + q * tn * tn, 5, 0, 0,
+                            sign_hiding, lossless);
+          if (qcb[q])
+            encode_residual(cab, cblvl.data() + q * tc * tc, 4, 1, 0,
+                            sign_hiding, lossless);
+          if (qcr[q])
+            encode_residual(cab, crlvl.data() + q * tc * tc, 4, 2, 0,
+                            sign_hiding, lossless);
+        }
+      }
+    }
     finish_inter(x0, y0, size, depth, m, false, cbf_y,
                  pre ? nullptr : py.data(), pcb.data(), pcr.data(),
                  pre ? nullptr : yres.data(), cbres.data(), crres.data());
+    if (cu64) {
+      // per-quadrant luma cbf for the deblock maps (TU != CU here)
+      for (int q = 0; q < 4; q++) {
+        int qx0 = x0 + qdx[q] * tn, qy0 = y0 + qdy[q] * tn;
+        uint8_t v = qy[q] ? 1 : 0;
+        for (int yy = qy0 >> 2; yy < (qy0 + tn) >> 2; yy++)
+          for (int xx = qx0 >> 2; xx < (qx0 + tn) >> 2; xx++)
+            cbf4[yy * w4 + xx] = v;
+      }
+    }
   }
 
   void coding_unit(int x0, int y0, int log2_cb, int depth) {
