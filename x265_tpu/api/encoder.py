@@ -390,15 +390,10 @@ class Encoder:
             self.rc.end(len(au) * 8)
             out = au
             new_anchor = (cra_poc, self._last_recon)
-            for (poc_b, frame_b, cost_b, _rec, _low, qpf_b) in bs:
-                qp = (self.rc.start_forced(SLICE_B, qpf_b, cost_b)
-                      if qpf_b is not None
-                      else self.rc.start(SLICE_B, cost_b))
-                au = self._encode_b_frame(frame_b, poc_b, prev_anchor,
-                                          new_anchor, qp,
-                                          nal_override=NAL_RASL_N)
-                self.rc.end(len(au) * 8)
-                out += au
+            out += self._run_b_pipeline(
+                [(frame_b, poc_b, prev_anchor, new_anchor, cost_b, qpf_b,
+                  dict(nal_override=NAL_RASL_N))
+                 for (poc_b, frame_b, cost_b, _rec, _low, qpf_b) in bs])
             # random-access point: nothing before the CRA may be
             # referenced afterwards
             self.anchor = new_anchor
@@ -499,16 +494,65 @@ class Encoder:
             if len(items) >= 2 and self.use_tpu_analysis:
                 self._precompute_b_batch(items, items[0][3][1],
                                          items[0][4][1])
-        for (poc_b, frame_b, cost_b, a0, a1, keep, qpf_b) in sched:
+        out += self._run_b_pipeline(
+            [(frame_b, poc_b, a0, a1, cost_b, qpf_b,
+              dict(extra_keep=keep))
+             for (poc_b, frame_b, cost_b, a0, a1, keep, qpf_b) in sched])
+        self.anchor = new_anchor
+        return out
+
+    def _run_b_pipeline(self, items) -> bytes:
+        """Encode independent B pictures with up to --frame-threads
+        frames in flight: frame N's device loop-filter dispatch overlaps
+        frame N+1's analysis + CPU entropy (the x265 frame-parallelism
+        P2 re-imagined over one device queue; frameencoder.cpp:860-882).
+        RC start/end stay frame-ordered — ends lag starts by the
+        pipeline depth, exactly x265's frame-threads contract
+        (ratecontrol.h:209-221).
+
+        items: [(frame, poc, anchor0, anchor1, cost, qp_forced, kwargs)]
+        """
+        from collections import deque
+        depth = max(1, int(getattr(self.param, "frame_parallelism", 1)))
+
+        class _Box:
+            __slots__ = ("gen", "done", "value")
+
+            def __init__(self, gen):
+                self.gen, self.done, self.value = gen, False, None
+
+            def advance(self):
+                try:
+                    next(self.gen)
+                except StopIteration as e:
+                    self.done, self.value = True, e.value
+
+            def finish(self):
+                while not self.done:
+                    self.advance()
+                return self.value
+
+        out = []
+        pipe = deque()
+
+        def drain_one():
+            au = pipe.popleft().finish()
+            self.rc.end(len(au) * 8)
+            out.append(au)
+
+        for (frame_b, poc_b, a0, a1, cost_b, qpf_b, kw) in items:
             qp = (self.rc.start_forced(SLICE_B, qpf_b, cost_b)
                   if qpf_b is not None
                   else self.rc.start(SLICE_B, cost_b))
-            au = self._encode_b_frame(frame_b, poc_b, a0, a1, qp,
-                                      extra_keep=keep)
-            self.rc.end(len(au) * 8)
-            out += au
-        self.anchor = new_anchor
-        return out
+            box = _Box(self._encode_b_frame_gen(frame_b, poc_b, a0, a1,
+                                                qp, **kw))
+            box.advance()          # run to the in-flight yield point
+            pipe.append(box)
+            while len(pipe) >= depth:
+                drain_one()
+        while pipe:
+            drain_one()
+        return b"".join(out)
 
     def _slice_qp(self, slice_type: int) -> int:
         """CQP per-type QP ladder (x265 ip/pb factor 1.4/1.3 analog,
@@ -655,7 +699,8 @@ class Encoder:
             out += annexb([make_nal(nal_type, hdr.data() + data)])
         return out
 
-    def _deblock_intra_recon(self, recon, decisions, qp, sao_src=None):
+    def _deblock_intra_recon(self, recon, decisions, qp, sao_src=None,
+                             sync=True):
         """Deblock the recon returned by the native intra finalizer.
 
         All-intra ⇒ bS=2 at every CU(==TU/PU) boundary on the 8-grid
@@ -665,7 +710,8 @@ class Encoder:
         (recon, stats) is returned."""
         p = self.param
         if not p.deblock or p.lossless:
-            return recon if sao_src is None else (recon, None)
+            res = recon if sao_src is None else (recon, None)
+            return res if sync else (lambda: res)
         from x265_tpu.hevc.deblock import NOPOC, DeblockState
         h, w = p.height, p.width
         h4, w4 = (h + 3) // 4, (w + 3) // 4
@@ -680,26 +726,32 @@ class Encoder:
         mv4 = np.zeros((h4, w4, 2, 2), dtype=np.int32)
         refpoc4 = np.full((h4, w4, 2), NOPOC, dtype=np.int64)
         return self._run_loopfilter(recon, st, is_intra4, mv4, refpoc4,
-                                    qp, sao_src)
+                                    qp, sao_src, sync=sync)
 
     def _run_loopfilter(self, recon, st, is_intra4, mv4, refpoc4, qp,
-                        sao_src):
+                        sao_src, sync=True):
         """Dispatch the deblock (+fused SAO stats) on the device, or the
         numpy reference when use_tpu_loopfilter is off (differential
-        testing)."""
+        testing). sync=False returns a finisher (frame pipeline)."""
         p = self.param
         if getattr(self, "use_tpu_loopfilter", True):
             from x265_tpu.models.loopfilter import deblock_frame_device
             from x265_tpu.utils.profiling import scope
+
             with scope("loopfilter"):
-                out = deblock_frame_device(
+                fin = deblock_frame_device(
                     recon, st, is_intra4, mv4, refpoc4, qp,
                     p.deblock_beta_offset, p.deblock_tc_offset,
                     p.cb_qp_offset, p.cr_qp_offset, p.bit_depth,
-                    sao_src=sao_src, ctb_log2=p.ctb_log2)
-            if sao_src is None:
-                return out
-            return out[:3], out[3]
+                    sao_src=sao_src, ctb_log2=p.ctb_log2, sync=False)
+
+            def finish():
+                with scope("loopfilter"):
+                    out = fin()
+                if sao_src is None:
+                    return out
+                return out[:3], out[3]
+            return finish if not sync else finish()
         from x265_tpu.hevc.deblock import deblock_frame
         yy, cbb, crr = deblock_frame(
             np.asarray(recon[0]).astype(np.int32),
@@ -708,8 +760,11 @@ class Encoder:
             refpoc4, qp, p.deblock_beta_offset, p.deblock_tc_offset,
             p.cb_qp_offset, p.cr_qp_offset, p.bit_depth)
         if sao_src is None:
-            return yy, cbb, crr
-        return (yy, cbb, crr), None
+            res = (yy, cbb, crr)
+        else:
+            res = ((yy, cbb, crr), None)
+        # CPU fallback computes eagerly; async just wraps the value
+        return (lambda: res) if not sync else res
 
     def _intra_decisions(self, y) -> FrameDecisions:
         p = self.param
@@ -843,12 +898,29 @@ class Encoder:
 
     def _inter_slice_data(self, frame, sh, decisions, refs, ref_poc, poc,
                           slice_type):
+        """Synchronous wrapper around _inter_slice_gen (drives the
+        generator to completion)."""
+        g = self._inter_slice_gen(frame, sh, decisions, refs, ref_poc,
+                                  poc, slice_type)
+        while True:
+            try:
+                next(g)
+            except StopIteration as e:
+                return e.value
+
+    def _inter_slice_gen(self, frame, sh, decisions, refs, ref_poc, poc,
+                         slice_type):
         """Encode slice data (I/P/B): native C++ finalizer when available,
         Python reference writer otherwise. Two-phase when SAO is on
         (x265 FrameFilter pipeline analog): phase 1 reconstructs, then
         deblock + SAO analysis on the deblocked picture, then phase 2
         re-emits the syntax with the per-CTU sao() parameters.
-        Returns (bytes, fully loop-filtered recon)."""
+
+        GENERATOR returning (bytes, fully loop-filtered recon): it
+        yields once while the deblock(+SAO-stats) dispatch is in flight
+        on the device — the caller may run another frame's host work
+        before resuming (the frame-pipeline re-imagining of x265's
+        frame threads, SURVEY §2.4 P2; frameencoder.cpp:860-882)."""
         p = self.param
         y, cb, cr = frame
         # TMVP (8.5.3.2.7): collocated picture is L0[0] for P, L1[0] for
@@ -997,13 +1069,18 @@ class Encoder:
                 # trip for the whole loop-filter analysis)
                 sao_src = (y, cb, cr) if sao_on else None
                 if slice_type == SLICE_I:
-                    out_lf = self._deblock_intra_recon(recon, decisions,
+                    fin_lf = self._deblock_intra_recon(recon, decisions,
                                                        qp_arg,
-                                                       sao_src=sao_src)
+                                                       sao_src=sao_src,
+                                                       sync=False)
                 else:
-                    out_lf = self._deblock_inter_recon(
+                    fin_lf = self._deblock_inter_recon(
                         recon, decisions, cbf4, ref_poc, qp_arg,
-                        sao_src=sao_src)
+                        sao_src=sao_src, sync=False)
+                # device filter in flight: let the caller overlap another
+                # frame's CPU entropy before collecting
+                yield
+                out_lf = fin_lf()
                 stats = None
                 if sao_on:
                     recon, stats = out_lf
@@ -1056,13 +1133,14 @@ class Encoder:
         return slice_data, recon
 
     def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp,
-                             sao_src=None):
+                             sao_src=None, sync=True):
         """Deblock a native-finalizer recon using the decision maps (CU ==
         TU == PU boundaries) + the native cbf map. Device dispatch; with
         sao_src the SAO stats are fused in and (recon, stats) returns."""
         p = self.param
         if not p.deblock or p.lossless:
-            return recon if sao_src is None else (recon, None)
+            res = recon if sao_src is None else (recon, None)
+            return res if sync else (lambda: res)
         from x265_tpu.hevc.deblock import DeblockState, NOPOC
         h, w = p.height, p.width
         h4, w4 = (h + 3) // 4, (w + 3) // 4
@@ -1100,13 +1178,30 @@ class Encoder:
             refpoc4[..., 1] = np.where(inter4 & ((dir4 & 2) > 0),
                                        ref_poc[1][0], NOPOC)
         return self._run_loopfilter(recon, st, is_intra4, mv4, refpoc4,
-                                    qp, sao_src)
+                                    qp, sao_src, sync=sync)
 
     def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None,
                         as_ref=False, extra_keep=(),
                         nal_override=None) -> bytes:
+        """Synchronous wrapper around _encode_b_frame_gen."""
+        g = self._encode_b_frame_gen(frame, poc, anchor0, anchor1, qp,
+                                     as_ref, extra_keep, nal_override)
+        while True:
+            try:
+                next(g)
+            except StopIteration as e:
+                return e.value
+
+    def _encode_b_frame_gen(self, frame, poc, anchor0, anchor1, qp=None,
+                            as_ref=False, extra_keep=(),
+                            nal_override=None):
         """B picture between two anchors: TRAIL_N when unreferenced,
-        TRAIL_R for the pyramid's middle B (--b-pyramid)."""
+        TRAIL_R for the pyramid's middle B (--b-pyramid).
+
+        Generator (returns the AU bytes): yields while this frame's
+        loop-filter dispatch is in flight — leaf Bs are independent, so
+        the mini-GOP loop overlaps frame N's device filtering with frame
+        N+1's analysis/entropy (x265 frame threads, SURVEY §2.4 P2)."""
         p = self.param
         y, cb, cr = frame
         p0, rec0 = anchor0
@@ -1138,7 +1233,7 @@ class Encoder:
         decisions = (self._areader.get() if self._areader
                      else getattr(self, "_bdec_cache", {}).pop(poc, None)
                      or self._b_decisions(y, rec0[0], rec1[0], qp))
-        slice_data, recon = self._inter_slice_data(
+        slice_data, recon = yield from self._inter_slice_gen(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
         if as_ref:

@@ -104,15 +104,23 @@ class RateControl:
         self.stats_file = p.stats_file
         self.pass1_records = []
         self.pass2_qp = None
+        self.pass2_qs = None
+        self.pass2_cum = None
         self.pass2_idx = 0
         if self.pass_num == 2:
             self._init_pass2()
 
     def _init_pass2(self):
-        """Global qscale allocation from the pass-1 stats: per-frame
-        bits model bits(q) ~= bits1*q1/q, target qscale q_i = rceq_i/RF
-        with RF solved in closed form so predicted total == target
-        (initPass2 / getQScale two-pass analog; VBV re-plan TODO)."""
+        """Per-frame qscale plan from the pass-1 stats (x265 initPass2,
+        ratecontrol.cpp:994). The complexity signal is the MEASURED
+        coding complexity cplx_i = bits1_i * qscale1_i (q-invariant
+        under the linear bits model — better than the lowres satd the
+        closed form used before), allocated as q_i = cplx_i^(1-qcomp)
+        * m_i / RF with RF solved so the predicted total hits target.
+        Execution is CLOSED-LOOP: start() scales each planned qscale by
+        the running (actual - planned) overflow, so model error cannot
+        accumulate into a 30-40%% miss (x264 2-pass overflow
+        compensation; the old open-loop plan did exactly that)."""
         import json
         with open(self.stats_file) as f:
             recs = [json.loads(line) for line in f if line.strip()]
@@ -120,20 +128,24 @@ class RateControl:
             return
         n = len(recs)
         target_total = self.bitrate / self.fps * n
-        denom = 0.0
+        cplx = []
         rceqs = []
         for rec in recs:
-            rceq = max(1.0, rec["cost"]) ** (1 - self.qcompress)
+            c = max(1.0, rec["bits"] * rec["qscale"])
+            cplx.append(c)
             # undo slice-type modulation so RF applies uniformly
             m = (1 / self.ip_factor if rec["type"] == "I"
                  else (PB_FACTOR if rec["type"] == "B" else 1.0))
-            rceqs.append((rceq, m))
-            denom += rec["bits"] * rec["qscale"] / (rceq * m)
-        rf = target_total / max(1e-9, denom)
-        self.pass2_qp = []
-        for (rceq, m) in rceqs:
-            q = rceq * m / max(1e-9, rf)
-            self.pass2_qp.append(max(0, min(51, int(round(qscale2qp(q))))))
+            rceqs.append(c ** (1 - self.qcompress) * m)
+        rf = target_total / max(1e-9, sum(c / r for c, r in
+                                          zip(cplx, rceqs)))
+        self.pass2_qs = [r / max(1e-9, rf) for r in rceqs]
+        planned = [c / q for c, q in zip(cplx, self.pass2_qs)]
+        # cumulative planned bits BEFORE each frame (overflow reference)
+        self.pass2_cum = [0.0]
+        for b in planned[:-1]:
+            self.pass2_cum.append(self.pass2_cum[-1] + b)
+        self.pass2_qp = True          # flag: plan available
 
     def write_stats(self) -> None:
         """Flush pass-1 per-frame records (x265 rateControlEnd's
@@ -178,10 +190,16 @@ class RateControl:
             self._pending = (slice_type, satd_cost, qp2qscale(qp))
             self.last_qscale = qp2qscale(qp)
             return qp
-        if self.pass2_qp is not None and self.pass2_idx < len(self.pass2_qp):
-            qp = self.pass2_qp[self.pass2_idx]
+        if self.pass2_qp is not None and self.pass2_idx < len(self.pass2_qs):
+            idx = self.pass2_idx
             self.pass2_idx += 1
-            qscale = qp2qscale(qp)
+            qscale = self.pass2_qs[idx]
+            # closed-loop overflow compensation: compare actual coded
+            # bits against the plan's cumulative total and correct the
+            # remaining frames (x264 2-pass abr buffer; bounded step)
+            buf = max(1.0, 0.5 * self.bitrate)     # half a second of bits
+            overflow = 1.0 + (self.total_bits - self.pass2_cum[idx]) / buf
+            qscale *= min(1.6, max(0.6, overflow))
             qscale = self._clip_vbv(slice_type, satd_cost, qscale)
             qp = max(0, min(51, int(round(qscale2qp(qscale)))))
             self._pending = (slice_type, satd_cost, qp2qscale(qp))

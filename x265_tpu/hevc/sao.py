@@ -46,6 +46,8 @@ class SaoParams:
 def _eo_categories(rec: np.ndarray, eo_class: int) -> np.ndarray:
     """Per-pixel EO category 0..4 (8.7.3: 1=valley,2=half-valley,
     3=half-peak,4=peak); 0 where a neighbor is outside the picture."""
+    # the out-of-picture sentinel is 1<<20: narrow dtypes would wrap it
+    rec = np.asarray(rec, dtype=np.int32)
     H, W = rec.shape
     (day, dax) = EO_DIRS[eo_class]
     dby, dbx = -day, -dax

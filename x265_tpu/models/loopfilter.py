@@ -222,13 +222,18 @@ def _chroma_luts(cb_qp_off, cr_qp_off):
 
 def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
                          beta_off=0, tc_off=0, cb_qp_off=0, cr_qp_off=0,
-                         bd=8, sao_src=None, ctb_log2=6):
+                         bd=8, sao_src=None, ctb_log2=6, sync=True):
     """Device counterpart of hevc.deblock.deblock_frame (bit-exact).
 
     qp: scalar or per-4x4 luma QP map. When sao_src (the source planes)
     is given, also returns the SAO statistics of the deblocked recon
     computed in the same dispatch: (y, cb, cr, stats); else (y, cb, cr).
     Outputs are int16 numpy planes.
+
+    sync=False: the dispatch is submitted asynchronously and a
+    zero-argument finisher is returned — call it later to collect the
+    results. This is the frame-pipeline hook (SURVEY §2.4 P2): the
+    device filters frame N while the host runs frame N+1's entropy.
     """
     from x265_tpu.hevc.deblock import derive_bs
     y, cb, cr = recon
@@ -250,20 +255,29 @@ def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
                            jnp.asarray(qp4), jnp.asarray(st.bypass4),
                            jnp.asarray(lut_cb), jnp.asarray(lut_cr),
                            int(beta_off), int(tc_off), int(bd))
-        yy, cbb, crr = (np.asarray(o) for o in jax.device_get(out))
-        return yy, cbb, crr
-    ctb = 1 << ctb_log2
-    H, W = np.asarray(y).shape
-    cy, cx = -(-H // ctb), -(-W // ctb)
-    out = _deblock_sao_jit(
-        *args,
-        jnp.asarray(np.asarray(sao_src[0], np.int32)),
-        jnp.asarray(np.asarray(sao_src[1], np.int32)),
-        jnp.asarray(np.asarray(sao_src[2], np.int32)),
-        jnp.asarray(bs_v), jnp.asarray(bs_h), jnp.asarray(qp4),
-        jnp.asarray(st.bypass4), jnp.asarray(lut_cb),
-        jnp.asarray(lut_cr), int(beta_off), int(tc_off), int(bd),
-        ctb, cy, cx)
-    out = jax.device_get(out)
-    yy, cbb, crr = (np.asarray(o) for o in out[:3])
-    return yy, cbb, crr, out[3]
+
+        def finish():
+            # int16 on the wire; int32 to the caller (SAO/metrics code
+            # uses a 1<<20 out-of-picture sentinel that int16 would wrap)
+            yy, cbb, crr = (np.asarray(o, np.int32)
+                            for o in jax.device_get(out))
+            return yy, cbb, crr
+    else:
+        ctb = 1 << ctb_log2
+        H, W = np.asarray(y).shape
+        cy, cx = -(-H // ctb), -(-W // ctb)
+        out = _deblock_sao_jit(
+            *args,
+            jnp.asarray(np.asarray(sao_src[0], np.int32)),
+            jnp.asarray(np.asarray(sao_src[1], np.int32)),
+            jnp.asarray(np.asarray(sao_src[2], np.int32)),
+            jnp.asarray(bs_v), jnp.asarray(bs_h), jnp.asarray(qp4),
+            jnp.asarray(st.bypass4), jnp.asarray(lut_cb),
+            jnp.asarray(lut_cr), int(beta_off), int(tc_off), int(bd),
+            ctb, cy, cx)
+
+        def finish():
+            o = jax.device_get(out)
+            yy, cbb, crr = (np.asarray(x, np.int32) for x in o[:3])
+            return yy, cbb, crr, o[3]
+    return finish if not sync else finish()
