@@ -985,7 +985,9 @@ class Encoder:
                         self.pps.sign_data_hiding,
                         0 if p.lossless else p.rdoq_level)
 
-            def run_native_range(sp, begin, count):
+            state = {"pre": pre, "nr_reset": True}
+
+            def run_native_range(sp, begin, count, collect_arg=None):
                 return native.encode_slice_px(
                     np.asarray(y), np.asarray(cb), np.asarray(cr),
                     decisions.cu_log2_map, decisions.luma_mode8,
@@ -1001,21 +1003,23 @@ class Encoder:
                     rdoq_level=0 if p.lossless else p.rdoq_level,
                     weights=wp_native, col=col,
                     col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs,
-                    pre=pre, ctb_begin=begin, ctb_count=count)
+                    pre=state["pre"], ctb_begin=begin, ctb_count=count,
+                    collect=collect_arg)
 
             wc = p.pic_width_in_ctbs
             hc = p.pic_height_in_ctbs
             n_slices = max(1, min(p.slices, hc))
 
-            def run_native(sp=None):
-                if nr_arrs is not None:
-                    # fresh sums once per (re-)emit — NOT per band, or a
-                    # multi-slice encode would keep only the last band's
-                    # DCT-domain statistics (the native call accumulates)
+            def run_native(sp=None, collect_arg=None):
+                if nr_arrs is not None and state["nr_reset"]:
+                    # fresh sums once per quantizing pass — NOT per band
+                    # (multi-slice would keep only the last band's DCT
+                    # statistics), and NOT in the emit-only replay pass
+                    # (no quantization happens there)
                     nr_arrs[1][:] = 0
                     nr_arrs[2][:] = 0
                 if n_slices == 1:
-                    return run_native_range(sp, 0, -1)
+                    return run_native_range(sp, 0, -1, collect_arg)
                 # multi-slice picture (x265 --slices,
                 # frameencoder.cpp:820-876): even CTU-row bands, each an
                 # independent slice segment with its own CABAC state —
@@ -1026,11 +1030,30 @@ class Encoder:
                 ctu = p.ctu_size
                 payload = []
                 rec = cbf = qpa = None
-                for i in range(n_slices):
-                    r0, r1 = bounds[i], bounds[i + 1]
-                    if r0 == r1:
-                        continue
-                    res_i = run_native_range(sp, r0 * wc, (r1 - r0) * wc)
+                jobs = [(bounds[i], bounds[i + 1])
+                        for i in range(n_slices)
+                        if bounds[i] != bounds[i + 1]]
+                # PARALLEL entropy (x265 serializeSubstreams analog,
+                # frameencoder.cpp:1033): the per-band native calls are
+                # independent and release the GIL, so they finalize
+                # concurrently on multicore hosts. The DCT noise-
+                # reduction stats accumulate unsynchronized in native,
+                # so that config stays serial.
+                import os as _os
+                nthreads = min(len(jobs), _os.cpu_count() or 1)
+                if nthreads > 1 and nr_arrs is None:
+                    from concurrent.futures import ThreadPoolExecutor
+                    with ThreadPoolExecutor(nthreads) as ex:
+                        results = list(ex.map(
+                            lambda j: run_native_range(
+                                sp, j[0] * wc, (j[1] - j[0]) * wc,
+                                collect_arg), jobs))
+                else:
+                    results = [run_native_range(sp, r0 * wc,
+                                                (r1 - r0) * wc,
+                                                collect_arg)
+                               for (r0, r1) in jobs]
+                for (r0, r1), res_i in zip(jobs, results):
                     if res_i is None:
                         return None
                     data_i, rec_i, cbf_i, qp_i = res_i
@@ -1056,11 +1079,31 @@ class Encoder:
                             qp_i[y0p >> 2:(y1p + 3) >> 2]
                 return payload, tuple(rec), cbf, qpa
 
+            # with SAO on, the first walk is collect-only (CABAC
+            # disabled): it gathers every TB's levels/cbf + the recon,
+            # the loop filter + SAO decision run on those, and ONE real
+            # CABAC pass replays them emit-only — killing the full
+            # double-finalize of round 2 (x265 derives SAO from stats
+            # without re-encoding, sao.cpp:1225)
+            collect_bufs = None
+            if sao_on:
+                h8n, w8n = p.height >> 3, p.width >> 3
+                collect_bufs = {
+                    "lvl_y": np.zeros((p.height, p.width), np.int16),
+                    "lvl_cb": np.zeros((p.height // 2, p.width // 2),
+                                       np.int16),
+                    "lvl_cr": np.zeros((p.height // 2, p.width // 2),
+                                       np.int16),
+                    "cbf8": np.zeros((h8n, w8n), np.uint8),
+                    "has8": np.zeros((h8n, w8n), np.uint8)}
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):
-                res = run_native()
+                res = run_native(collect_arg=collect_bufs)
             if res is not None:
                 slice_data, recon, cbf4, qp_actual = res
+                # the emit-only replay pass needs the PRE-loop-filter
+                # recon (native pre-fills its working planes with it)
+                pre_lf_recon = recon
                 qp_arg = (qp_actual if decisions.qp_map is not None
                           else sh.qp)
                 from x265_tpu.utils.profiling import scope as _sc
@@ -1094,6 +1137,12 @@ class Encoder:
                                                    p.bit_depth,
                                                    stats=stats)
                     sh.sao_luma = sh.sao_chroma = True
+                    state["pre"] = {
+                        **collect_bufs,
+                        "rec_y": pre_lf_recon[0].astype(np.int16),
+                        "rec_cb": pre_lf_recon[1].astype(np.int16),
+                        "rec_cr": pre_lf_recon[2].astype(np.int16)}
+                    state["nr_reset"] = False
                     with _sc("finalize"):
                         slice_data = run_native(sp)[0]
                     with _sc("loopfilter"):

@@ -101,6 +101,9 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # pre lvl y/cb/cr
             ctypes.c_void_p, ctypes.c_void_p,                    # pre cbf8/has8
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # pre rec y/cb/cr
+            ctypes.c_int,                                        # collect_only
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # exp lvl y/cb/cr
+            ctypes.c_void_p, ctypes.c_void_p,                    # exp cbf8/has8
         ]
         _lib = lib
         return _lib
@@ -159,7 +162,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     sao_params=None, sao_luma=False, sao_chroma=False,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
                     weights=None, col=None, col_from_l0=1, nr=None,
-                    pre=None, ctb_begin=0, ctb_count=-1):
+                    pre=None, ctb_begin=0, ctb_count=-1,
+                    collect=None):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -174,6 +178,10 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
     (models/residual.py) — dict with lvl_y/lvl_cb/lvl_cr int16 planes,
     cbf8 uint8 [h8,w8] (bit0=y,1=cb,2=cr), has8 uint8 [h8,w8], rec_y/
     rec_cb/rec_cr int16 recon planes. CUs with has8=1 are emit-only.
+    collect: optional dict with the SAME keys minus rec_* — the walk
+    runs with CABAC disabled (collect-only) and fills these buffers, so
+    a later emit-only call can replay them via `pre` (the single-CABAC
+    SAO pipeline; sao.cpp:1225 derives SAO from stats, not re-encode).
     Returns (bytes, recon, cbf4, qp_actual) or None if unavailable.
     """
     lib = get_lib()
@@ -262,6 +270,16 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         qm = c(qp_map, dtype=np.int32)
         keep.append(qm)
         qmp = qm.ctypes.data
+    collect_only = 0
+    exp_ptrs = [None] * 5
+    if collect is not None:
+        collect_only = 1
+        order = ("lvl_y", "lvl_cb", "lvl_cr", "cbf8", "has8")
+        dts = (np.int16, np.int16, np.int16, np.uint8, np.uint8)
+        for i, (k, dt) in enumerate(zip(order, dts)):
+            a = collect[k]
+            assert a.dtype == dt and a.flags["C_CONTIGUOUS"], k
+            exp_ptrs[i] = a.ctypes.data
     n = lib.encode_slice_px(
         y.ctypes.data, cbp.ctypes.data, crp.ctypes.data, w, h,
         cmap.ctypes.data, lmap.ctypes.data, cmode_p,
@@ -283,7 +301,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         ry.ctypes.data, rcb.ctypes.data, rcr.ctypes.data,
         cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
         cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
-        nro_p, nrs_p, nrc_p, int(ctb_begin), int(ctb_count), *pre_ptrs)
+        nro_p, nrs_p, nrc_p, int(ctb_begin), int(ctb_count), *pre_ptrs,
+        collect_only, *exp_ptrs)
     if n < 0:
         return None
     return (out[:n].tobytes(),

