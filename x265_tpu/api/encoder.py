@@ -983,7 +983,8 @@ class Encoder:
                         (np.asarray(y), np.asarray(cb), np.asarray(cr)),
                         decisions, refs_padded, sh.qp, p, wp_native,
                         self.pps.sign_data_hiding,
-                        0 if p.lossless else p.rdoq_level)
+                        0 if p.lossless else p.rdoq_level,
+                        mesh=self.mesh)
 
             state = {"pre": pre, "nr_reset": True}
 
@@ -1442,6 +1443,10 @@ class Encoder:
     def _intra_analysis_with_cost(self, y):
         p = self.param
         cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
+        if self.mesh is not None:
+            from x265_tpu.parallel.tiles import mesh_intra_decisions
+            return mesh_intra_decisions(self.mesh, y, p.width, p.height,
+                                        cu_log2, p.fast_intra)
         if self.use_tpu_analysis:
             from x265_tpu.models.intra_frame import (
                 decide_intra_frame_tpu_with_cost)
@@ -1470,10 +1475,11 @@ class Encoder:
                   for r in refs]
         with scope("motion"):
             mv, cost, satd, _ = motion_fused(
-            np.asarray(y), ref_ys, p.width, p.height, S=S, R=p.me_range,
-                qp=qpv, subme=max(1, p.sub_me), bit_depth=p.bit_depth,
+                np.asarray(y), ref_ys, p.width, p.height, S=S,
+                R=p.me_range, qp=qpv, subme=max(1, p.sub_me),
+                bit_depth=p.bit_depth,
                 slack=48.0 if p.early_skip else 24.0,
-                force_dense=p.me_method == "full")
+                force_dense=p.me_method == "full", mesh=self.mesh)
         cost = cost + lam * 2.0 * np.arange(len(ref_ys),
                                             dtype=np.float32)[:, None, None]
         best_ref = np.argmin(cost, axis=0).astype(np.int32)
@@ -1540,7 +1546,7 @@ class Encoder:
                 p.width, p.height, S=S, R=R, qp=qpv, subme=max(1, p.sub_me),
                 bit_depth=p.bit_depth, do_bi=True,
                 slack=48.0 if p.early_skip else 24.0,
-                force_dense=p.me_method == "full")
+                force_dense=p.me_method == "full", mesh=self.mesh)
         return self._b_select(dec, icost, mv, cost, bi_satd, lam)
 
     def _b_select(self, dec, icost, mv, cost, bi_satd, lam):

@@ -629,9 +629,27 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi,
     return mv, cost, satd, bi
 
 
+def _mesh_put(a, mesh, rows_divisor=0):
+    """device_put under a mesh: row-sharded over the 'tile' axis when
+    axis 0 divides evenly by rows_divisor * n_tiles, else replicated.
+    GSPMD partitions the SAME jitted search graph, so results are
+    identical to the single-device path by construction (the Encoder's
+    attach_mesh flows here; validated by dryrun_multichip)."""
+    a = jnp.asarray(a)
+    if mesh is None:
+        return a
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+    n = mesh.devices.size
+    if rows_divisor and a.shape[0] % (rows_divisor * n) == 0:
+        spec = PS("tile", *([None] * (a.ndim - 1)))
+    else:
+        spec = PS(*([None] * a.ndim))
+    return jax.device_put(a, NamedSharding(mesh, spec))
+
+
 def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
                  subme=2, bit_depth=8, do_bi=False, slack=24.0,
-                 force_dense=False):
+                 force_dense=False, mesh=None):
     """Host wrapper: one device dispatch for all refs' motion search.
 
     cur_y [H,W]; ref_ys: list of reference luma planes.
@@ -654,11 +672,13 @@ def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
         return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
 
     refs = jnp.stack([upload_ref(r) for r in ref_ys])
+    if mesh is not None:
+        refs = _mesh_put(np.asarray(refs), mesh)   # replicated refs
     lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
-    mv, cost, satd, bi = _motion_fused(jnp.asarray(cur), refs,
-                                       jnp.float32(lam), S, R,
-                                       max(1, subme), bit_depth, do_bi,
-                                       float(slack), bool(force_dense))
+    mv, cost, satd, bi = _motion_fused(
+        _mesh_put(cur, mesh, rows_divisor=S), refs, jnp.float32(lam),
+        S, R, max(1, subme), bit_depth, do_bi, float(slack),
+        bool(force_dense))
     return (np.asarray(mv), np.asarray(cost), np.asarray(satd),
             np.asarray(bi))
 

@@ -221,7 +221,7 @@ def _inter_multi(src_y, src_cb, src_cr,
 
 
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
-                    sdh, rdoq_level):
+                    sdh, rdoq_level, mesh=None):
     """Assemble the precomputed-residual dict for the native writer.
 
     src: (y, cb, cr) numpy planes; decisions: FrameDecisions with
@@ -230,6 +230,12 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     wp_native: (wp[4,3,3] int32, luma_denom, chroma_denom) or None.
     Returns the `pre` dict for native.encode_slice_px, or None when there
     is nothing to precompute.
+
+    mesh: optional jax Mesh — the CU-lane batches shard over its 'tile'
+    axis (data parallelism over CUs) with source/reference planes
+    replicated; the SAME jitted graph runs partitioned by GSPMD, so
+    levels/cbf/recon are identical to the single-device path
+    (SURVEY §2.4 P3/P4 re-imagined; validated by dryrun_multichip).
     """
     from jax import enable_x64
     if decisions.inter8 is None or not np.any(decisions.inter8):
@@ -241,13 +247,28 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
 
     pad = 80
     from x265_tpu.utils import devcache
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        def lanes_sharding():
+            return NamedSharding(mesh, _P("tile"))
+
+        def repl(a):
+            return jax.device_put(
+                jnp.asarray(a),
+                NamedSharding(mesh, _P(*([None] * np.ndim(a)))))
+    else:
+        repl = jnp.asarray
 
     def stack_refs(lst, plane):
         if not lst:
             # dummy full-size plane (never selected; dir excludes the list)
             sh_ = ((h + 2 * pad, w + 2 * pad) if plane == 0
                    else (h // 2 + pad, w // 2 + pad))
-            return jnp.zeros(sh_, jnp.int16)[None]
+            z = np.zeros((1,) + sh_, np.int16)
+            return repl(z) if mesh is not None else jnp.asarray(z)
+        if mesh is not None:     # replicated upload (no cache reuse)
+            return repl(np.stack([np.asarray(r[plane]) for r in lst]))
         # per-plane cached uploads (anchors serve many frames)
         devs = [devcache.get_or(("ref80", id(r[plane])), r[plane],
                                 lambda rr=r[plane]: jnp.asarray(rr))
@@ -260,14 +281,14 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     r1y = stack_refs(refs_padded[1], 0)
     r1cb = stack_refs(refs_padded[1], 1)
     r1cr = stack_refs(refs_padded[1], 2)
-    sy = jnp.asarray(np.asarray(src[0], dtype=np.int32))
-    scb = jnp.asarray(np.asarray(src[1], dtype=np.int32))
-    scr = jnp.asarray(np.asarray(src[2], dtype=np.int32))
+    sy = repl(np.asarray(src[0], dtype=np.int32))
+    scb = repl(np.asarray(src[1], dtype=np.int32))
+    scr = repl(np.asarray(src[2], dtype=np.int32))
     if wp_native is not None:
-        wp_arr = jnp.asarray(np.asarray(wp_native[0], np.int32))
+        wp_arr = repl(np.asarray(wp_native[0], np.int32))
         wld, wcd = int(wp_native[1]), int(wp_native[2])
     else:
-        wp_arr = jnp.zeros((4, 3, 3), jnp.int32)
+        wp_arr = repl(np.zeros((4, 3, 3), np.int32))
         wld = wcd = 0
 
     lvl_y = np.zeros((h, w), np.int16)
@@ -320,6 +341,9 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         NB = max(256, ((w // n) * (h // n)))
         if N > NB:   # cannot happen (N is bounded by the grid), safety
             NB = -(-N // 256) * 256
+        # lane axis shards over the mesh: keep it divisible by any
+        # practical tile count
+        NB = -(-NB // 32) * 32
         pad_n = NB - N
 
         def padn(a, fill=0):
@@ -327,9 +351,17 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
                 if pad_n else a
 
-        args = (jnp.asarray(padn(np.stack([x0, y0], 1))),
-                jnp.asarray(padn(mv)), jnp.asarray(padn(dirm, 1)),
-                jnp.asarray(padn(ref_i)), jnp.asarray(padn(qp_cu, 26)))
+        if mesh is not None:
+            import jax as _jax
+            shl = lanes_sharding()
+
+            def put(a):
+                return _jax.device_put(jnp.asarray(a), shl)
+        else:
+            put = jnp.asarray
+        args = (put(padn(np.stack([x0, y0], 1))),
+                put(padn(mv)), put(padn(dirm, 1)),
+                put(padn(ref_i)), put(padn(qp_cu, 26)))
         classes.append((n, N, x0, y0, ys8, xs8, r, args))
     if any_pre:
         ns = tuple(c[0] for c in classes)
