@@ -165,3 +165,30 @@ def test_hme_honors_large_merange():
     # interior blocks (content fully present in ref) find dx = -40
     assert (mv[:, 3:, 0] == -160).all(), mv[:, :, 0] // 4
     assert (mv[:, 3:, 1] == 0).all()
+
+
+def test_decoder_cu_stats_collection():
+    """collect_stats must not perturb decoding and must account for all
+    coded CUs (tools/stream_stats.py relies on both)."""
+    w, h = 96, 64
+    frames = _moving_frames(w, h, 3)
+    p = param_default_preset("ultrafast")
+    p.width, p.height = w, h
+    p.bframes = 0
+    p.rc_mode = RC_CQP
+    p.qp = 32
+    enc = Encoder(p)
+    stream = enc.headers() + b"".join(enc.encode_frame(*f) for f in frames)
+    plain = HEVCDecoder().decode(stream)
+    dec = HEVCDecoder(collect_stats=True)
+    with_stats = dec.decode(stream)
+    for a, b in zip(plain, with_stats):
+        assert np.array_equal(a.y, b.y)
+    assert len(dec.pic_stats) == 3
+    for poc, stype, events in dec.pic_stats:
+        assert events, "every picture has coded CUs"
+        area = sum(size * size for (_st, size, _k, _b, _r, _c) in events)
+        assert area == w * h, "CU events must tile the picture"
+        for (_st, size, kind, nbytes, nres, _cbf) in events:
+            assert kind in ("skip", "merge", "amvp", "intra")
+            assert 0 <= nres <= nbytes + 1

@@ -84,10 +84,18 @@ class PictureDecodeState:
 class SliceDecoder:
     """Decodes one independent slice segment of an I picture."""
 
-    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, data: bytes):
+    def __init__(self, sps: SPS, pps: PPS, sh: SliceHeader, data: bytes,
+                 stats=None):
         self.sps = sps
         self.pps = pps
         self.sh = sh
+        # optional per-CU statistics collector (list): the analog of
+        # x265's csv-log-level-2 analysis surface (x265.h x265_frame_stats).
+        # Each coded CU appends (slice_type, size, kind, total_bytes,
+        # residual_bytes, any_cbf) where kind in
+        # {"skip","merge","amvp","intra"}; byte spans come from the CABAC
+        # read position, so they are exact to within engine carry (~1 byte).
+        self.stats = stats
         self.cab = CabacDecoder(data)
         init_type = {SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[sh.slice_type]
         if pps.cabac_init_present and sh.cabac_init_flag and sh.slice_type != SLICE_I:
@@ -172,7 +180,15 @@ class SliceDecoder:
                 if x1 < sps.width and y1 < sps.height:
                     self._coding_quadtree(pic, x1, y1, log2_cb - 1, depth + 1)
         else:
-            self._coding_unit(pic, x0, y0, log2_cb, depth)
+            if self.stats is not None:
+                pos0 = self.cab.pos
+                self._cu_kind, self._cu_res, self._cu_cbf = "intra", 0, True
+                self._coding_unit(pic, x0, y0, log2_cb, depth)
+                self.stats.append((self.sh.slice_type, size, self._cu_kind,
+                                   self.cab.pos - pos0, self._cu_res,
+                                   self._cu_cbf))
+            else:
+                self._coding_unit(pic, x0, y0, log2_cb, depth)
             if getattr(self, "dqp_on", False):
                 pic.qp4[y0 >> 2:(y0 + size) >> 2,
                         x0 >> 2:(x0 + size) >> 2] = self.qp_y
@@ -257,8 +273,10 @@ class SliceDecoder:
                      cu_x=x0, cu_y=y0, log2_cb=log2_cb)
         # transform tree
         max_depth = sps.max_transform_hierarchy_depth_intra + (1 if part_nxn else 0)
+        res_pos0 = cab.pos
         self._transform_tree(pic, ctx, x0, y0, x0, y0, log2_cb, 0, 0,
                              max_depth, 1, 1)
+        self._cu_res = cab.pos - res_pos0
 
     # ---- inter CU (P slices) ----
 
@@ -310,6 +328,7 @@ class SliceDecoder:
             motion = cands[idx]
             cbf_y = cbf_cb = cbf_cr = 0
             merge = True
+            self._cu_kind, self._cu_res, self._cu_cbf = "skip", 0, False
         else:
             # part_mode: inter coded at every size; we support 2Nx2N only
             if cab.decode_bin(CTX_OFF["part_mode"]) == 0:
@@ -367,6 +386,8 @@ class SliceDecoder:
                                amvp[mvp_idx][1] + mvd[1])
                 motion = (dir_, mvs[0], mvs[1], rids[0], rids[1])
                 merge = False
+            self._cu_kind = "merge" if merge else "amvp"
+            res_pos0 = cab.pos
             root_cbf = 1
             if not merge:
                 root_cbf = cab.decode_bin(CTX_OFF["rqt_root_cbf"])
@@ -375,6 +396,7 @@ class SliceDecoder:
                 # (log2TrafoSize > MaxTbLog2SizeY, no split flag bins);
                 # hierarchical chroma cbfs, z-order leaves
                 self._inter_cu64_tree(pic, x0, y0, depth, tqb, motion)
+                self._cu_res, self._cu_cbf = cab.pos - res_pos0, True
                 return
             if root_cbf:
                 cbf_cb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
@@ -409,6 +431,9 @@ class SliceDecoder:
             np.clip(pred_cr + res_cr, 0, maxv)
 
         pic.ic.set_block(x0, y0, size, size, motion, skip)
+        if not skip:
+            self._cu_res = self.cab.pos - res_pos0
+            self._cu_cbf = bool(cbf_y or cbf_cb or cbf_cr)
         s4 = (slice(y0 >> 2, (y0 + size) >> 2),
               slice(x0 >> 2, (x0 + size) >> 2))
         pic.depth4[s4] = depth
@@ -626,7 +651,7 @@ class HEVCDecoder:
     then stCurrAfter, L1 = stCurrAfter then stCurrBefore.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, collect_stats: bool = False) -> None:
         self.sps: Dict[int, SPS] = {}
         self.pps: Dict[int, PPS] = {}
         self.dpb: Dict[int, PictureDecodeState] = {}
@@ -634,6 +659,11 @@ class HEVCDecoder:
         self.prev_poc_msb = 0
         self.seg_base = 0          # display-order base of the current CVS
         self.max_poc_seen = -1
+        # per-picture CU statistics in decode order: (poc, slice_type,
+        # [cu events]) — see SliceDecoder.stats. Enables bit-composition
+        # analysis (tools/stream_stats.py), the x265 csv-log-level analog.
+        self.collect_stats = collect_stats
+        self.pic_stats: List[tuple] = []
 
     def _derive_poc(self, sh, sps, nal_type) -> int:
         if is_idr(nal_type):
@@ -733,7 +763,14 @@ class HEVCDecoder:
                             ci = sh.collocated_ref_idx
                             if ci < len(lst) and lst[ci] in self.dpb:
                                 cur_pic.col = self.dpb[lst[ci]].colctx
-                sd = SliceDecoder(sps, pps, sh, rbsp[off:])
+                if self.collect_stats:
+                    if sh.first_slice_in_pic:
+                        self.pic_stats.append(
+                            (cur_pic.poc, sh.slice_type, []))
+                    sd = SliceDecoder(sps, pps, sh, rbsp[off:],
+                                      stats=self.pic_stats[-1][2])
+                else:
+                    sd = SliceDecoder(sps, pps, sh, rbsp[off:])
                 sd.decode(cur_pic)
         flush_current()
         pictures.sort(key=lambda p: p.poc)
