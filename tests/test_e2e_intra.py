@@ -16,7 +16,7 @@ from x265_tpu.api.encoder import Encoder
 from x265_tpu.decoder.decoder import HEVCDecoder
 from x265_tpu.decoder import de265
 
-X265_BIN = "/root/repo/.refbuild/x265"
+X265_BIN = "/root/repo/.refbuild8/x265"
 
 
 def _test_frames(w, h, n=1, seed=11):

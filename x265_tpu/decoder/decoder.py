@@ -64,6 +64,12 @@ class PictureDecodeState:
         self.cr = np.zeros((h // 2, w // 2), dtype=np.int32)
         h4, w4 = (h + 3) // 4, (w + 3) // 4
         self.avail4 = np.zeros((h4, w4), dtype=bool)
+        # parse-order (z-scan, 6.4.1) availability: set when a CU's mode
+        # syntax is parsed, ahead of reconstruction. MPM derivation must
+        # use THIS map — inside a PART_NxN CU the earlier PBs are
+        # z-scan-available to later PBs' candidate lists even though
+        # their samples are not yet reconstructed.
+        self.parsed4 = np.zeros((h4, w4), dtype=bool)
         self.intra_mode4 = np.full((h4, w4), -1, dtype=np.int32)
         self.depth4 = np.zeros((h4, w4), dtype=np.int32)
         self.is_intra4 = np.zeros((h4, w4), dtype=bool)
@@ -96,13 +102,38 @@ class SliceDecoder:
         # {"skip","merge","amvp","intra"}; byte spans come from the CABAC
         # read position, so they are exact to within engine carry (~1 byte).
         self.stats = stats
+        self.data = data
         self.cab = CabacDecoder(data)
         init_type = {SLICE_I: 0, SLICE_P: 1, SLICE_B: 2}[sh.slice_type]
         if pps.cabac_init_present and sh.cabac_init_flag and sh.slice_type != SLICE_I:
             init_type = 3 - init_type
+        self._init_type = init_type
         self.cab.init_slice(init_type, sh.qp)
         self.bd = sps.bit_depth
         self.qp_y = sh.qp
+        # resolved scaling matrices (spec 7.4.5; PPS-level data overrides
+        # SPS-level, both default to the Table 7-5/7-6 matrices)
+        self._sl_cache = {}
+
+    def _scaling_m(self, log2: int, is_intra: bool, c_idx: int):
+        """[n,n] scaling matrix m for dequant, or None (flat) when scaling
+        lists are off."""
+        if not self.sps.scaling_list_enabled:
+            return None
+        key = (log2, is_intra, c_idx)
+        if key not in self._sl_cache:
+            from x265_tpu.hevc.headers import scaling_factor_matrix
+            n = 1 << log2
+            size_id = log2 - 2
+            if size_id == 3:
+                matrix_id = 0 if is_intra else 1
+            else:
+                matrix_id = (0 if is_intra else 3) + c_idx
+            sld = (self.pps.scaling_list_data
+                   if self.pps.scaling_list_data is not None
+                   else self.sps.scaling_list_data)
+            self._sl_cache[key] = scaling_factor_matrix(sld, n, matrix_id)
+        return self._sl_cache[key]
 
     def decode(self, pic: PictureDecodeState) -> None:
         sps, pps, sh = self.sps, self.pps, self.sh
@@ -119,6 +150,11 @@ class SliceDecoder:
             pic.sao_params = empty_params(sps.pic_height_in_ctbs, w_ctbs)
             pic.sao_flags = (sh.sao_luma, sh.sao_chroma)
         self.dqp_on = pps.cu_qp_delta_enabled
+        # quantization groups (8.6.1): size ctb >> diff_cu_qp_delta_depth
+        # (x265 --qg-size; 32 at medium). qp_last = QpY of the last decoded
+        # CU (qPY_PREV source).
+        self.qg_log2 = sps.ctb_log2 - pps.diff_cu_qp_delta_depth
+        self.qp_last = sh.qp
         self.qp_prev = sh.qp
         if self.dqp_on and pic.qp4 is None:
             h4, w4 = pic.avail4.shape
@@ -128,14 +164,38 @@ class SliceDecoder:
         # only consulted for current-slice decisions, so resetting per
         # slice start implements the spec's availability rule)
         pic.avail4[:] = False
+        pic.parsed4[:] = False
+        # WPP substreams (entropy_coding_sync, spec 9.3.1/9.3.2.3): each
+        # CTU row is a byte-aligned substream at its entry_point_offset;
+        # contexts sync from the snapshot taken after the second CTU of
+        # the row above (x265 writes these by default, frameencoder.cpp
+        # serializeSubstreams).
+        wpp = bool(pps.entropy_coding_sync_enabled)
+        entry = [0]
+        acc = 0
+        for off in sh.entry_point_offsets:
+            acc += off
+            entry.append(acc)
+        self._wpp_ctx = None              # ctx snapshot after col-1 CTU
         addr = self.sh.segment_address
         while True:
-            x0 = (addr % w_ctbs) * ctb
+            col = addr % w_ctbs
+            if wpp and col == 0 and addr != sh.segment_address:
+                k = (addr - sh.segment_address) // w_ctbs
+                if k < len(entry):
+                    self.cab = CabacDecoder(self.data[entry[k]:])
+                    above_right = addr - w_ctbs + 1
+                    if (w_ctbs > 1 and self._wpp_ctx is not None and
+                            above_right >= sh.segment_address):
+                        self.cab.ctx = self._wpp_ctx.copy()
+                    else:
+                        self.cab.init_slice(self._init_type, sh.qp)
+            x0 = col * ctb
             y0 = (addr // w_ctbs) * ctb
-            if self.dqp_on:
-                self.qg_coded = False
-                self.qp_y = self.qp_prev        # until a delta is parsed
-                self.qg_pred = self.qp_prev
+            if self.dqp_on and wpp and col == 0:
+                # 8.6.1: qPY_PREV resets to SliceQpY at the first QG of
+                # every CTB row under entropy_coding_sync
+                self.qp_last = sh.qp
             if sao_on:
                 from x265_tpu.hevc.sao import parse_sao_ctu
                 parse_sao_ctu(self.cab, CTX_OFF, pic.sao_params,
@@ -144,21 +204,37 @@ class SliceDecoder:
                               first_row_of_slice=(
                                   addr - sh.segment_address < w_ctbs))
             self._coding_quadtree(pic, x0, y0, sps.ctb_log2, 0)
-            if self.dqp_on:
-                self.qp_prev = self.qp_y
+            if wpp and col == 1:
+                self._wpp_ctx = self.cab.ctx.copy()
             addr += 1
             end = self.cab.decode_bin_trm()
             if end or addr >= n_ctbs:
                 break
 
+    def _qp_pred(self, pic, xqg: int, yqg: int) -> int:
+        """qPY_PRED (8.6.1): average of the left/above neighbours' QpY when
+        they fall in the same CTB as the quantization group, else
+        qPY_PREV (the last decoded CU's QpY)."""
+        prev = self.qp_last
+        cl = self.sps.ctb_log2
+
+        def nb(x, y):
+            if x < 0 or y < 0:
+                return prev
+            if (x >> cl) != (xqg >> cl) or (y >> cl) != (yqg >> cl):
+                return prev
+            return int(pic.qp4[y >> 2, x >> 2])
+
+        return (nb(xqg - 1, yqg) + nb(xqg, yqg - 1) + 1) >> 1
+
     def _maybe_parse_dqp(self, any_cbf: bool) -> None:
-        """cu_qp_delta at the first coded TU of the QG (7.3.8.10); with
-        QG == CTB, qPY_PRED is the previous QG's QP (8.6.1)."""
+        """cu_qp_delta at the first coded TU of the QG (7.3.8.10); applies
+        the delta to qPY_PRED stored at the QG root (8.6.1)."""
         if not getattr(self, "dqp_on", False) or self.qg_coded or not any_cbf:
             return
         delta = decode_cu_qp_delta(self.cab, CTX_OFF["cu_qp_delta"])
         bdo = 6 * (self.bd - 8)
-        self.qp_y = ((self.qp_prev + delta + 52 + 2 * bdo) %
+        self.qp_y = ((self.qg_pred + delta + 52 + 2 * bdo) %
                      (52 + bdo)) - bdo
         self.qg_coded = True
 
@@ -167,6 +243,11 @@ class SliceDecoder:
     def _coding_quadtree(self, pic, x0, y0, log2_cb, depth) -> None:
         sps = self.sps
         size = 1 << log2_cb
+        if getattr(self, "dqp_on", False) and log2_cb >= self.qg_log2:
+            # quantization-group root (7.3.8.8 IsCuQpDeltaCoded reset)
+            self.qg_coded = False
+            self.qg_pred = self._qp_pred(pic, x0, y0)
+            self.qp_y = self.qg_pred
         inside = x0 + size <= sps.width and y0 + size <= sps.height
         if inside and log2_cb > sps.log2_min_cb:
             ctx = CTX_OFF["split_cu"] + self._split_ctx(pic, x0, y0, depth)
@@ -192,6 +273,7 @@ class SliceDecoder:
             if getattr(self, "dqp_on", False):
                 pic.qp4[y0 >> 2:(y0 + size) >> 2,
                         x0 >> 2:(x0 + size) >> 2] = self.qp_y
+                self.qp_last = self.qp_y
 
     def _split_ctx(self, pic, x0, y0, depth) -> int:
         ctx = 0
@@ -239,7 +321,7 @@ class SliceDecoder:
         for i in range(n_pbs):
             dx = (i & 1) * pb_size
             dy = (i >> 1) * pb_size
-            cands = mpm_list(pic.intra_mode4, pic.is_intra4, pic.avail4,
+            cands = mpm_list(pic.intra_mode4, pic.is_intra4, pic.parsed4,
                              x0 + dx, y0 + dy, self.sps.ctb_size)
             if prev_flags[i]:
                 idx = 0
@@ -259,6 +341,8 @@ class SliceDecoder:
                             (x0 + dx) >> 2:(x0 + dx + pb_size) >> 2] = mode
             pic.is_intra4[(y0 + dy) >> 2:(y0 + dy + pb_size) >> 2,
                           (x0 + dx) >> 2:(x0 + dx + pb_size) >> 2] = True
+            pic.parsed4[(y0 + dy) >> 2:(y0 + dy + pb_size) >> 2,
+                        (x0 + dx) >> 2:(x0 + dx + pb_size) >> 2] = True
         pic.depth4[y0 >> 2:(y0 + size) >> 2, x0 >> 2:(x0 + size) >> 2] = depth
 
         # chroma mode (one for the CU in 4:2:0)
@@ -497,7 +581,8 @@ class SliceDecoder:
         else:
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
             qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
-        deq = dequantize(coeff, qp, log2, self.bd)
+        deq = dequantize(coeff, qp, log2, self.bd,
+                         m=self._scaling_m(log2, False, c_idx))
         if ts:
             return transform_skip_residual(deq, self.bd)
         return inverse_transform(deq, False, self.bd)
@@ -609,7 +694,8 @@ class SliceDecoder:
         else:
             off = pps.cb_qp_offset if c_idx == 1 else pps.cr_qp_offset
             qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
-        deq = dequantize(coeff, qp, log2, self.bd)
+        deq = dequantize(coeff, qp, log2, self.bd,
+                         m=self._scaling_m(log2, True, c_idx))
         if ts:
             return transform_skip_residual(deq, self.bd)
         use_dst = (c_idx == 0 and log2 == 2)  # intra luma 4x4

@@ -60,6 +60,11 @@ class FrameDecisions:
     mv8: Optional[np.ndarray] = None         # [h8, w8, 2(list), 2(xy)]
     ref8: Optional[np.ndarray] = None        # [h8, w8] L0 ref idx (multi-ref)
     qp_map: Optional[np.ndarray] = None      # [cty, ctx] per-CTB QP (AQ)
+    nxn8: Optional[np.ndarray] = None        # [h8, w8] bool — 8x8 intra CU
+    #                                          coded PART_NxN (4x 4x4 PBs)
+    luma_mode4: Optional[np.ndarray] = None  # [H/4, W/4] per-PB modes for
+    #                                          NxN CUs (falls back to
+    #                                          luma_mode8 when None)
 
 
 def _l0_weight(sh, ref_idx, c_idx):
@@ -226,7 +231,11 @@ class FrameSyntaxWriter:
             self._encode_skip_flag(x0, y0, 0)
             cab.encode_bin(CTX_OFF["pred_mode"], 1)
         if log2_cb == sps.log2_min_cb:
-            cab.encode_bin(CTX_OFF["part_mode"], 1)  # 2Nx2N
+            nxn = self._want_nxn(x0, y0, log2_cb)
+            cab.encode_bin(CTX_OFF["part_mode"], 0 if nxn else 1)
+            if nxn:
+                self._intra_nxn_cu(x0, y0, log2_cb, depth)
+                return
 
         mode = int(self.dec.luma_mode8[y0 >> 3, x0 >> 3])
         cands = mpm_list(self.intra_mode4, self.is_intra4, self.avail4,
@@ -268,6 +277,129 @@ class FrameSyntaxWriter:
 
         # transform tree: TU == CU (max hierarchy depth 0, 2Nx2N)
         self._transform_tree_leaf(x0, y0, log2_cb, mode, chroma_mode)
+
+    def _want_nxn(self, x0, y0, log2_cb) -> bool:
+        """PART_NxN decision for a min-size intra CU (only 8x8 CUs: the
+        x265 analog codes NxN at the minimum CU size, analysis.cpp
+        checkIntra PART_NxN; our quadtree's min CU is 8)."""
+        if log2_cb != 3:
+            return False
+        if getattr(self, "force_nxn", False):
+            return True
+        nxn8 = getattr(self.dec, "nxn8", None)
+        return nxn8 is not None and bool(nxn8[y0 >> 3, x0 >> 3])
+
+    def _nxn_modes(self, x0, y0) -> list:
+        """Per-PB (4x4) luma modes for an 8x8 NxN CU."""
+        m4 = getattr(self.dec, "luma_mode4", None)
+        if m4 is not None:
+            return [int(m4[(y0 + dy) >> 2, (x0 + dx) >> 2])
+                    for (dx, dy) in ((0, 0), (4, 0), (0, 4), (4, 4))]
+        return [int(self.dec.luma_mode8[y0 >> 3, x0 >> 3])] * 4
+
+    def _intra_nxn_cu(self, x0, y0, log2_cb, depth) -> None:
+        """PART_NxN intra 8x8 CU: four 4x4 PBs/TBs (7.3.8.5 two-loop mode
+        syntax; forced RQT split at trafoDepth 0, 7.3.8.8). MPM candidate
+        lists use z-scan (parse-order) availability, so earlier PBs of
+        this same CU are candidates for later ones."""
+        sps, cab = self.sps, self.cab
+        modes = self._nxn_modes(x0, y0)
+        offs = ((0, 0), (4, 0), (0, 4), (4, 4))
+        # candidate lists: sequential, seeing earlier PBs' modes
+        im4 = self.intra_mode4
+        ii4 = self.is_intra4
+        cands_per = []
+        for i, (dx, dy) in enumerate(offs):
+            cands_per.append(mpm_list(im4, ii4, self.avail4,
+                                      x0 + dx, y0 + dy, sps.ctb_size))
+            im4[(y0 + dy) >> 2, (x0 + dx) >> 2] = modes[i]
+            ii4[(y0 + dy) >> 2, (x0 + dx) >> 2] = True
+            self.avail4[(y0 + dy) >> 2, (x0 + dx) >> 2] = True
+        # loop 1: the four prev_intra_luma_pred flags
+        for i in range(4):
+            cab.encode_bin(CTX_OFF["prev_intra_luma_pred"],
+                           1 if modes[i] in cands_per[i] else 0)
+        # loop 2: mpm_idx / rem_intra_luma_pred_mode
+        for i in range(4):
+            cands = cands_per[i]
+            if modes[i] in cands:
+                idx = cands.index(modes[i])
+                if idx == 0:
+                    cab.encode_bin_ep(0)
+                else:
+                    cab.encode_bin_ep(1)
+                    cab.encode_bin_ep(idx - 1)
+            else:
+                rem = modes[i]
+                for c in sorted(cands, reverse=True):
+                    if rem > c:
+                        rem -= 1
+                cab.encode_bins_ep(rem, 5)
+        self.depth4[y0 >> 2:(y0 + 8) >> 2, x0 >> 2:(x0 + 8) >> 2] = depth
+        # availability was set optimistically for the mode loop above;
+        # real sample availability is restored per-TB below
+        for (dx, dy) in offs:
+            self.avail4[(y0 + dy) >> 2, (x0 + dx) >> 2] = False
+
+        # chroma mode (DM or explicit), derived from PB0's mode (8.4.3)
+        chroma_mode = modes[0]
+        if self.dec.chroma_mode8 is not None:
+            cm = int(self.dec.chroma_mode8[y0 >> 3, x0 >> 3])
+            if cm == modes[0]:
+                cab.encode_bin(CTX_OFF["intra_chroma_pred"], 0)
+            else:
+                cand = chroma_cand_list(modes[0])
+                cab.encode_bin(CTX_OFF["intra_chroma_pred"], 1)
+                cab.encode_bins_ep(cand.index(cm), 2)
+                chroma_mode = cm
+        else:
+            cab.encode_bin(CTX_OFF["intra_chroma_pred"], 0)
+
+        # ---- transform tree: forced split at depth 0 ----
+        # chroma TB (4x4 at CU level) is predictable upfront: its refs
+        # lie outside the CU
+        cb_coeff, cb_resi = self._tb_coeffs(1, x0 >> 1, y0 >> 1, 2,
+                                            chroma_mode)
+        cr_coeff, cr_resi = self._tb_coeffs(2, x0 >> 1, y0 >> 1, 2,
+                                            chroma_mode)
+        cbf_cb = 1 if np.any(cb_coeff) else 0
+        cbf_cr = 1 if np.any(cr_coeff) else 0
+        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
+        cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
+        pps = self.pps
+        self.dbs.mark_block(x0, y0, 8)
+        for i, (dx, dy) in enumerate(offs):
+            xb, yb = x0 + dx, y0 + dy
+            # luma TB i: predict from reconstructed neighbours (earlier
+            # PBs of this CU included), code cbf + residual, reconstruct
+            y_coeff, y_resi = self._tb_coeffs(0, xb, yb, 2, modes[i])
+            cbf_luma = 1 if np.any(y_coeff) else 0
+            self.dbs.set_tu(xb, yb, 4, bool(cbf_luma), self.lossless)
+            cab.encode_bin(CTX_OFF["cbf_luma"] + 0, cbf_luma)  # depth 1
+            self._maybe_code_dqp(bool(cbf_luma or cbf_cb or cbf_cr))
+            if cbf_luma:
+                scan = coeff_scan_index(2, 0, modes[i], True)
+                encode_residual(cab, y_coeff, 2, 0, scan,
+                                sign_hiding=pps.sign_data_hiding,
+                                transquant_bypass=self.lossless)
+            self._reconstruct(0, xb, yb, 2, modes[i], y_resi)
+            self.avail4[yb >> 2, xb >> 2] = True
+            if i == 3:
+                # chroma residual rides the last child TU (7.3.8.10)
+                if cbf_cb:
+                    scan = coeff_scan_index(2, 1, chroma_mode, True)
+                    encode_residual(cab, cb_coeff, 2, 1, scan,
+                                    sign_hiding=pps.sign_data_hiding,
+                                    transquant_bypass=self.lossless)
+                if cbf_cr:
+                    scan = coeff_scan_index(2, 2, chroma_mode, True)
+                    encode_residual(cab, cr_coeff, 2, 2, scan,
+                                    sign_hiding=pps.sign_data_hiding,
+                                    transquant_bypass=self.lossless)
+                self._reconstruct(1, x0 >> 1, y0 >> 1, 2, chroma_mode,
+                                  cb_resi)
+                self._reconstruct(2, x0 >> 1, y0 >> 1, 2, chroma_mode,
+                                  cr_resi)
 
     def _transform_tree_leaf(self, x0, y0, log2_tb, mode, chroma_mode=None) -> None:
         """Single-TU transform tree (split inferred 0; max TB >= CU size)."""

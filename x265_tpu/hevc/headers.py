@@ -68,6 +68,9 @@ class SPS:
     max_transform_hierarchy_depth_inter: int = 0
     max_transform_hierarchy_depth_intra: int = 0
     scaling_list_enabled: bool = False
+    # None = default matrices (sps_scaling_list_data_present_flag=0);
+    # else {(sizeId, matrixId): (vals_diag_order ndarray, dc int)}
+    scaling_list_data: Optional[dict] = None
     amp_enabled: bool = False
     sao_enabled: bool = False
     pcm_enabled: bool = False
@@ -123,6 +126,7 @@ class PPS:
     init_qp: int = 26
     constrained_intra_pred: bool = False
     transform_skip_enabled: bool = False
+    scaling_list_data: Optional[dict] = None   # pps-level override (parse only)
     cu_qp_delta_enabled: bool = False
     diff_cu_qp_delta_depth: int = 0
     cb_qp_offset: int = 0
@@ -322,6 +326,140 @@ def parse_st_rps(br: BitReader, idx: int, prev_rps_list: List[ShortTermRPS]) -> 
 
 
 # ---------------------------------------------------------------------------
+# Scaling lists (spec 7.3.4 scaling_list_data + 7.4.5 ScalingFactor
+# derivation; x265 analog scalinglist.cpp — setDefaultScalingList /
+# parseScalingList)
+# ---------------------------------------------------------------------------
+
+def _diag_scan_xy(n: int):
+    """Up-right diagonal scan (spec 6.5.3): list of (x, y), len n*n."""
+    order = []
+    x = y = 0
+    while len(order) < n * n:
+        while y >= 0:
+            if x < n and y < n:
+                order.append((x, y))
+            y -= 1
+            x += 1
+        y = x
+        x = 0
+    return order
+
+
+_SL_COEF_NUM = {0: 16, 1: 64, 2: 64, 3: 64}
+
+
+def default_scaling_vals(size_id: int, matrix_id: int):
+    """Default ScalingList values in diag-scan order + dc (Tables 7-5/7-6:
+    matrixId < 3 intra, >= 3 inter; sizeId 3 has matrixIds {0: intra,
+    1: inter} luma only)."""
+    import numpy as np
+    from x265_tpu.hevc.tables import (SCALING_DEFAULT_8x8_INTRA,
+                                      SCALING_DEFAULT_8x8_INTER)
+    if size_id == 0:
+        return np.full(16, 16, np.int32), 16
+    is_intra = matrix_id < 3 if size_id < 3 else matrix_id == 0
+    base = (SCALING_DEFAULT_8x8_INTRA if is_intra
+            else SCALING_DEFAULT_8x8_INTER)
+    vals = np.array([base[y, x] for x, y in _diag_scan_xy(8)], np.int32)
+    return vals, 16
+
+
+def write_scaling_list_data(bw, sld: Optional[dict]) -> None:
+    """scaling_list_data() (7.3.4). sld None => every list signalled as
+    'use default' (pred_mode 0, delta 0)."""
+    import numpy as np
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            ent = (sld or {}).get((size_id, matrix_id))
+            dv, ddc = default_scaling_vals(size_id, matrix_id)
+            if ent is None or (np.array_equal(ent[0], dv)
+                               and ent[1] == ddc):
+                bw.write_flag(0)            # scaling_list_pred_mode_flag
+                bw.write_ue(0)              # pred_matrix_id_delta: default
+                continue
+            vals, dc = ent
+            bw.write_flag(1)
+            coef_num = min(64, 1 << (4 + (size_id << 1)))
+            next_coef = 8
+            if size_id > 1:
+                bw.write_se(int(dc) - 8)
+                next_coef = int(dc)
+            for i in range(coef_num):
+                delta = (int(vals[i]) - next_coef + 256) % 256
+                if delta > 127:
+                    delta -= 256
+                bw.write_se(delta)
+                next_coef = (next_coef + delta + 256) % 256
+
+
+def parse_scaling_list_data(br) -> dict:
+    """Parse scaling_list_data(); returns {(sizeId, matrixId): (vals, dc)}
+    with prediction (default / ref-matrix copy) resolved."""
+    import numpy as np
+    out = {}
+    for size_id in range(4):
+        step = 3 if size_id == 3 else 1
+        for matrix_id in range(0, 6, step):
+            if not br.read_flag():          # pred from default/ref matrix
+                delta = br.read_ue()
+                if delta == 0:
+                    out[size_id, matrix_id] = default_scaling_vals(
+                        size_id, matrix_id)
+                else:
+                    ref = matrix_id - delta * step
+                    out[size_id, matrix_id] = out[size_id, ref]
+                continue
+            coef_num = min(64, 1 << (4 + (size_id << 1)))
+            next_coef, dc = 8, 16
+            if size_id > 1:
+                dc = br.read_se() + 8
+                next_coef = dc
+            vals = np.empty(coef_num, np.int32)
+            for i in range(coef_num):
+                next_coef = (next_coef + br.read_se() + 256) % 256
+                vals[i] = next_coef
+            out[size_id, matrix_id] = (vals, dc)
+    return out
+
+
+def scaling_factor_matrix(sld: Optional[dict], n: int,
+                          matrix_id: int):
+    """Resolved m (ScalingFactor, 7.4.5 eq. 7-40..7-46) as an [n, n] int32
+    array indexed [y][x] == ScalingFactor[x][y]. sld None => defaults."""
+    import numpy as np
+    size_id = n.bit_length() - 3            # 4->0, 8->1, 16->2, 32->3
+    ent = (sld or {}).get((size_id, matrix_id))
+    if ent is None:
+        ent = default_scaling_vals(size_id, matrix_id)
+    vals, dc = ent
+    base_n = 4 if size_id == 0 else 8
+    base = np.zeros((base_n, base_n), np.int32)
+    for i, (x, y) in enumerate(_diag_scan_xy(base_n)):
+        base[y, x] = vals[i]
+    if size_id <= 1:
+        return base
+    r = n // 8
+    m = np.repeat(np.repeat(base, r, 0), r, 1)
+    m[0, 0] = dc
+    return m
+
+
+def sps_scaling_matrix(sps, n: int, is_intra: bool, c_idx: int):
+    """The m matrix the decoder/dequant must use for an n x n TB, or None
+    when scaling lists are off (flat 16)."""
+    if not sps.scaling_list_enabled:
+        return None
+    size_id = n.bit_length() - 3
+    if size_id == 3:
+        matrix_id = 0 if is_intra else 1
+    else:
+        matrix_id = (0 if is_intra else 3) + c_idx
+    return scaling_factor_matrix(sps.scaling_list_data, n, matrix_id)
+
+
+# ---------------------------------------------------------------------------
 # SPS
 # ---------------------------------------------------------------------------
 
@@ -356,6 +494,10 @@ def write_sps(sps: SPS) -> bytes:
     bw.write_ue(sps.max_transform_hierarchy_depth_inter)
     bw.write_ue(sps.max_transform_hierarchy_depth_intra)
     bw.write_flag(sps.scaling_list_enabled)
+    if sps.scaling_list_enabled:
+        bw.write_flag(sps.scaling_list_data is not None)
+        if sps.scaling_list_data is not None:
+            write_scaling_list_data(bw, sps.scaling_list_data)
     bw.write_flag(sps.amp_enabled)
     bw.write_flag(sps.sao_enabled)
     bw.write_flag(sps.pcm_enabled)
@@ -478,7 +620,7 @@ def parse_sps(data: bytes) -> SPS:
     sps.scaling_list_enabled = bool(br.read_flag())
     if sps.scaling_list_enabled:
         if br.read_flag():
-            raise NotImplementedError("scaling list data parsing")
+            sps.scaling_list_data = parse_scaling_list_data(br)
     sps.amp_enabled = bool(br.read_flag())
     sps.sao_enabled = bool(br.read_flag())
     sps.pcm_enabled = bool(br.read_flag())
@@ -649,8 +791,8 @@ def parse_pps(data: bytes) -> PPS:
         if not pps.deblocking_filter_disabled:
             pps.beta_offset_div2 = br.read_se()
             pps.tc_offset_div2 = br.read_se()
-    if br.read_flag():
-        raise NotImplementedError("pps scaling list")
+    if br.read_flag():                    # pps_scaling_list_data_present
+        pps.scaling_list_data = parse_scaling_list_data(br)
     pps.lists_modification_present = bool(br.read_flag())
     pps.log2_parallel_merge_level = br.read_ue() + 2
     return pps

@@ -363,6 +363,45 @@ QUANT_SCALES = np.array([26214, 23302, 20560, 18396, 16384, 14564], dtype=np.int
 # inverse quant scales per qp%6
 DEQUANT_SCALES = np.array([40, 45, 51, 57, 64, 72], dtype=np.int32)
 
+# --- default scaling lists (spec 7.4.5 Tables 7-5/7-6; x265 analog
+# scalinglist.cpp:417 setDefaultScalingList). 4x4 default is flat 16;
+# 16x16/32x32 are the 8x8 matrix upsampled 2x/4x with DC kept at 16.
+SCALING_DEFAULT_8x8_INTRA = np.array([
+    [16, 16, 16, 16, 17, 18, 21, 24],
+    [16, 16, 16, 16, 17, 19, 22, 25],
+    [16, 16, 17, 18, 20, 22, 25, 29],
+    [16, 16, 18, 21, 24, 27, 31, 36],
+    [17, 17, 20, 24, 30, 35, 41, 47],
+    [18, 19, 22, 27, 35, 44, 54, 65],
+    [21, 22, 25, 31, 41, 54, 70, 88],
+    [24, 25, 29, 36, 47, 65, 88, 115]], dtype=np.int32)
+SCALING_DEFAULT_8x8_INTER = np.array([
+    [16, 16, 16, 16, 17, 18, 20, 24],
+    [16, 16, 16, 17, 18, 20, 24, 25],
+    [16, 16, 17, 18, 20, 24, 25, 28],
+    [16, 17, 18, 20, 24, 25, 28, 33],
+    [17, 18, 20, 24, 25, 28, 33, 41],
+    [18, 20, 24, 25, 28, 33, 41, 54],
+    [20, 24, 25, 28, 33, 41, 54, 71],
+    [24, 25, 28, 33, 41, 54, 71, 91]], dtype=np.int32)
+
+
+def default_scaling_matrix(n: int, is_intra: bool) -> np.ndarray:
+    """[n,n] default scaling matrix m (spec 7.4.5 semantics: ScalingFactor
+    derivation 7-40..7-46). n=4 flat; n in (8,16,32) from the 8x8 base with
+    nearest upsampling; DC term (0,0) is scaling_list_dc = 16 by default."""
+    if n == 4:
+        return np.full((4, 4), 16, np.int32)
+    base = (SCALING_DEFAULT_8x8_INTRA if is_intra
+            else SCALING_DEFAULT_8x8_INTER)
+    if n == 8:
+        return base.copy()
+    r = n // 8
+    m = np.repeat(np.repeat(base, r, 0), r, 1).astype(np.int32)
+    m[0, 0] = 16
+    return m
+
+
 # Golomb-Rice parameter update thresholds (spec 9.3.3.13)
 GO_RICE_RANGE = np.array([7, 14, 26, 46, 78], dtype=np.int32)
 

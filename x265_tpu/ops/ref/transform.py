@@ -100,24 +100,34 @@ def inverse_transform(coeff: np.ndarray, dst: bool = False,
 
 
 def quantize(coeff: np.ndarray, qp: int, log2: int, is_intra: bool,
-             bit_depth: int = 8) -> np.ndarray:
-    """Scalar forward quant (x265 Quant::quant semantics, no RDOQ)."""
+             bit_depth: int = 8, m: np.ndarray = None) -> np.ndarray:
+    """Scalar forward quant (x265 Quant::quant semantics, no RDOQ).
+
+    m: optional [n,n] scaling matrix; the encoder-side per-position quant
+    coefficient is quantScale[rem]*16/m (x265 ScalingList::processScaling
+    quantCoef derivation) — flat 16 reduces to quantScale[rem] exactly."""
     per, rem = qp // 6, qp % 6
     tr_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2
     qbits = QUANT_SHIFT + per + tr_shift
     offset = (171 if is_intra else 85) << (qbits - 9)
     c = coeff.astype(np.int64)
-    level = (np.abs(c) * int(QUANT_SCALE[rem]) + offset) >> qbits
+    if m is None:
+        scale = int(QUANT_SCALE[rem])
+    else:
+        scale = (int(QUANT_SCALE[rem]) * 16) // m.astype(np.int64)
+    level = (np.abs(c) * scale + offset) >> qbits
     level = np.clip(level, 0, 32767)
     return (np.sign(c) * level).astype(np.int32)
 
 
 def dequantize(level: np.ndarray, qp: int, log2: int,
-               bit_depth: int = 8) -> np.ndarray:
-    """Normative dequant (spec 8.6.3, flat scaling list m=16)."""
+               bit_depth: int = 8, m: np.ndarray = None) -> np.ndarray:
+    """Normative dequant (spec 8.6.3); m = scaling matrix (flat 16 when
+    scaling lists are off)."""
     per, rem = qp // 6, qp % 6
     bd_shift = bit_depth + log2 - 5
-    scale = int(LEV_SCALE[rem]) * 16  # m[x][y]=16 flat
+    mm = 16 if m is None else m.astype(np.int64)
+    scale = int(LEV_SCALE[rem]) * mm
     d = (level.astype(np.int64) * scale << per) + (1 << (bd_shift - 1))
     d >>= bd_shift
     return np.clip(d, -32768, 32767).astype(np.int32)
