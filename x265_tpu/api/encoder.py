@@ -1298,6 +1298,49 @@ class Encoder:
                           len(au) * 8, poc)
         return au
 
+    def _adopt_coherent(self, y, refs0, refs1, dir_blk, mv_blk, ref_blk,
+                        inter_blk, satd_now, bits_now, lam, qp):
+        """Decision-stage merge/skip emulation (x265 checkMerge2Nx2N,
+        analysis.cpp:1914, recast as one batched dispatch): evaluate the
+        frame-dominant motion tuples for every block and adopt one where
+        the AMVP->merge/skip rate saving beats the SATD loss. Uniform
+        regions then share EXACT motion, so the writer's merge detection
+        chains across them and the 32/64 promotions fire.
+
+        All arrays are at the 16x16 block grid. Returns possibly-updated
+        (dir_blk, mv_blk, ref_blk, satd_blk)."""
+        from x265_tpu.engine.me import dominant_tuples, tuple_satd
+        p = self.param
+        cands = dominant_tuples(dir_blk, mv_blk, ref_blk, inter_blk)
+        if not cands:
+            return dir_blk, mv_blk, ref_blk, satd_now
+        sc = tuple_satd(y, refs0, refs1, cands, p.width, p.height,
+                        R=p.me_range, bit_depth=p.bit_depth,
+                        mesh=self.mesh)
+        k = np.argmin(sc, axis=0)
+        s_c = np.take_along_axis(sc, k[None], 0)[0].astype(np.float32)
+        lam = max(float(lam), 1e-3)
+        # rate rule: candidate codes as skip/merge (~3 bits) vs the
+        # current choice's AMVP syntax; +8 bits of slack for the CU-merge
+        # cascade the coherent region enables (promotion to 32/64 saves
+        # the neighbours' syntax too)
+        adopt = inter_blk & (
+            s_c <= satd_now + lam * (np.maximum(bits_now - 3.0, 0.0) + 8.0))
+        if not adopt.any():
+            return dir_blk, mv_blk, ref_blk, satd_now
+        carr = np.array([[c[0], c[1], c[3][0], c[3][1], c[4][0], c[4][1]]
+                         for c in cands], np.int32)
+        ck = carr[k]                                   # [nby,nbx,6]
+        dir_out = np.where(adopt, ck[..., 0], dir_blk).astype(np.int32)
+        ref_out = np.where(adopt, ck[..., 1], ref_blk).astype(np.int32)
+        mv_out = mv_blk.copy()
+        mv_out[adopt, 0, 0] = ck[adopt, 2]
+        mv_out[adopt, 0, 1] = ck[adopt, 3]
+        mv_out[adopt, 1, 0] = ck[adopt, 4]
+        mv_out[adopt, 1, 1] = ck[adopt, 5]
+        satd_out = np.where(adopt, s_c, satd_now).astype(np.float32)
+        return dir_out, mv_out, ref_out, satd_out
+
     def _merge_cu32(self, dec, satd16=None, qp=None) -> None:
         """Bottom-up CU merging: promote 2x2 groups of 16x16 blocks to one
         32x32 CU when they carry identical decisions — one skip/merge per
@@ -1498,8 +1541,14 @@ class Encoder:
         nby, nbx = best_mv.shape[:2]
         mv2 = np.zeros((nby, nbx, 2, 2), dtype=np.int32)
         mv2[:, :, 0] = best_mv
+        dir_blk = np.ones((nby, nbx), np.int32)
+        if p.rd_level >= 2:
+            bits_now = ((best_cost - satd16) / max(lam, 1e-3) + 4.0)
+            dir_blk, mv2, best_ref, satd16 = self._adopt_coherent(
+                np.asarray(y), ref_ys, [], dir_blk, mv2, best_ref,
+                inter_blk, satd16.astype(np.float32), bits_now, lam, qpv)
         dec.inter8 = self._to8(inter_blk, h8, w8, rep)
-        dec.dir8 = self._to8(np.ones((nby, nbx), np.int32), h8, w8, rep)
+        dec.dir8 = self._to8(dir_blk, h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
         if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
@@ -1547,9 +1596,13 @@ class Encoder:
                 bit_depth=p.bit_depth, do_bi=True,
                 slack=48.0 if p.early_skip else 24.0,
                 force_dense=p.me_method == "full", mesh=self.mesh)
-        return self._b_select(dec, icost, mv, cost, bi_satd, lam)
+        return self._b_select(dec, icost, mv, cost, bi_satd, lam,
+                              satd=satd, y=np.asarray(y),
+                              refs=(np.asarray(ref0_y), np.asarray(ref1_y)),
+                              qp=qpv)
 
-    def _b_select(self, dec, icost, mv, cost, bi_satd, lam):
+    def _b_select(self, dec, icost, mv, cost, bi_satd, lam, satd=None,
+                  y=None, refs=None, qp=None):
         """Per-block B choice (intra/L0/L1/bi) from batched ME results."""
         from x265_tpu.engine.me import _mv_bits, mv_field_median3
         p = self.param
@@ -1572,14 +1625,28 @@ class Encoder:
         use1 = (choice == 2) | (choice == 3)
         mv2[:, :, 0] = np.where(use0[..., None], mv0, 0)
         mv2[:, :, 1] = np.where(use1[..., None], mv1, 0)
+        satd16 = None
+        if (p.rd_level >= 2 and satd is not None and y is not None
+                and refs is not None):
+            satd_now = np.where(
+                choice == 1, satd[0],
+                np.where(choice == 2, satd[1], bi_satd)).astype(np.float32)
+            chosen_cost = np.take_along_axis(costs, choice[None], 0)[0]
+            bits_now = ((chosen_cost - satd_now) / max(lam, 1e-3)
+                        + np.where(choice == 3, 8.0, 6.0))
+            ref_blk = np.zeros((nby, nbx), np.int32)
+            dir_blk, mv2, _, satd16 = self._adopt_coherent(
+                y, [refs[0]], [refs[1]], dir_blk.astype(np.int32), mv2,
+                ref_blk, inter_blk, satd_now, bits_now, lam,
+                qp if qp is not None else 32)
         h8, w8 = p.height >> 3, p.width >> 3
         rep = S >> 3
         dec.inter8 = self._to8(inter_blk, h8, w8, rep)
         dec.dir8 = self._to8(dir_blk.astype(np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         if p.rd_level >= 2:
-            self._merge_cu32(dec)
-            self._merge_cu64(dec)
+            self._merge_cu32(dec, satd16, qp)
+            self._merge_cu64(dec, satd16, qp)
         return dec
 
     def _precompute_b_batch(self, items, rec0, rec1):
@@ -1612,7 +1679,10 @@ class Encoder:
             dec = finish_intra_analysis(h)
             icost = np.asarray(h[1]).reshape(ph // S, pw // S)
             self._bdec_cache[it[0]] = self._b_select(
-                dec, icost, mv, cost, bi, lam)
+                dec, icost, mv, cost, bi, lam, satd=satd,
+                y=np.asarray(it[1][0]),
+                refs=(np.asarray(rec0[0]), np.asarray(rec1[0])),
+                qp=qp_est)
 
     def encode(self, frames) -> bytes:
         """Encode an iterable of (y, cb, cr) frames; returns full stream."""

@@ -736,3 +736,119 @@ def motion_fused_frames(cur_list, ref_ys, width, height, S=16, R=57,
     satd = np.asarray(satd)
     bi = np.asarray(bi)
     return [(mv[k], cost[k], satd[k], bi[k]) for k in range(K)]
+
+
+# ---------------------------------------------------------------------------
+# Motion coherence pass (decision-stage merge/skip emulation).
+#
+# The per-block argmin leaves quarter-pel wobble and L0/L1/bi near-tie flips
+# across a uniformly moving region, so the writer's exact-match merge
+# detection fails and thousands of CUs pay AMVP syntax for identical motion
+# (measured: 33% of a pan's B bits were zero-residual AMVP headers).  x265
+# avoids this by RD-costing the real merge candidates per CU
+# (analysis.cpp:1914 checkMerge2Nx2N); the TPU-first equivalent evaluates a
+# handful of frame-dominant motion tuples for EVERY block in one batched
+# dispatch and adopts them where the AMVP->merge/skip rate saving wins.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("S", "P", "K", "bd"))
+def _tuple_satd(cur, refs0_big, refs1_big, dirs, r0s, r1s, mv0s, mv1s,
+                S, P, K, bd):
+    """SATD of every SxS block under K fixed motion tuples.
+
+    cur [H,W]; refs{0,1}_big [nref, H+2P, W+2P] edge-padded by P (the
+    motion_fused upload layout, reused from the device cache); dirs [K]
+    (1/2/3), r0s/r1s [K] list indices, mv0s/mv1s [K,2] quarter-pel.
+    Returns [K, nby, nbx] int32.
+    """
+    H, W = cur.shape
+    nby, nbx = H // S, W // S
+    cur_blocks = (cur.astype(jnp.int32).reshape(nby, S, nbx, S)
+                  .transpose(0, 2, 1, 3).reshape(-1, S, S))
+    f = jnp.asarray(LUMA_FILTERS)          # [4, 8] (tap 3 = base sample)
+    maxv = (1 << bd) - 1
+
+    def plane_pred(refs_big, r, mvx, mvy):
+        """Whole-frame 8-tap qpel prediction at one fixed MV."""
+        ix = P + (mvx >> 2) - 3
+        iy = P + (mvy >> 2) - 3
+        win = jax.lax.dynamic_slice(
+            refs_big, (r, iy, ix), (1, H + 7, W + 7))[0].astype(jnp.int32)
+        fx = f[mvx & 3]
+        fy = f[mvy & 3]
+        cols = jnp.stack([win[:, t:t + W] for t in range(8)], axis=-1)
+        hor = cols @ fx                               # [H+7, W]
+        rows = jnp.stack([hor[t:t + H, :] for t in range(8)], axis=0)
+        out = jnp.tensordot(fy, rows, axes=1)         # [H, W]
+        return jnp.clip((out + 2048) >> 12, 0, maxv)
+
+    outs = []
+    for k in range(K):
+        p0 = plane_pred(refs0_big, r0s[k], mv0s[k, 0], mv0s[k, 1])
+        p1 = plane_pred(refs1_big, r1s[k], mv1s[k, 0], mv1s[k, 1])
+        pred = jnp.where(dirs[k] == 3, (p0 + p1 + 1) >> 1,
+                         jnp.where(dirs[k] == 1, p0, p1))
+        blocks = (pred.reshape(nby, S, nbx, S).transpose(0, 2, 1, 3)
+                  .reshape(-1, S, S))
+        outs.append(satd8_batched(cur_blocks, blocks).reshape(nby, nbx))
+    return jnp.stack(outs)
+
+
+def tuple_satd(cur_y, ref0_ys, ref1_ys, cands, width, height, S=16,
+               R=57, bit_depth=8, mesh=None):
+    """Host wrapper for _tuple_satd: cands is a list of
+    (dir, r0, r1, (mv0x, mv0y), (mv1x, mv1y)) tuples (any count; padded
+    to a static K=4 so the graph never recompiles). Reference uploads hit
+    the motion_fused device cache. Returns satd [len(cands), nby, nbx]."""
+    K = 4
+    ph = -(-height // S) * S
+    pw = -(-width // S) * S
+    wire = np.int16 if bit_depth > 8 else np.uint8
+    cur = np.pad(np.asarray(cur_y).astype(wire),
+                 ((0, ph - height), (0, pw - width)), mode="edge")
+    P = R + 6
+    from x265_tpu.utils import devcache
+
+    def upload(r):
+        def build():
+            rp = np.pad(np.pad(np.asarray(r).astype(wire),
+                               ((0, ph - height), (0, pw - width)),
+                               mode="edge"), P, mode="edge")
+            return jnp.asarray(rp)
+        return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
+
+    refs0 = jnp.stack([upload(r) for r in ref0_ys])
+    refs1 = (jnp.stack([upload(r) for r in ref1_ys]) if ref1_ys
+             else refs0[:1])
+    if mesh is not None:
+        refs0 = _mesh_put(np.asarray(refs0), mesh)
+        refs1 = _mesh_put(np.asarray(refs1), mesh)
+    padded = list(cands) + [cands[0]] * (K - len(cands))
+    dirs = jnp.asarray([c[0] for c in padded], jnp.int32)
+    r0s = jnp.asarray([c[1] for c in padded], jnp.int32)
+    r1s = jnp.asarray([c[2] for c in padded], jnp.int32)
+    mv0s = jnp.asarray([c[3] for c in padded], jnp.int32)
+    mv1s = jnp.asarray([c[4] for c in padded], jnp.int32)
+    out = _tuple_satd(_mesh_put(cur, mesh, rows_divisor=S), refs0, refs1,
+                      dirs, r0s, r1s, mv0s, mv1s, S, P, K, bit_depth)
+    return np.asarray(out)[:len(cands)]
+
+
+def dominant_tuples(dir_blk, mv_blk, ref_blk, inter_blk, max_cands=4):
+    """Frame-dominant motion tuples from per-block decisions: the
+    most-frequent (dir, ref, mv0, mv1) combinations among inter blocks.
+    Returns a list of (dir, r0, r1, (mv0x,mv0y), (mv1x,mv1y)), most
+    frequent first (possibly empty)."""
+    sel = inter_blk.astype(bool)
+    if not sel.any():
+        return []
+    flat = np.concatenate(
+        [dir_blk[sel][:, None], ref_blk[sel][:, None],
+         mv_blk[sel].reshape(-1, 4)], axis=1)
+    uniq, cnt = np.unique(flat, axis=0, return_counts=True)
+    order = np.argsort(-cnt)
+    out = []
+    for i in order[:max_cands]:
+        d, r, x0, y0, x1, y1 = (int(v) for v in uniq[i])
+        out.append((d, r, 0, (x0, y0), (x1, y1)))
+    return out
