@@ -31,4 +31,18 @@ Layout:
 __version__ = "0.1.0"
 X265_TPU_BUILD = 1
 
+# Platform override hook. On boxes where a device plugin (e.g. the TPU
+# tunnel) is registered globally, the plugin wins over the JAX_PLATFORMS
+# env var and a dead tunnel hangs device init forever.  jax.config.update
+# before first use is the only reliable override (see tests/conftest.py),
+# so honor an env var here at package import:
+#     X265TPU_PLATFORM=cpu python3 -m x265_tpu.cli ...
+import os as _os
+
+_plat = _os.environ.get("X265TPU_PLATFORM")
+if _plat:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)
+
 from x265_tpu.api.params import Param, param_default, param_default_preset  # noqa: F401
