@@ -150,6 +150,17 @@ class Encoder:
         self.poc = 0                 # POC of the next display-order frame
         self.frame_count = 0         # display-order intake counter
         self.frames_since_idr = 0
+        self._gop_base = 0           # display index of POC 0 of current CVS
+        # recon sink: called (display_index, (y, cb, cr)) per finished
+        # picture in encode order — ReconPlay/recon-file reorder by index
+        self.recon_sink = None
+        # HDR10+ dynamic metadata (--dhdr10-info): per-display-frame ST
+        # 2094-40 JSON entries -> one prefix SEI per AU (x265 dynamicHDR10)
+        self._dhdr10 = None
+        self._dhdr10_last = None
+        if p.dhdr10_info:
+            from x265_tpu.hevc.dhdr10 import load_dhdr10_json
+            self._dhdr10 = load_dhdr10_json(p.dhdr10_info)
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
         self._colmv = {}             # poc -> ColCtx (TMVP source fields)
         # DCT-domain noise reduction accumulators (frameencoder.cpp:2098)
@@ -290,6 +301,9 @@ class Encoder:
                 return out
             out += self.flush()               # close any open mini-GOP
             self.poc = 0
+            # frame_count was already incremented for this intake, so the
+            # IDR's display index (== new POC 0) is frame_count - 1
+            self._gop_base = self.frame_count - 1
             self.frames_since_idr = 1
             qp = (self.rc.start_forced(SLICE_I, qp_forced, cost)
                   if qp_forced is not None
@@ -588,6 +602,9 @@ class Encoder:
             st["psnr_v"] = psnr(frame[2], rec[2], p.bit_depth)
             st["ssim"] = ssim(frame[0], rec[0], p.bit_depth)
         self.frame_stats.append(st)
+        if self.recon_sink is not None:
+            self.recon_sink(self._gop_base + poc,
+                            tuple(np.asarray(x) for x in recon))
 
     def _aud(self, slice_type: int) -> bytes:
         """Access unit delimiter NAL (--aud; 7.3.2.5)."""
@@ -621,6 +638,28 @@ class Encoder:
                                       dpb_delay)])
         self._au_since_bp = n + 1
         return out
+
+    def _dhdr10_sei(self, poc: int, slice_type: int) -> bytes:
+        """HDR10+ (ST 2094-40) prefix SEI for this picture (x265
+        --dhdr10-info, dynamicHDR10/hdr10plus.h). Metadata is indexed by
+        display order; with --dhdr10-opt the SEI is emitted only on
+        keyframes and when the tone-mapping payload changes (x265's
+        hdr10plus-opt behavior)."""
+        if not self._dhdr10:
+            return b""
+        idx = self._gop_base + poc
+        if idx >= len(self._dhdr10):
+            return b""
+        from x265_tpu.hevc.dhdr10 import dhdr10_sei, pack_st2094_40
+        meta = self._dhdr10[idx]
+        if self.param.dhdr10_opt and slice_type != SLICE_I:
+            payload = pack_st2094_40(meta)
+            if payload == self._dhdr10_last:
+                return b""
+            self._dhdr10_last = payload
+        elif self.param.dhdr10_opt:
+            self._dhdr10_last = pack_st2094_40(meta)
+        return annexb([dhdr10_sei(meta)])
 
     def _hash_sei(self, recon) -> bytes:
         """Decoded-picture-hash suffix SEI (MD5) of the loop-filtered
@@ -682,6 +721,7 @@ class Encoder:
         self._record_colmv(decisions, ((), ()), poc)
         self._last_recon = recon
         au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I)
+              + self._dhdr10_sei(poc, SLICE_I)
               + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
@@ -838,6 +878,7 @@ class Encoder:
             rp = annexb([recovery_point_sei(self._ir_recovery)])
             self._ir_recovery = None
         au = (self._aud(SLICE_P) + self._hrd_sei(SLICE_P) + rp
+              + self._dhdr10_sei(poc, SLICE_P)
               + self._assemble_slices(slice_data, sh, NAL_TRAIL_R)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
@@ -1292,6 +1333,7 @@ class Encoder:
         nal_type = (nal_override if nal_override is not None
                     else (NAL_TRAIL_R if as_ref else NAL_TRAIL_N))
         au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B)
+              + self._dhdr10_sei(poc, SLICE_B)
               + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,

@@ -69,6 +69,8 @@ class Param:
     video_full_range: bool = False
     chromaloc: int = -1
     hdr10: bool = False          # force-signal BT.2020/PQ even if unset
+    dhdr10_info: str = ""        # HDR10+ per-frame JSON (--dhdr10-info)
+    dhdr10_opt: bool = False     # emit HDR10+ SEI only on IDR/changes
     zones: str = ""              # "start,end,q=QP/start,end,b=MULT" ranges
     tmvp: bool = True            # temporal MVP (x265 sps always-on analog)
     nr_intra: int = 0            # DCT-domain noise reduction 0-2000
@@ -263,6 +265,8 @@ _OPT_ALIASES = {
     "chromaloc": "chromaloc",
     "hdr10": "hdr10",
     "hdr": "hdr10",
+    "dhdr10-info": "dhdr10_info",
+    "dhdr10-opt": "dhdr10_opt",
     "zones": "zones",
     "tmvp": "tmvp",
     "temporal-mvp": "tmvp",

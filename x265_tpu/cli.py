@@ -31,13 +31,18 @@ def main(argv=None) -> int:
     ap.add_argument("--keyint", type=int, default=None)
     ap.add_argument("--frames", type=int, default=0, help="max frames (0=all)")
     ap.add_argument("--recon", default=None, help="write recon Y4M")
+    ap.add_argument("--recon-play", default=None, metavar="CMD",
+                    help="pipe recon Y4M to a player command "
+                         "(x265 --recon-y4m-exe)")
     ap.add_argument("--no-tpu", action="store_true", help="numpy analysis path")
+    ap.add_argument("--dither", action="store_true",
+                    help="error-diffusion dither when reducing input depth")
     ap.add_argument("--csv", default=None, help="per-frame CSV log")
     args, extra = ap.parse_known_args(argv)
 
     from x265_tpu.api.params import param_default_preset, param_parse, RC_CQP
     from x265_tpu.api.encoder import Encoder
-    from x265_tpu.io.y4m import open_input, write_y4m, VideoInfo
+    from x265_tpu.io.y4m import open_input, VideoInfo
 
     w = h = 0
     if args.input_res:
@@ -49,6 +54,7 @@ def main(argv=None) -> int:
     # any remaining --key [value] pairs route through param_parse — the
     # same long-option surface x265's CLI exposes (x265cli.h long_options)
     i = 0
+    seen_opts = set()
     while i < len(extra):
         tok = extra[i]
         if not tok.startswith("--"):
@@ -62,12 +68,14 @@ def main(argv=None) -> int:
             i += 1
         try:
             param_parse(p, name, "1" if val is None else val)
+            seen_opts.add(name)
         except (KeyError, ValueError) as e:
             ap.error(f"unknown/invalid option --{name}: {e}")
         i += 1
     p.width, p.height = info.width, info.height
     if info.bit_depth > 8:
-        p.bit_depth = info.bit_depth
+        if "output-depth" not in seen_opts:   # else keep the explicit depth
+            p.bit_depth = info.bit_depth
         p.input_depth = info.bit_depth
     p.fps_num, p.fps_den = info.fps_num, info.fps_den
     if args.fps:
@@ -103,7 +111,25 @@ def main(argv=None) -> int:
         csv.write("Encode Order, Type, POC, QP, Bits, "
                   "Y PSNR, U PSNR, V PSNR, SSIM, Latency ms\n")
 
-    recon_frames = []
+    # recon sinks: --recon writes a Y4M file, --recon-play pipes to a
+    # player (x265 --recon-y4m-exe, source/output/reconplay.cpp). Both
+    # reorder encode-order arrivals back to display order by POC.
+    sinks = []
+    if args.recon or args.recon_play:
+        from x265_tpu.io.reconplay import ReconPlay
+        rinfo = VideoInfo(p.width, p.height, p.fps_num, p.fps_den,
+                          bit_depth=p.bit_depth)
+        if args.recon:
+            sinks.append(ReconPlay("pipe:" + args.recon, rinfo))
+        if args.recon_play:
+            sinks.append(ReconPlay(args.recon_play, rinfo))
+        enc.recon_sink = lambda idx, planes: [s.write_frame(idx, planes)
+                                              for s in sinks]
+
+    shift = info.bit_depth - p.bit_depth       # >0: reduce input depth
+    if shift > 0 and args.dither:
+        from x265_tpu.io.dither import dither_image
+
     total_bytes = 0
     nframes = 0
     csv_done = 0
@@ -111,6 +137,16 @@ def main(argv=None) -> int:
     with open(args.output, "wb") as out:
         out.write(enc.headers())
         for (y, cb, cr) in reader.frames():
+            if shift > 0:
+                if args.dither:
+                    y, cb, cr = dither_image((y, cb, cr), info.bit_depth,
+                                             p.bit_depth)
+                else:
+                    half = 1 << (shift - 1)
+                    maxv = (1 << p.bit_depth) - 1
+                    y, cb, cr = (np.minimum(
+                        (v.astype(np.int32) + half) >> shift, maxv)
+                        for v in (y, cb, cr))
             t0 = time.time()
             au = enc.encode_frame(y, cb, cr)
             dt = (time.time() - t0) * 1000
@@ -125,13 +161,6 @@ def main(argv=None) -> int:
                               f"{s['psnr_v']:.3f}, {s['ssim']:.5f}, "
                               f"{dt:.1f}\n")
                     csv_done += 1
-            if args.recon and enc._last_recon is not None:
-                maxv = (1 << p.bit_depth) - 1
-                dt = np.uint16 if p.bit_depth > 8 else np.uint8
-                ry, rcb, rcr = enc._last_recon
-                recon_frames.append((np.clip(ry, 0, maxv).astype(dt),
-                                     np.clip(rcb, 0, maxv).astype(dt),
-                                     np.clip(rcr, 0, maxv).astype(dt)))
             nframes += 1
             if args.frames and nframes >= args.frames:
                 break
@@ -141,8 +170,8 @@ def main(argv=None) -> int:
     el = time.time() - t_start
     if csv:
         csv.close()
-    if args.recon and recon_frames:
-        write_y4m(args.recon, recon_frames, info)
+    for s in sinks:
+        s.close()
     fps = nframes / el if el > 0 else 0.0
     kbps = total_bytes * 8 * (p.fps_num / max(1, p.fps_den)) / max(1, nframes) / 1000
     st = enc.get_stats()
