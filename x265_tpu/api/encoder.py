@@ -89,6 +89,10 @@ class Encoder:
             vui_present=p.vui_timing_info,
             fps_num=p.fps_num, fps_den=p.fps_den,
             ptl=ptl,
+            # --scaling-list default: enabled with no data present =>
+            # the spec default matrices apply (7.4.3.2; x265
+            # scalinglist.cpp:417 setDefaultScalingList)
+            scaling_list_enabled=bool(p.scaling_lists),
         )
         # HDR10 / colour description (x265 Encoder::configure vui wiring)
         from x265_tpu.api.params import (
@@ -1046,7 +1050,8 @@ class Encoder:
                     weights=wp_native, col=col,
                     col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs,
                     pre=state["pre"], ctb_begin=begin, ctb_count=count,
-                    collect=collect_arg)
+                    collect=collect_arg,
+                    scaling_lists=bool(p.scaling_lists))
 
             wc = p.pic_width_in_ctbs
             hc = p.pic_height_in_ctbs
@@ -1774,6 +1779,7 @@ class Encoder:
                 # complexity-blind (degenerates toward constant qscale)
                 satd_cost = float(np.asarray(h[1]).sum())
                 qp = self.rc.start(SLICE_I, max(1.0, satd_cost))
+                self._gop_base = self.frame_count   # every AU is POC 0
                 au = self._encode_intra_frame(*f, dec, qp=qp)
                 self.rc.end(len(au) * 8)
                 self.frame_count += 1

@@ -117,6 +117,7 @@ class Param:
     rdoq_level: int = 0
     psy_rd: float = 2.0
     lossless: bool = False
+    scaling_lists: str = ""      # ""/off | "default" (--scaling-list)
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     sign_hide: bool = True
@@ -312,6 +313,7 @@ _OPT_ALIASES = {
     "rdoq-level": "rdoq_level",
     "psy-rd": "psy_rd",
     "lossless": "lossless",
+    "scaling-list": "scaling_lists",
     "cbqpoffs": "cb_qp_offset",
     "crqpoffs": "cr_qp_offset",
     "signhide": "sign_hide",
@@ -455,6 +457,15 @@ def check_params(p: Param) -> Param:
     if p.tiles != (1, 1):
         _warn(p, COERCED_OPTIONS["tiles"] + " — forcing 1x1")
         p.tiles = (1, 1)
+    # --scaling-list: "0"/"off" => flat (no lists); "default" => spec
+    # default matrices (scalinglist.cpp:417 setDefaultScalingList).
+    # Custom list files (HM-format cfg) are not parsed yet.
+    if p.scaling_lists in ("0", "off", "none"):
+        p.scaling_lists = ""
+    elif p.scaling_lists and p.scaling_lists != "default":
+        _warn(p, f"custom scaling list file {p.scaling_lists!r} not "
+              "supported — using the default matrices")
+        p.scaling_lists = "default"
     # rd-level implications (presets.rst: rdoq engages at rd >= 5; our
     # dial additionally gates the 32x32 promotion pass at rd >= 2)
     if p.rd_level >= 5 and p.rdoq_level == 0:
@@ -474,6 +485,7 @@ def check_params(p: Param) -> Param:
         p.rc_mode = RC_CQP
         p.qp = 4              # lambda source for RDO (doc/reST/lossless.rst:43-45)
         p.rdoq_level = 0
+        p.scaling_lists = ""  # no transform, no matrices
         p.sao = False
         p.deblock = False
         p.sign_hide = False

@@ -97,6 +97,9 @@ class FrameSyntaxWriter:
         self.sps, self.pps, self.sh = sps, pps, sh
         self.lossless = lossless
         self.rdoq_level = 0          # set by the encoder (x265 --rdoq-level)
+        # scaling lists (--scaling-list; 7.4.5): per-(size, intra, plane)
+        # m matrices for quant/dequant, None = flat 16
+        self._sm_cache = {}
         self.bd = sps.bit_depth
         self.qp_y = sh.qp
         self.cur_poc = cur_poc
@@ -741,6 +744,15 @@ class FrameSyntaxWriter:
                 out[..., lx][self.ic.ref4[..., lx] == r] = poc
         return out
 
+    def _sm(self, log2, is_intra, c_idx):
+        """Scaling matrix m for quant/dequant (None when lists are off)."""
+        key = (log2, is_intra, c_idx)
+        if key not in self._sm_cache:
+            from x265_tpu.hevc.headers import sps_scaling_matrix
+            self._sm_cache[key] = sps_scaling_matrix(
+                self.sps, 1 << log2, is_intra, c_idx)
+        return self._sm_cache[key]
+
     def _coeffs_from_pred(self, c_idx, x0, y0, log2, pred, is_intra_tb):
         """Transform+quant (or bypass) of src-pred; returns (levels, recon_resi)."""
         nt = 1 << log2
@@ -758,15 +770,16 @@ class FrameSyntaxWriter:
         coeff = forward_transform(resi, use_dst, self.bd)
         if self.nr is not None:
             coeff = self._denoise(coeff, log2, c_idx, is_intra_tb)
-        level = quantize(coeff, qp, log2, is_intra_tb, self.bd)
+        m = self._sm(log2, is_intra_tb, c_idx)
+        level = quantize(coeff, qp, log2, is_intra_tb, self.bd, m)
         if self.rdoq_level > 0 and np.any(level):
             lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
-            level = rdoq(coeff, level, qp, log2, lam, self.bd)
+            level = rdoq(coeff, level, qp, log2, lam, self.bd, m)
         if self.pps.sign_data_hiding and np.any(level):
             level = sign_bit_hiding_adjust(level, SCANS[(log2, 0)])
         if not np.any(level):
             return level, np.zeros_like(resi)
-        deq = dequantize(level, qp, log2, self.bd)
+        deq = dequantize(level, qp, log2, self.bd, m)
         recon_resi = inverse_transform(deq, use_dst, self.bd)
         return level, recon_resi
 
@@ -819,18 +832,19 @@ class FrameSyntaxWriter:
             qp = chroma_qp(self.qp_y, off, self.bd)  # Qp'C incl. offset
         use_dst = (c_idx == 0 and log2 == 2)
         coeff = forward_transform(resi, use_dst, self.bd)
-        level = quantize(coeff, qp, log2, True, self.bd)
+        m = self._sm(log2, True, c_idx)
+        level = quantize(coeff, qp, log2, True, self.bd, m)
         if self.rdoq_level > 0 and np.any(level):
             # 0.4x lambda: calibrated against the static bin-count rate
             # model (full CABAC fracBits estimates would use 1.0)
             lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
-            level = rdoq(coeff, level, qp, log2, lam, self.bd)
+            level = rdoq(coeff, level, qp, log2, lam, self.bd, m)
         if self.pps.sign_data_hiding and np.any(level):
             scan = SCANS[(log2, coeff_scan_index(log2, c_idx, mode, True))]
             level = sign_bit_hiding_adjust(level, scan)
         if not np.any(level):
             return level, np.zeros_like(resi)
-        deq = dequantize(level, qp, log2, self.bd)
+        deq = dequantize(level, qp, log2, self.bd, m)
         recon_resi = inverse_transform(deq, use_dst, self.bd)
         return level, recon_resi
 

@@ -72,7 +72,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  xy, mv, dirm, ref_i, qp, wp,
                  n, bd, sdh, do_rdoq, lossless, pad, wld, wcd,
-                 cb_off, cr_off):
+                 cb_off, cr_off, scaling=False):
     """One CU-size class of inter CUs: MC + residual chain, all planes.
 
     xy [N,2] luma top-left; mv [N,2,2] (list, x/y) qpel; dirm [N] 1/2/3;
@@ -154,13 +154,14 @@ def _inter_class_body(src_y, src_cb, src_cr,
     zsel = jnp.zeros((N,), jnp.int32)
     if n <= 32:
         lvl_y, rres_y, cbf_y = _tq_chain(sy - pred_y, qpy, zsel, n, False,
-                                         False, bd, sdh, do_rdoq, lossless)
+                                         False, bd, sdh, do_rdoq, lossless,
+                                         scaling)
         lvl_cb, rres_cb, cbf_cb = _tq_chain(scb - pred_cb, cqp(cb_off),
                                             zsel, hs, False, False, bd,
-                                            sdh, do_rdoq, lossless)
+                                            sdh, do_rdoq, lossless, scaling)
         lvl_cr, rres_cr, cbf_cr = _tq_chain(scr - pred_cr, cqp(cr_off),
                                             zsel, hs, False, False, bd,
-                                            sdh, do_rdoq, lossless)
+                                            sdh, do_rdoq, lossless, scaling)
         cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
     else:
         # 64x64 CU: the transform tree splits implicitly into 4 32x32
@@ -174,7 +175,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
             lv, rr, cb_ = _tq_chain(q, jnp.repeat(qvec, 4),
                                     jnp.zeros((N * 4,), jnp.int32), m,
                                     False, False, bd, sdh, do_rdoq,
-                                    lossless)
+                                    lossless, scaling)
             def back(a):
                 return (a.reshape(N, 2, 2, m, m).transpose(0, 1, 3, 2, 4)
                         .reshape(N, 2 * m, 2 * m))
@@ -198,15 +199,16 @@ def _inter_class_body(src_y, src_cb, src_cr,
 
 _inter_class = partial(jax.jit, static_argnames=(
     "n", "bd", "sdh", "do_rdoq", "lossless", "pad", "wld", "wcd",
-    "cb_off", "cr_off"))(_inter_class_body)
+    "cb_off", "cr_off", "scaling"))(_inter_class_body)
 
 
 @partial(jax.jit, static_argnames=("ns", "bd", "sdh", "do_rdoq", "lossless",
-                                   "pad", "wld", "wcd", "cb_off", "cr_off"))
+                                   "pad", "wld", "wcd", "cb_off", "cr_off",
+                                   "scaling"))
 def _inter_multi(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  per_class, wp, ns, bd, sdh, do_rdoq, lossless, pad,
-                 wld, wcd, cb_off, cr_off):
+                 wld, wcd, cb_off, cr_off, scaling=False):
     """Several CU-size classes in ONE dispatch (one tunnel round trip
     instead of one per class). per_class: tuple of (xy, mv, dirm, ref_i,
     qp) batches matching `ns`."""
@@ -216,7 +218,7 @@ def _inter_multi(src_y, src_cb, src_cr,
         outs.append(_inter_class_body(
             src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
-            pad, wld, wcd, cb_off, cr_off))
+            pad, wld, wcd, cb_off, cr_off, scaling))
     return tuple(outs)
 
 
@@ -370,7 +372,8 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                 tuple(c[7] for c in classes), wp_arr, ns, bd,
                 bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
-                wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset))
+                wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
+                bool(p.scaling_lists))
         outs = jax.device_get(outs)
         for (n, N, x0, y0, ys8, xs8, r, _a), out in zip(classes, outs):
             ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N]

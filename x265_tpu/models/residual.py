@@ -33,6 +33,14 @@ def _tmat(n: int, dst: bool) -> np.ndarray:
     return (DST4 if (dst and n == 4) else DCT[n]).astype(np.int32)
 
 
+def _default_m(n: int, is_intra: bool) -> np.ndarray:
+    """Default scaling matrix (spec 7.4.5 / Tables 7-5,7-6) as an [n,n]
+    int32 trace constant. Only the DEFAULT lists are supported on the
+    device path (--scaling-list default; param coerces custom files)."""
+    from x265_tpu.hevc.tables import default_scaling_matrix
+    return default_scaling_matrix(n, is_intra).astype(np.int32)
+
+
 def _rshift_round(x, s):
     """(x + (1 << (s-1))) >> s, arithmetic shift (s static int >= 1)."""
     return (x + (1 << (s - 1))) >> s
@@ -79,17 +87,21 @@ def inv_transform_b(coeff: jnp.ndarray, n: int, dst: bool,
     return jnp.clip(_rshift_round(out, s2), -32768, 32767)
 
 
-@partial(jax.jit, static_argnames=("n", "is_intra", "bd"))
+@partial(jax.jit, static_argnames=("n", "is_intra", "bd", "scaling"))
 def quantize_b(coeff: jnp.ndarray, qp: jnp.ndarray, n: int, is_intra: bool,
-               bd: int) -> jnp.ndarray:
+               bd: int, scaling: bool = False) -> jnp.ndarray:
     """Batched deadzone quant; qp [N] per-TU. Bounds: |c|*scale < 2^30,
-    offset <= 171<<20 => sum < 2^31 — int32 exact."""
+    offset <= 171<<20 => sum < 2^31 — int32 exact. With scaling lists the
+    per-position quant coefficient is quantScale[rem]*16/m (x265
+    ScalingList quantCoef derivation; default m >= 16 keeps the bound)."""
     log2 = n.bit_length() - 1
     per = qp.astype(jnp.int32) // 6
     rem = qp.astype(jnp.int32) % 6
     tr_shift = 15 - bd - log2
     qbits = (14 + per + tr_shift)[:, None, None]
     scale = jnp.asarray(QUANT_SCALES, jnp.int32)[rem][:, None, None]
+    if scaling:
+        scale = (scale * 16) // jnp.asarray(_default_m(n, is_intra))[None]
     offset = jnp.asarray(171 if is_intra else 85, jnp.int32) << (qbits - 9)
     c = coeff.astype(jnp.int32)
     a = jnp.abs(c)
@@ -97,13 +109,34 @@ def quantize_b(coeff: jnp.ndarray, qp: jnp.ndarray, n: int, is_intra: bool,
     return jnp.where(c < 0, -v, v)
 
 
-def _deq_core(lvl, per, rem, bs, rounded: bool):
+def _deq_core(lvl, per, rem, bs, rounded: bool, m=None):
     """Shared dequant core without int64:
     (t*2^per + rnd) >> bs == t << (per-bs)              (per >= bs)
                           == (t + rnd') >> (bs-per)     (per < bs)
     with t = lvl*scale*16 (|t| <= 32767*1152 < 2^26). rnd' = 2^(bs-per-1)
-    when `rounded` (normative dequant), else 0 (RDOQ's deq)."""
-    scale = (jnp.asarray(DEQUANT_SCALES, jnp.int32)[rem] * 16)
+    when `rounded` (normative dequant), else 0 (RDOQ's deq).
+
+    m: optional [n,n] scaling matrix (int). The m path widens to int64
+    (t can exceed 2^31 after the up-shift with m up to 255) and is only
+    reachable through tq_chain/rdoq_b, which trace under enable_x64."""
+    if m is None:
+        scale = (jnp.asarray(DEQUANT_SCALES, jnp.int32)[rem] * 16)
+    else:
+        scale = (jnp.asarray(DEQUANT_SCALES, jnp.int64)[rem][..., None, None]
+                 * jnp.asarray(m, jnp.int64))
+        per = per[..., None, None]
+        t = lvl.astype(jnp.int64) * scale
+        sh = per - bs
+        up = t << jnp.maximum(sh, 0)
+        dn_s = jnp.maximum(-sh, 0)
+        if rounded:
+            rnd = jnp.where(
+                dn_s > 0,
+                jnp.asarray(1, jnp.int64) << jnp.maximum(dn_s - 1, 0), 0)
+        else:
+            rnd = 0
+        dn = (t + rnd) >> dn_s
+        return jnp.where(sh >= 0, up, dn)
     while scale.ndim < lvl.ndim:
         scale = scale[..., None]
         per = per[..., None]
@@ -121,14 +154,17 @@ def _deq_core(lvl, per, rem, bs, rounded: bool):
     return jnp.where(sh >= 0, up, dn)
 
 
-@partial(jax.jit, static_argnames=("n", "bd"))
+@partial(jax.jit, static_argnames=("n", "bd", "scaling", "is_intra"))
 def dequantize_b(lvl: jnp.ndarray, qp: jnp.ndarray, n: int,
-                 bd: int) -> jnp.ndarray:
-    """Batched normative dequant + clamp16, int32-only."""
+                 bd: int, scaling: bool = False,
+                 is_intra: bool = False) -> jnp.ndarray:
+    """Batched normative dequant + clamp16 (int32-only on the flat path;
+    the scaling-list path needs enable_x64 in the caller's trace)."""
     log2 = n.bit_length() - 1
     qp = qp.astype(jnp.int32)
-    d = _deq_core(lvl, qp // 6, qp % 6, bd + log2 - 5, rounded=True)
-    return jnp.clip(d, -32768, 32767)
+    m = _default_m(n, is_intra) if scaling else None
+    d = _deq_core(lvl, qp // 6, qp % 6, bd + log2 - 5, rounded=True, m=m)
+    return jnp.clip(d, -32768, 32767).astype(jnp.int32)
 
 
 def _ilog2(l: jnp.ndarray) -> jnp.ndarray:
@@ -139,8 +175,9 @@ def _ilog2(l: jnp.ndarray) -> jnp.ndarray:
     return lg
 
 
-@partial(jax.jit, static_argnames=("n", "bd"))
-def _rdoq_x64(coeff, lvl, qp, n, bd):
+@partial(jax.jit, static_argnames=("n", "bd", "scaling", "is_intra"))
+def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
+              is_intra: bool = False):
     """int64 body of rdoq_b — must be traced with x64 enabled."""
     log2 = n.bit_length() - 1
     qp = qp.astype(jnp.int32)
@@ -153,9 +190,11 @@ def _rdoq_x64(coeff, lvl, qp, n, bd):
     c = coeff.astype(jnp.int64)
     sgn = jnp.sign(lvl).astype(jnp.int64)
     l0 = jnp.abs(lvl).astype(jnp.int64)
+    m = _default_m(n, is_intra) if scaling else None
 
     def deq(l32):
-        return _deq_core(l32, per, rem, bs, rounded=False).astype(jnp.int64)
+        return _deq_core(l32, per, rem, bs, rounded=False,
+                         m=m).astype(jnp.int64)
 
     def rate(l):
         r = jnp.where(l > 0, 3, 1).astype(jnp.int64)
@@ -195,11 +234,12 @@ def _rdoq_x64(coeff, lvl, qp, n, bd):
     return out5.reshape(-1, n, n).astype(jnp.int32)
 
 
-def rdoq_b(coeff, lvl, qp, n: int, bd: int):
+def rdoq_b(coeff, lvl, qp, n: int, bd: int, scaling: bool = False,
+           is_intra: bool = False):
     """Batched integer RDOQ (bit-exact vs rdoq_adjust / oracle rdoq)."""
     from jax import enable_x64
     with enable_x64():
-        return _rdoq_x64(coeff, lvl, qp, n, bd)
+        return _rdoq_x64(coeff, lvl, qp, n, bd, scaling, is_intra)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -246,29 +286,30 @@ def sbh_b(lvl: jnp.ndarray, scan_sel: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("n", "dst", "is_intra", "bd", "sdh",
-                                   "do_rdoq", "lossless"))
+                                   "do_rdoq", "lossless", "scaling"))
 def _tq_chain(resi: jnp.ndarray, qp: jnp.ndarray, scan_sel: jnp.ndarray,
               n: int, dst: bool, is_intra: bool, bd: int, sdh: bool,
-              do_rdoq: bool, lossless: bool):
+              do_rdoq: bool, lossless: bool, scaling: bool = False):
     if lossless:
         cbf = jnp.any(resi != 0, axis=(1, 2))
         return resi, resi, cbf
     cf = fwd_transform_b(resi, n, dst, bd)
-    lvl = quantize_b(cf, qp, n, is_intra, bd)
+    lvl = quantize_b(cf, qp, n, is_intra, bd, scaling)
     if do_rdoq:
-        lvl = _rdoq_x64(cf, lvl, qp, n, bd)
+        lvl = _rdoq_x64(cf, lvl, qp, n, bd, scaling, is_intra)
     if sdh:
         lvl = jnp.where(jnp.any(lvl != 0, axis=(1, 2))[:, None, None],
                         sbh_b(lvl, scan_sel, n), lvl)
     cbf = jnp.any(lvl != 0, axis=(1, 2))
-    deq = dequantize_b(lvl, qp, n, bd)
+    deq = dequantize_b(lvl, qp, n, bd, scaling, is_intra)
     rr = inv_transform_b(deq, n, dst, bd)
     rres = jnp.where(cbf[:, None, None], rr, 0)
     return lvl, rres, cbf
 
 
 def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
-             bd: int, sdh: bool, do_rdoq: bool, lossless: bool):
+             bd: int, sdh: bool, do_rdoq: bool, lossless: bool,
+             scaling: bool = False):
     """The full coeffs_from_pred / tb_process transform chain for a batch
     of same-size TUs: residual -> (levels, recon-residual, cbf).
 
@@ -280,4 +321,4 @@ def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
     from jax import enable_x64
     with enable_x64():
         return _tq_chain(resi, qp, scan_sel, n, dst, is_intra, bd, sdh,
-                         do_rdoq, lossless)
+                         do_rdoq, lossless, scaling)

@@ -374,8 +374,32 @@ static void inv_transform(const int32_t* coeff, int n, bool dst, int bd, int32_t
     }
 }
 
+// default scaling matrices (--scaling-list default; 7.4.5 ScalingFactor
+// derivation 7-40..7-46): 4x4 flat 16; 8/16/32 from the 8x8 base
+// (kScaling8Intra/Inter, tables_gen.h) nearest-upsampled, DC kept at 16.
+// Must match x265_tpu.hevc.tables.default_scaling_matrix exactly.
+static const int32_t* default_scaling(int log2, bool intra) {
+  static int32_t cache[4][2][32 * 32];
+  static bool built = false;
+  if (!built) {
+    for (int lg = 2; lg <= 5; lg++)
+      for (int it = 0; it < 2; it++) {
+        int n = 1 << lg;
+        int32_t* m = cache[lg - 2][it];
+        const int32_t* base = it ? kScaling8Intra : kScaling8Inter;
+        for (int y = 0; y < n; y++)
+          for (int x = 0; x < n; x++)
+            m[y * n + x] = (lg == 2) ? 16
+                                     : base[(y * 8 / n) * 8 + (x * 8 / n)];
+        if (lg >= 4) m[0] = 16;
+      }
+    built = true;
+  }
+  return cache[log2 - 2][intra ? 1 : 0];
+}
+
 static void quantize(const int32_t* coeff, int n, int qp, int bd, int32_t* lvl,
-                     bool is_intra = true) {
+                     bool is_intra = true, const int32_t* m = nullptr) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int tr_shift = 15 - bd - log2;
@@ -383,18 +407,23 @@ static void quantize(const int32_t* coeff, int n, int qp, int bd, int32_t* lvl,
   int64_t offset = (int64_t)(is_intra ? 171 : 85) << (qbits - 9);
   for (int i = 0; i < n * n; i++) {
     int64_t a = coeff[i] < 0 ? -(int64_t)coeff[i] : coeff[i];
-    int v = (int)std::min<int64_t>((a * kQuantScale[rem] + offset) >> qbits, 32767);
+    // per-position quant coef with scaling lists: quantScale*16/m
+    // (x265 ScalingList::processScalingListEnc quantCoef derivation)
+    int64_t sc = m ? (int64_t)kQuantScale[rem] * 16 / m[i] : kQuantScale[rem];
+    int v = (int)std::min<int64_t>((a * sc + offset) >> qbits, 32767);
     lvl[i] = coeff[i] < 0 ? -v : v;
   }
 }
 
-static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out) {
+static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out,
+                       const int32_t* m = nullptr) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int bd_shift = bd + log2 - 5;
   int64_t scale = (int64_t)kDequantScale[rem] * 16;
   for (int i = 0; i < n * n; i++) {
-    int64_t d = ((int64_t)lvl[i] * (scale << per)) + (1LL << (bd_shift - 1));
+    int64_t sc = m ? (int64_t)kDequantScale[rem] * m[i] : scale;
+    int64_t d = ((int64_t)lvl[i] * (sc << per)) + (1LL << (bd_shift - 1));
     out[i] = clip3(-32768, 32767, (int)(d >> bd_shift));
   }
 }
@@ -406,14 +435,17 @@ static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out) 
 // oracle and the TPU residual pipeline decide identically:
 //   cost*32*err_norm = 32*e^2 + (LAM32[qp] << 2*tr_shift) * rate
 static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
-                        int bd) {
+                        int bd, const int32_t* m = nullptr) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int bd_shift = bd + log2 - 5;
   int64_t scale = (int64_t)kDequantScale[rem] * 16;
   int tr_shift = 15 - bd - log2;
   int64_t lam_fx = kRdoqLam32[qp] << (2 * tr_shift);
-  auto deq = [&](int64_t l) { return (l * (scale << per)) >> bd_shift; };
+  auto deq = [&](int64_t l, int i) {
+    int64_t sc = m ? (int64_t)kDequantScale[rem] * m[i] : scale;
+    return (l * (sc << per)) >> bd_shift;
+  };
   auto rate = [&](int64_t l) -> int64_t {
     if (l == 0) return 1;
     int64_t r = 3;                        // sig + gt1 + sign
@@ -429,7 +461,7 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
     int64_t bl = l0;
     int64_t cands[3] = {l0, l0 - 1, 0};
     for (int64_t l : cands) {
-      int64_t e = c - s * deq(l);
+      int64_t e = c - s * deq(l, i);
       int64_t cost = 32 * e * e + lam_fx * rate(l);
       if (cost < best) { best = cost; bl = l; }
     }
@@ -447,7 +479,7 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
           int64_t c = coeff[idx];
           int64_t l = lvl[idx] < 0 ? -(int64_t)lvl[idx] : lvl[idx];
           int s = lvl[idx] < 0 ? -1 : 1;
-          int64_t e = c - s * deq(l);
+          int64_t e = c - s * deq(l, idx);
           d_now += e * e;
           d_zero += c * c;
           r_now += rate(l);
@@ -903,6 +935,14 @@ struct Writer {
       }
   }
   int pad_luma = 80;
+  // --scaling-list default: per-size spec default matrices in
+  // quant/dequant/RDOQ (scalinglist.cpp analog); 0 = flat
+  int scaling = 0;
+  const int32_t* sm(int n, bool intra) const {
+    if (!scaling) return nullptr;
+    int lg = 0; while ((1 << lg) < n) lg++;
+    return default_scaling(lg, intra);
+  }
   int ref_poc[2][4] = {{0}};
   int nref[2] = {0, 0};
   int cur_poc = 0;
@@ -1429,9 +1469,10 @@ struct Writer {
       int lg = 0; while ((1 << lg) < n) lg++;
       denoise(cf.data(), n, lg, pl, false);
     }
-    quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false);
+    const int32_t* mtx = sm(n, false);
+    quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false, mtx);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl, n, qpc, bd);
+      rdoq_adjust(cf.data(), lvl, n, qpc, bd, mtx);
     bool nz = false;
     for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1443,7 +1484,7 @@ struct Writer {
     memset(rres, 0, n * n * sizeof(int32_t));
     if (nz) {
       std::vector<int32_t> deq(n * n);
-      dequantize(lvl, n, qpc, bd, deq.data());
+      dequantize(lvl, n, qpc, bd, deq.data(), mtx);
       inv_transform(deq.data(), n, false, bd, rres);
     }
     return nz;
@@ -1822,9 +1863,10 @@ struct Writer {
     std::vector<int32_t> cf(nt * nt), lvl(nt * nt);
     fwd_transform(resi.data(), nt, use_dst, bd, cf.data());
     denoise(cf.data(), nt, log2, plane, true);
-    quantize(cf.data(), nt, qpc, bd, lvl.data());
+    const int32_t* mtx = sm(nt, true);
+    quantize(cf.data(), nt, qpc, bd, lvl.data(), true, mtx);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd);
+      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd, mtx);
     bool nz = false;
     for (int i = 0; i < nt * nt; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1836,7 +1878,7 @@ struct Writer {
     std::vector<int32_t> rres(nt * nt, 0);
     if (nz) {
       std::vector<int32_t> deq(nt * nt);
-      dequantize(lvl.data(), nt, qpc, bd, deq.data());
+      dequantize(lvl.data(), nt, qpc, bd, deq.data(), mtx);
       inv_transform(deq.data(), nt, use_dst, bd, rres.data());
     }
     memcpy(coeff_out, lvl.data(), nt * nt * sizeof(int32_t));
@@ -1963,7 +2005,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     const int16_t* pre_rec_cb, const int16_t* pre_rec_cr,
                     int collect_only, int16_t* exp_lvl_y,
                     int16_t* exp_lvl_cb, int16_t* exp_lvl_cr,
-                    uint8_t* exp_cbf8, uint8_t* exp_has8) {
+                    uint8_t* exp_cbf8, uint8_t* exp_has8,
+                    int scaling_lists) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -2004,6 +2047,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   }
   w.ctb_begin = ctb_begin;
   w.ctb_count = ctb_count;
+  w.scaling = scaling_lists;
   if (collect_only) w.cab.enabled = false;
   if (exp_lvl_y) {
     w.exp_lvl_y = exp_lvl_y; w.exp_lvl_cb = exp_lvl_cb;

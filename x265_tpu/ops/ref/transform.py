@@ -172,7 +172,8 @@ def transform_skip_residual(dequant: np.ndarray, bit_depth: int = 8) -> np.ndarr
 
 
 def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
-         lam: float = None, bit_depth: int = 8) -> np.ndarray:
+         lam: float = None, bit_depth: int = 8,
+         m: np.ndarray = None) -> np.ndarray:
     """Rate-distortion optimized quantization, simplified (x265 analog:
     Quant::rdoQuant, quant.cpp:610; this keeps the two decisions that
     carry most of the gain — per-coefficient level choice among
@@ -189,12 +190,17 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
     n = 1 << log2
     per, rem = qp // 6, qp % 6
     bd_shift = bit_depth + log2 - 5
-    scale = int(LEV_SCALE[rem]) * 16
+    mm = 16 if m is None else m.astype(np.int64)
+    scale = int(LEV_SCALE[rem]) * mm          # scalar, or [n,n] with lists
     tr_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2
     lam_fx = int(RDOQ_LAM32[qp]) << (2 * tr_shift)
 
-    def deq(l):
-        return (l.astype(np.int64) * scale << per) >> bd_shift
+    scale_cg = (scale if np.isscalar(scale)
+                else scale.reshape(n // 4, 4, n // 4, 4))
+
+    def deq(l, s=None):
+        s = scale if s is None else s
+        return (l.astype(np.int64) * s << per) >> bd_shift
 
     c = coeff.astype(np.int64)
     sgn = np.sign(level)
@@ -229,7 +235,7 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
     cg_l = np.abs(og).astype(np.int64)
     cgc = c.reshape(n // 4, 4, n // 4, 4)
     d_zero = cgc * cgc
-    e_now = cgc - np.sign(og) * deq(cg_l).reshape(n // 4, 4, n // 4, 4)
+    e_now = cgc - np.sign(og) * deq(cg_l, scale_cg)
     d_now = e_now * e_now
     r_now = rate(cg_l)
     dd = (d_zero - d_now).sum(axis=(1, 3))
