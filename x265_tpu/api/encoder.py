@@ -140,6 +140,7 @@ class Encoder:
             cb_qp_offset=p.cb_qp_offset,
             cr_qp_offset=p.cr_qp_offset,
             transquant_bypass_enabled=p.lossless,
+            transform_skip_enabled=p.tskip,
             cu_qp_delta_enabled=((p.aq_mode > 0 or p.cu_tree)
                                  and not p.lossless),
             diff_cu_qp_delta_depth=0,          # QG == CTB
@@ -1051,7 +1052,8 @@ class Encoder:
                     col_from_l0=int(sh.collocated_from_l0), nr=nr_arrs,
                     pre=state["pre"], ctb_begin=begin, ctb_count=count,
                     collect=collect_arg,
-                    scaling_lists=bool(p.scaling_lists))
+                    scaling_lists=bool(p.scaling_lists),
+                    tskip=p.tskip)
 
             wc = p.pic_width_in_ctbs
             hc = p.pic_height_in_ctbs
@@ -1133,7 +1135,11 @@ class Encoder:
             # double-finalize of round 2 (x265 derives SAO from stats
             # without re-encoding, sao.cpp:1225)
             collect_bufs = None
-            if sao_on:
+            # --tskip: the collected level planes cannot carry the per-TB
+            # transform_skip_flag, so the emit-only replay would drop it;
+            # fall back to a full recompute second pass (decisions are
+            # deterministic, so the streams still match)
+            if sao_on and not p.tskip:
                 h8n, w8n = p.height >> 3, p.width >> 3
                 collect_bufs = {
                     "lvl_y": np.zeros((p.height, p.width), np.int16),
@@ -1184,12 +1190,13 @@ class Encoder:
                                                    p.bit_depth,
                                                    stats=stats)
                     sh.sao_luma = sh.sao_chroma = True
-                    state["pre"] = {
-                        **collect_bufs,
-                        "rec_y": pre_lf_recon[0].astype(np.int16),
-                        "rec_cb": pre_lf_recon[1].astype(np.int16),
-                        "rec_cr": pre_lf_recon[2].astype(np.int16)}
-                    state["nr_reset"] = False
+                    if collect_bufs is not None:
+                        state["pre"] = {
+                            **collect_bufs,
+                            "rec_y": pre_lf_recon[0].astype(np.int16),
+                            "rec_cb": pre_lf_recon[1].astype(np.int16),
+                            "rec_cr": pre_lf_recon[2].astype(np.int16)}
+                        state["nr_reset"] = False
                     with _sc("finalize"):
                         slice_data = run_native(sp)[0]
                     with _sc("loopfilter"):

@@ -118,6 +118,7 @@ class Param:
     psy_rd: float = 2.0
     lossless: bool = False
     scaling_lists: str = ""      # ""/off | "default" (--scaling-list)
+    tskip: bool = False          # transform skip on 4x4 TBs (--tskip)
     cb_qp_offset: int = 0
     cr_qp_offset: int = 0
     sign_hide: bool = True
@@ -314,6 +315,7 @@ _OPT_ALIASES = {
     "psy-rd": "psy_rd",
     "lossless": "lossless",
     "scaling-list": "scaling_lists",
+    "tskip": "tskip",
     "cbqpoffs": "cb_qp_offset",
     "crqpoffs": "cr_qp_offset",
     "signhide": "sign_hide",
@@ -486,6 +488,7 @@ def check_params(p: Param) -> Param:
         p.qp = 4              # lambda source for RDO (doc/reST/lossless.rst:43-45)
         p.rdoq_level = 0
         p.scaling_lists = ""  # no transform, no matrices
+        p.tskip = False       # no transform to skip
         p.sao = False
         p.deblock = False
         p.sign_hide = False

@@ -100,6 +100,11 @@ class FrameSyntaxWriter:
         # scaling lists (--scaling-list; 7.4.5): per-(size, intra, plane)
         # m matrices for quant/dequant, None = flat 16
         self._sm_cache = {}
+        # transform skip (--tskip; 7.3.8.11 transform_skip_flag, 4x4 TBs
+        # only): per-TB decisions recorded here by the coeff functions,
+        # read back by the residual emitters
+        self.tskip = bool(getattr(pps, "transform_skip_enabled", False))
+        self._tsmap = {}
         self.bd = sps.bit_depth
         self.qp_y = sh.qp
         self.cur_poc = cur_poc
@@ -384,7 +389,8 @@ class FrameSyntaxWriter:
                 scan = coeff_scan_index(2, 0, modes[i], True)
                 encode_residual(cab, y_coeff, 2, 0, scan,
                                 sign_hiding=pps.sign_data_hiding,
-                                transquant_bypass=self.lossless)
+                                transquant_bypass=self.lossless,
+                                transform_skip=self._ts_arg(0, xb, yb, 2))
             self._reconstruct(0, xb, yb, 2, modes[i], y_resi)
             self.avail4[yb >> 2, xb >> 2] = True
             if i == 3:
@@ -393,12 +399,16 @@ class FrameSyntaxWriter:
                     scan = coeff_scan_index(2, 1, chroma_mode, True)
                     encode_residual(cab, cb_coeff, 2, 1, scan,
                                     sign_hiding=pps.sign_data_hiding,
-                                    transquant_bypass=self.lossless)
+                                    transquant_bypass=self.lossless,
+                                    transform_skip=self._ts_arg(
+                                        1, x0 >> 1, y0 >> 1, 2))
                 if cbf_cr:
                     scan = coeff_scan_index(2, 2, chroma_mode, True)
                     encode_residual(cab, cr_coeff, 2, 2, scan,
                                     sign_hiding=pps.sign_data_hiding,
-                                    transquant_bypass=self.lossless)
+                                    transquant_bypass=self.lossless,
+                                    transform_skip=self._ts_arg(
+                                        2, x0 >> 1, y0 >> 1, 2))
                 self._reconstruct(1, x0 >> 1, y0 >> 1, 2, chroma_mode,
                                   cb_resi)
                 self._reconstruct(2, x0 >> 1, y0 >> 1, 2, chroma_mode,
@@ -439,12 +449,16 @@ class FrameSyntaxWriter:
             scan = coeff_scan_index(log2_tb - 1, 1, chroma_mode, True)
             encode_residual(cab, cb_coeff, log2_tb - 1, 1, scan,
                             sign_hiding=pps.sign_data_hiding,
-                            transquant_bypass=self.lossless)
+                            transquant_bypass=self.lossless,
+                            transform_skip=self._ts_arg(
+                                1, x0 >> 1, y0 >> 1, log2_tb - 1))
         if cbf_cr:
             scan = coeff_scan_index(log2_tb - 1, 2, chroma_mode, True)
             encode_residual(cab, cr_coeff, log2_tb - 1, 2, scan,
                             sign_hiding=pps.sign_data_hiding,
-                            transquant_bypass=self.lossless)
+                            transquant_bypass=self.lossless,
+                            transform_skip=self._ts_arg(
+                                2, x0 >> 1, y0 >> 1, log2_tb - 1))
 
         # reconstruct + update availability
         self._reconstruct(0, x0, y0, log2_tb, mode, y_resi)
@@ -649,11 +663,15 @@ class FrameSyntaxWriter:
             if cbf_cb:
                 encode_residual(cab, cb_lvl, log2_cb - 1, 1, 0,
                                 sign_hiding=sdh,
-                                transquant_bypass=self.lossless)
+                                transquant_bypass=self.lossless,
+                                transform_skip=self._ts_arg(
+                                    1, x0 >> 1, y0 >> 1, log2_cb - 1))
             if cbf_cr:
                 encode_residual(cab, cr_lvl, log2_cb - 1, 2, 0,
                                 sign_hiding=sdh,
-                                transquant_bypass=self.lossless)
+                                transquant_bypass=self.lossless,
+                                transform_skip=self._ts_arg(
+                                    2, x0 >> 1, y0 >> 1, log2_cb - 1))
         else:
             # transform_tree depth 0 (implicit split): hierarchical
             # chroma cbfs (ctxInc = trafoDepth), 4 z-order leaves, each a
@@ -744,6 +762,41 @@ class FrameSyntaxWriter:
                 out[..., lx][self.ic.ref4[..., lx] == r] = poc
         return out
 
+    def _try_tskip(self, c_idx, x0, y0, resi, qp, is_intra, scan,
+                   level_d, rres_d, m):
+        """Transform-skip candidate for a 4x4 TB (quant.cpp transformNxN
+        tskip branch): quantize resi << trShift, reconstruct via the
+        spec's ts inverse (8.6.4.2), keep whichever of {DCT/DST, skip}
+        wins the shared integer RD cost. Records the flag for the
+        residual emitter. DCT-domain noise reduction never applies to
+        the skip chain (there is no DCT)."""
+        from x265_tpu.ops.ref.transform import (
+            forward_transform_skip, transform_skip_residual, tb_cost32)
+        cf_s = forward_transform_skip(resi, self.bd)
+        lvl_s = quantize(cf_s, qp, 2, is_intra, self.bd, m)
+        if self.rdoq_level > 0 and np.any(lvl_s):
+            lvl_s = rdoq(cf_s, lvl_s, qp, 2, None, self.bd, m)
+        if self.pps.sign_data_hiding and np.any(lvl_s):
+            lvl_s = sign_bit_hiding_adjust(lvl_s, scan)
+        if np.any(lvl_s):
+            deq = dequantize(lvl_s, qp, 2, self.bd, m)
+            rres_s = transform_skip_residual(deq, self.bd)
+        else:
+            rres_s = np.zeros_like(resi)
+        cost_d = tb_cost32(resi, rres_d, level_d, qp)
+        cost_s = tb_cost32(resi, rres_s, lvl_s, qp)
+        if cost_s < cost_d:
+            self._tsmap[(c_idx, x0, y0)] = 1
+            return lvl_s, rres_s
+        self._tsmap[(c_idx, x0, y0)] = 0
+        return level_d, rres_d
+
+    def _ts_arg(self, c_idx, x0, y0, log2):
+        """transform_skip_flag to signal for this TB (-1 = not present)."""
+        if log2 != 2 or not self.tskip or self.lossless:
+            return -1
+        return self._tsmap.get((c_idx, x0, y0), 0)
+
     def _sm(self, log2, is_intra, c_idx):
         """Scaling matrix m for quant/dequant (None when lists are off)."""
         key = (log2, is_intra, c_idx)
@@ -777,10 +830,14 @@ class FrameSyntaxWriter:
             level = rdoq(coeff, level, qp, log2, lam, self.bd, m)
         if self.pps.sign_data_hiding and np.any(level):
             level = sign_bit_hiding_adjust(level, SCANS[(log2, 0)])
-        if not np.any(level):
-            return level, np.zeros_like(resi)
-        deq = dequantize(level, qp, log2, self.bd, m)
-        recon_resi = inverse_transform(deq, use_dst, self.bd)
+        if np.any(level):
+            deq = dequantize(level, qp, log2, self.bd, m)
+            recon_resi = inverse_transform(deq, use_dst, self.bd)
+        else:
+            recon_resi = np.zeros_like(resi)
+        if log2 == 2 and self.tskip and not self.lossless:
+            return self._try_tskip(c_idx, x0, y0, resi, qp, is_intra_tb,
+                                   SCANS[(2, 0)], level, recon_resi, m)
         return level, recon_resi
 
     def _denoise(self, coeff, log2, c_idx, is_intra_tb):
@@ -842,10 +899,15 @@ class FrameSyntaxWriter:
         if self.pps.sign_data_hiding and np.any(level):
             scan = SCANS[(log2, coeff_scan_index(log2, c_idx, mode, True))]
             level = sign_bit_hiding_adjust(level, scan)
-        if not np.any(level):
-            return level, np.zeros_like(resi)
-        deq = dequantize(level, qp, log2, self.bd, m)
-        recon_resi = inverse_transform(deq, use_dst, self.bd)
+        if np.any(level):
+            deq = dequantize(level, qp, log2, self.bd, m)
+            recon_resi = inverse_transform(deq, use_dst, self.bd)
+        else:
+            recon_resi = np.zeros_like(resi)
+        if log2 == 2 and self.tskip and not self.lossless:
+            sc = SCANS[(2, coeff_scan_index(2, c_idx, mode, True))]
+            return self._try_tskip(c_idx, x0, y0, resi, qp, True, sc,
+                                   level, recon_resi, m)
         return level, recon_resi
 
     def _reconstruct(self, c_idx, x0, y0, log2, mode, resi):

@@ -70,10 +70,18 @@ def _sig_ctx(x: int, y: int, log2: int, luma: bool, scan_idx: int,
 def encode_residual(enc: CabacEncoder, coeff: np.ndarray, log2: int,
                     c_idx: int, scan_idx: int,
                     sign_hiding: bool = False,
-                    transquant_bypass: bool = False) -> None:
-    """Encode one TB's coefficients. coeff: [n, n] int array (raster)."""
+                    transquant_bypass: bool = False,
+                    transform_skip: int = -1) -> None:
+    """Encode one TB's coefficients. coeff: [n, n] int array (raster).
+
+    transform_skip: -1 = flag not present; 0/1 = signal
+    transform_skip_flag (7.3.8.11, 4x4 TBs with --tskip) before the
+    last-position syntax — mirroring the decoder's parse order."""
     n = 1 << log2
     luma = c_idx == 0
+    if transform_skip >= 0:
+        enc.encode_bin(CTX_OFF["transform_skip_luma" if luma else
+                               "transform_skip_chroma"], transform_skip)
     scan = SCANS[(log2, scan_idx)]
     cg_scan = CG_SCANS[(log2, scan_idx)]
     flat = coeff.reshape(-1)

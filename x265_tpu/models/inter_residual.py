@@ -309,7 +309,11 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     ctb_l2 = p.ctb_log2
     any_pre = False
     classes = []          # (n, N, x0, y0, ys8, xs8, device batch args)
-    for s_log2 in (3, 4, 5, 6):
+    # --tskip: 8x8 CUs have 4x4 chroma TBs with a per-TB transform_skip
+    # decision the pre-tensor wire cannot carry — leave that class to the
+    # native compute path (which decides identically)
+    sizes = (4, 5, 6) if p.tskip else (3, 4, 5, 6)
+    for s_log2 in sizes:
         n = 1 << s_log2
         if n > min(h, w):
             continue

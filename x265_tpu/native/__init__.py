@@ -105,6 +105,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,   # exp lvl y/cb/cr
             ctypes.c_void_p, ctypes.c_void_p,                    # exp cbf8/has8
             ctypes.c_int,                                        # scaling_lists
+            ctypes.c_int,                                        # tskip
         ]
         _lib = lib
         return _lib
@@ -164,7 +165,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
                     weights=None, col=None, col_from_l0=1, nr=None,
                     pre=None, ctb_begin=0, ctb_count=-1,
-                    collect=None, scaling_lists=False):
+                    collect=None, scaling_lists=False, tskip=False):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -303,7 +304,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
         cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
         nro_p, nrs_p, nrc_p, int(ctb_begin), int(ctb_count), *pre_ptrs,
-        collect_only, *exp_ptrs, int(scaling_lists))
+        collect_only, *exp_ptrs, int(scaling_lists), int(tskip))
     if n < 0:
         return None
     return (out[:n].tobytes(),

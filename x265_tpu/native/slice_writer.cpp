@@ -721,10 +721,15 @@ static void encode_remain(Cabac& cab, int value, int rice) {
 }
 
 static void encode_residual(Cabac& cab, const int32_t* coeff, int log2,
-                            int c_idx, int si, bool sign_hiding, bool tqb) {
+                            int c_idx, int si, bool sign_hiding, bool tqb,
+                            int ts = -1) {
   if (!cab.enabled) return;      // collect-only pass: bins are no-ops
   int n = 1 << log2;
   bool luma = c_idx == 0;
+  // transform_skip_flag (7.3.8.11): present for 4x4 TBs with --tskip,
+  // coded before the last-position syntax (decoder parse order)
+  if (ts >= 0)
+    cab.bin(luma ? CTX_TRANSFORM_SKIP_LUMA : CTX_TRANSFORM_SKIP_CHROMA, ts);
   const uint16_t* scan = scan_tab(log2, si);
   const uint16_t* cgs = cg_scan_tab(log2, si);
   int ncoef = n * n;
@@ -942,6 +947,69 @@ struct Writer {
     if (!scaling) return nullptr;
     int lg = 0; while ((1 << lg) < n) lg++;
     return default_scaling(lg, intra);
+  }
+  // --tskip: transform_skip_flag on 4x4 TBs; the compute functions store
+  // the per-plane decision here and the residual emitters read it back
+  int tskip = 0;
+  int ts_flag[3] = {-1, -1, -1};
+  // transform-skip candidate for a 4x4 TB (quant.cpp transformNxN tskip
+  // branch). Both chains are ranked with the shared integer RD cost
+  // (32*SSE + kRdoqLam32[qp]*rate) so oracle and native pick alike.
+  // Returns the flag (0/1) and overwrites lvl/rres when skip wins.
+  int try_tskip(const int32_t* resi, int qpc, bool is_intra,
+                const int32_t* mtx, const uint16_t* scan,
+                int32_t* lvl, int32_t* rres) {
+    int32_t cfs[16], lvs[16], rrs[16];
+    int tsh = 13 - bd;
+    for (int i = 0; i < 16; i++) cfs[i] = resi[i] << tsh;
+    quantize(cfs, 4, qpc, bd, lvs, is_intra, mtx);
+    bool nz = false;
+    for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
+    if (rdoq_level > 0 && nz) {
+      rdoq_adjust(cfs, lvs, 4, qpc, bd, mtx);
+      nz = false;
+      for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
+    }
+    if (nz && sign_hiding) {
+      sbh_adjust(lvs, 4, scan);
+      nz = false;
+      for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
+    }
+    if (nz) {
+      int32_t deq[16];
+      dequantize(lvs, 4, qpc, bd, deq, mtx);
+      int s2 = 20 - bd;   // ts inverse (8.6.4.2): (deq<<7 + rnd) >> (20-bd)
+      for (int i = 0; i < 16; i++)
+        rrs[i] = clip3(-32768, 32767,
+                       (int)((((int64_t)deq[i] << 7) + (1LL << (s2 - 1)))
+                             >> s2));
+    } else {
+      memset(rrs, 0, sizeof(rrs));
+    }
+    auto rate1 = [](int64_t l) -> int64_t {
+      if (l < 0) l = -l;
+      if (l == 0) return 1;
+      int64_t r = 3;
+      if (l > 1) r += 2 + 2 * (63 - __builtin_clzll((uint64_t)l));
+      return r;
+    };
+    auto cost32 = [&](const int32_t* lv, const int32_t* rr) -> int64_t {
+      int64_t sse = 0, rate = 0;
+      bool any = false;
+      for (int i = 0; i < 16; i++) {
+        int64_t e = (int64_t)resi[i] - rr[i];
+        sse += e * e;
+        rate += rate1(lv[i]);
+        if (lv[i]) any = true;
+      }
+      return 32 * sse + kRdoqLam32[qpc] * (any ? rate : 0);
+    };
+    if (cost32(lvs, rrs) < cost32(lvl, rres)) {
+      memcpy(lvl, lvs, sizeof(lvs));
+      memcpy(rres, rrs, sizeof(rrs));
+      return 1;
+    }
+    return 0;
   }
   int ref_poc[2][4] = {{0}};
   int nref[2] = {0, 0};
@@ -1487,6 +1555,13 @@ struct Writer {
       dequantize(lvl, n, qpc, bd, deq.data(), mtx);
       inv_transform(deq.data(), n, false, bd, rres);
     }
+    ts_flag[pl] = -1;
+    if (n == 4 && tskip && !lossless) {
+      ts_flag[pl] = try_tskip(resi.data(), qpc, false, mtx,
+                              scan_tab(2, 0), lvl, rres);
+      nz = false;
+      for (int i = 0; i < 16; i++) if (lvl[i]) { nz = true; break; }
+    }
     return nz;
   }
 
@@ -1699,10 +1774,10 @@ struct Writer {
                         lossless);
       if (cbf_cb)
         encode_residual(cab, cblvl.data(), log2_cb - 1, 1, 0, sign_hiding,
-                        lossless);
+                        lossless, log2_cb == 3 ? ts_flag[1] : -1);
       if (cbf_cr)
         encode_residual(cab, crlvl.data(), log2_cb - 1, 2, 0, sign_hiding,
-                        lossless);
+                        lossless, log2_cb == 3 ? ts_flag[2] : -1);
     } else {
       // transform_tree at depth 0 (implicit split): hierarchical chroma
       // cbfs (ctxInc = trafoDepth, 9.3.4.2.2), then the 4 leaves in
@@ -1881,6 +1956,14 @@ struct Writer {
       dequantize(lvl.data(), nt, qpc, bd, deq.data(), mtx);
       inv_transform(deq.data(), nt, use_dst, bd, rres.data());
     }
+    ts_flag[plane] = -1;
+    if (nt == 4 && tskip && !lossless) {
+      int si = scan_index(2, plane == 0 ? 0 : 1, mode, true);
+      ts_flag[plane] = try_tskip(resi.data(), qpc, true, mtx,
+                                 scan_tab(2, si), lvl.data(), rres.data());
+      nz = false;
+      for (int i = 0; i < 16; i++) if (lvl.data()[i]) { nz = true; break; }
+    }
     memcpy(coeff_out, lvl.data(), nt * nt * sizeof(int32_t));
     for (int j = 0; j < nt; j++)
       for (int i = 0; i < nt; i++)
@@ -1912,11 +1995,13 @@ struct Writer {
     }
     if (cbf_cb) {
       int si = scan_index(log2_tb - 1, 1, chroma_mode, true);
-      encode_residual(cab, ccf.data(), log2_tb - 1, 1, si, sign_hiding, lossless);
+      encode_residual(cab, ccf.data(), log2_tb - 1, 1, si, sign_hiding,
+                      lossless, log2_tb == 3 ? ts_flag[1] : -1);
     }
     if (cbf_cr) {
       int si = scan_index(log2_tb - 1, 2, chroma_mode, true);
-      encode_residual(cab, rcf.data(), log2_tb - 1, 2, si, sign_hiding, lossless);
+      encode_residual(cab, rcf.data(), log2_tb - 1, 2, si, sign_hiding,
+                      lossless, log2_tb == 3 ? ts_flag[2] : -1);
     }
     for (int yy = y0 >> 2; yy < (y0 + nt) >> 2; yy++)
       for (int xx = x0 >> 2; xx < (x0 + nt) >> 2; xx++)
@@ -2006,7 +2091,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     int collect_only, int16_t* exp_lvl_y,
                     int16_t* exp_lvl_cb, int16_t* exp_lvl_cr,
                     uint8_t* exp_cbf8, uint8_t* exp_has8,
-                    int scaling_lists) {
+                    int scaling_lists, int tskip_enabled) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -2048,6 +2133,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.ctb_begin = ctb_begin;
   w.ctb_count = ctb_count;
   w.scaling = scaling_lists;
+  w.tskip = tskip_enabled;
   if (collect_only) w.cab.enabled = false;
   if (exp_lvl_y) {
     w.exp_lvl_y = exp_lvl_y; w.exp_lvl_cb = exp_lvl_cb;

@@ -171,6 +171,36 @@ def transform_skip_residual(dequant: np.ndarray, bit_depth: int = 8) -> np.ndarr
     return np.clip(r, -32768, 32767).astype(np.int32)
 
 
+def rate_bins(l: np.ndarray) -> np.ndarray:
+    """Static bin-count rate model shared by RDOQ and the transform-skip
+    decision (sig + gt1 + sign, plus golomb-ish tail for l > 1)."""
+    l = np.abs(l).astype(np.int64)
+    r = np.where(l > 0, 3, 1).astype(np.int64)
+    lg = np.zeros_like(l)
+    mask = l > 1
+    lg[mask] = np.floor(np.log2(l[mask].astype(np.float64))).astype(np.int64)
+    return r + np.where(mask, 2 + 2 * lg, 0)
+
+
+def tb_cost32(resi: np.ndarray, rres: np.ndarray, level: np.ndarray,
+              qp: int) -> int:
+    """Pixel-domain integer RD cost of one coded TB:
+    32*SSE + RDOQ_LAM32[qp]*rate (the same fixed-point lambda the RDOQ
+    uses, so native/oracle/device rank candidates identically)."""
+    from x265_tpu.hevc.tables import RDOQ_LAM32
+    e = resi.astype(np.int64) - rres.astype(np.int64)
+    nz = level.any()
+    rate = int(rate_bins(level).sum()) if nz else 0
+    return 32 * int((e * e).sum()) + int(RDOQ_LAM32[qp]) * rate
+
+
+def forward_transform_skip(resi: np.ndarray, bit_depth: int = 8) -> np.ndarray:
+    """Forward path of a transform-skip 4x4 TB (quant.cpp transformNxN
+    tskip branch): coeff = resi << trShift, the same gain the DCT stage
+    shifts produce."""
+    return (resi.astype(np.int32) << (13 - bit_depth))
+
+
 def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
          lam: float = None, bit_depth: int = 8,
          m: np.ndarray = None) -> np.ndarray:
