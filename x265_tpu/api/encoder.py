@@ -93,6 +93,8 @@ class Encoder:
             # the spec default matrices apply (7.4.3.2; x265
             # scalinglist.cpp:417 setDefaultScalingList)
             scaling_list_enabled=bool(p.scaling_lists),
+            # --frame-dup signals dropped duplicates via pic_struct
+            frame_field_info=p.frame_dup,
         )
         # HDR10 / colour description (x265 Encoder::configure vui wiring)
         from x265_tpu.api.params import (
@@ -159,6 +161,28 @@ class Encoder:
         # recon sink: called (display_index, (y, cb, cr)) per finished
         # picture in encode order — ReconPlay/recon-file reorder by index
         self.recon_sink = None
+        # x265_encoder_ctu_info analog: display-index -> [cty, cx] int QP
+        # offset map, folded into that picture's qp_map (needs AQ/dqp on)
+        self._ctu_info = {}
+        # in-memory analysis reuse (x265_encoder_set_analysis_data /
+        # x265_encoder_get_analysis_data, x265.h:2108-2170): a queue of
+        # FrameDecisions consumed by intra frames, and the decisions the
+        # most recent picture actually used
+        self._analysis_queue = []
+        self._last_analysis = None
+        # per-display-frame scenecut hits (get_slicetype_poc_and_scenecut)
+        self._scenecut_frames = set()
+        # --frame-dup: display-index -> pic_struct (7 doubling, 8
+        # tripling) carried by that picture's pic_timing SEI; _emitted
+        # tracks which display pictures already left the encoder (their
+        # SEIs can no longer be amended)
+        self._pic_struct = {}
+        self._emitted = set()
+        self._dup_prev = None
+        self._hist_prev = None
+        # display index of each queued POC (diverges from _gop_base + poc
+        # once --frame-dup drops inputs)
+        self._input_idx = {}
         # HDR10+ dynamic metadata (--dhdr10-info): per-display-frame ST
         # 2094-40 JSON entries -> one prefix SEI per AU (x265 dynamicHDR10)
         self._dhdr10 = None
@@ -266,6 +290,24 @@ class Encoder:
         is_idr = (self.frame_count == 0 or
                   (p.keyint > 0 and self.frames_since_idr >= p.keyint))
         qpf_entry = self._qpfile.get(self.frame_count)
+        # --frame-dup (encoder.cpp:1602 analog): a picture whose luma
+        # PSNR against the previous input exceeds dup-threshold is
+        # dropped, and the previous picture's pic_timing SEI signals
+        # frame doubling (7) / tripling (8) so presentation timing is
+        # unchanged. Only possible while the previous picture is still
+        # queued (its SEIs are not yet written).
+        if (p.frame_dup and not is_idr and qpf_entry is None
+                and self._dup_prev is not None):
+            prev_idx = self.frame_count - 1
+            ps_now = self._pic_struct.get(prev_idx, 0)
+            if prev_idx not in self._emitted and ps_now != 8:
+                from x265_tpu.utils.metrics import psnr
+                if (psnr(np.asarray(y), self._dup_prev, p.bit_depth)
+                        >= p.dup_threshold):
+                    self._pic_struct[prev_idx] = 8 if ps_now == 7 else 7
+                    self.frame_count += 1
+                    return b""
+        self._dup_prev = np.asarray(y).copy() if p.frame_dup else None
         qp_forced = None
         force_closed = False          # 'I' = IDR even with --open-gop
         if qpf_entry is not None:
@@ -291,6 +333,17 @@ class Encoder:
                 self.frames_since_idr >= min_ki and
                 pcost >= (1.0 - p.scenecut / 400.0) * icost):
             is_idr = True
+            self._scenecut_frames.add(self.frame_count)
+        if (not is_idr and p.hist_scenecut and
+                self.frames_since_idr >= min_ki and
+                self._hist_scenecut(frame[0])):
+            # histogram-based detector (x265 --hist-scenecut,
+            # encoder.cpp:1602 computeHistogramSAD): normalized luma
+            # histogram distance against the previous frame
+            is_idr = True
+            self._scenecut_frames.add(self.frame_count)
+        self._hist_prev = (self._luma_hist(frame[0])
+                           if p.hist_scenecut else None)
         self.frame_count += 1
         if is_idr:
             if (p.open_gop and not force_closed and self.ipp
@@ -309,6 +362,7 @@ class Encoder:
             # frame_count was already incremented for this intake, so the
             # IDR's display index (== new POC 0) is frame_count - 1
             self._gop_base = self.frame_count - 1
+            self._input_idx = {0: self.frame_count - 1}
             self.frames_since_idr = 1
             qp = (self.rc.start_forced(SLICE_I, qp_forced, cost)
                   if qp_forced is not None
@@ -325,6 +379,7 @@ class Encoder:
         self.frames_since_idr += 1
         rec = getattr(self.la, "last_blocks", None) if need_la else None
         low = getattr(self.la, "last_low", None) if need_la else None
+        self._input_idx[self.poc] = self.frame_count - 1
         self.pending.append((self.poc, frame, cost, rec, low, qp_forced))
         self.poc += 1
         # queue depth: bframes+1 normally; with b-adapt the queue extends
@@ -335,6 +390,12 @@ class Encoder:
         depth = self.bframes + 1
         if self.bframes and p.b_adapt and p.rc_lookahead > depth:
             depth = min(p.rc_lookahead, 32)
+        if p.frame_dup:
+            # one extra queued picture so a duplicate's predecessor is
+            # still unemitted when the duplicate arrives (its pic_timing
+            # SEI can then signal the doubling) — x265 keeps the dup
+            # window inside the lookahead the same way
+            depth += 1
         close = len(self.pending) >= depth
         if close:
             out += self._emit_minigop()
@@ -392,6 +453,7 @@ class Encoder:
         if cra is not None:
             cra_frame, cra_cost, cra_qpf = cra
             cra_poc = self.poc
+            self._input_idx[cra_poc] = self.frame_count - 1
             self.poc += 1
             bs = queue
             self.pending = []
@@ -588,7 +650,8 @@ class Encoder:
             return min(51, p.qp + 3)
         return p.qp
 
-    def _frame_stats(self, frame, recon, slice_type, qp, bits, poc):
+    def _frame_stats(self, frame, recon, slice_type, qp, bits, poc,
+                     decisions=None):
         """Per-frame quality/bit accounting (x265 x265_frame_stats /
         csvlog_frame analog, api.cpp:1284)."""
         p = self.param
@@ -599,6 +662,22 @@ class Encoder:
             "bits": bits,
             "psnr_y": 0.0, "psnr_u": 0.0, "psnr_v": 0.0, "ssim": 0.0,
         }
+        if p.csv_log_level >= 2 and decisions is not None:
+            # x265 csv-log-level 2: per-frame analysis breakdown
+            # (api.cpp:1284 csvlog extended columns, re-imagined as CU
+            # class statistics from the decision tensors)
+            cl = decisions.cu_log2_map
+            tot = cl.size
+            if decisions.inter8 is not None:
+                inter = float(decisions.inter8.astype(bool).mean())
+            else:
+                inter = 0.0
+            st["cu_inter_pct"] = round(100.0 * inter, 2)
+            st["cu_intra_pct"] = round(100.0 * (1.0 - inter), 2)
+            st["avg_cu_size"] = round(float((1 << cl).mean()), 1)
+            for lg in (3, 4, 5, 6):
+                st[f"cu{1 << lg}_pct"] = round(
+                    100.0 * float((cl == lg).mean()), 2)
         if p.psnr_metrics:            # x265 --psnr/--ssim (off by default:
             from x265_tpu.utils.metrics import psnr, ssim   # ~100ms @720p)
             rec = tuple(np.asarray(x) for x in recon)
@@ -607,8 +686,9 @@ class Encoder:
             st["psnr_v"] = psnr(frame[2], rec[2], p.bit_depth)
             st["ssim"] = ssim(frame[0], rec[0], p.bit_depth)
         self.frame_stats.append(st)
+        self._emitted.add(self._disp_idx(poc))
         if self.recon_sink is not None:
-            self.recon_sink(self._gop_base + poc,
+            self.recon_sink(self._disp_idx(poc),
                             tuple(np.asarray(x) for x in recon))
 
     def _aud(self, slice_type: int) -> bytes:
@@ -622,16 +702,20 @@ class Encoder:
         bw.byte_align_with_ones()
         return annexb([make_nal(NAL_AUD, bw.data())])
 
-    def _hrd_sei(self, slice_type: int) -> bytes:
+    def _hrd_sei(self, slice_type: int, poc: int = -1) -> bytes:
         """Per-AU HRD timing SEIs (D.3.2/D.3.3): buffering_period at each
         IDR, pic_timing on every picture. Delays use the simplified
         fixed-rate model (one CPB, delay unit = one AU tick); output
-        delays are the reorder-depth bound, not an exact DPB schedule."""
-        if self.sps.hrd_bitrate <= 0:
+        delays are the reorder-depth bound, not an exact DPB schedule.
+        With --frame-dup the pic_timing additionally carries pic_struct
+        (doubling/tripling for pictures whose duplicates were dropped)."""
+        ffi = self.sps.frame_field_info
+        hrd = self.sps.hrd_bitrate > 0
+        if not hrd and not ffi:
             return b""
         from x265_tpu.hevc.sei import buffering_period_sei, pic_timing_sei
         out = b""
-        if slice_type == SLICE_I:
+        if hrd and slice_type == SLICE_I:
             d = int(90000 * 0.9 * self.sps.hrd_cpb_size
                     / self.sps.hrd_bitrate)
             out += annexb([buffering_period_sei(d)])
@@ -639,8 +723,11 @@ class Encoder:
         n = getattr(self, "_au_since_bp", 0)
         reorder = self.sps.num_reorder_pics
         dpb_delay = 0 if slice_type == SLICE_B else reorder + 1
+        ps = (self._pic_struct.pop(self._disp_idx(poc), 0)
+              if (ffi and poc >= 0) else (0 if ffi else None))
         out += annexb([pic_timing_sei(max(0, n - 1) if n else 0,
-                                      dpb_delay)])
+                                      dpb_delay, pic_struct=ps,
+                                      with_delays=hrd)])
         self._au_since_bp = n + 1
         return out
 
@@ -652,7 +739,7 @@ class Encoder:
         hdr10plus-opt behavior)."""
         if not self._dhdr10:
             return b""
-        idx = self._gop_base + poc
+        idx = self._disp_idx(poc)
         if idx >= len(self._dhdr10):
             return b""
         from x265_tpu.hevc.dhdr10 import dhdr10_sei, pack_st2094_40
@@ -674,6 +761,79 @@ class Encoder:
         from x265_tpu.hevc.sei import decoded_picture_hash_sei
         return annexb([decoded_picture_hash_sei(
             tuple(np.asarray(x) for x in recon), self.param.bit_depth)])
+
+    def _disp_idx(self, poc: int) -> int:
+        """Display (input) index of a POC — tracks --frame-dup drops."""
+        return self._input_idx.get(poc, self._gop_base + poc)
+
+    @staticmethod
+    def _luma_hist(y) -> np.ndarray:
+        return np.bincount((np.asarray(y) >> 2).reshape(-1).astype(np.int64),
+                           minlength=256).astype(np.float64)
+
+    def _hist_scenecut(self, y) -> bool:
+        """Normalized luma-histogram SAD vs the previous frame (x265
+        --hist-scenecut, encoder.cpp computeHistogramSAD)."""
+        h = self._luma_hist(y)
+        prev = self._hist_prev
+        if prev is None:
+            return False
+        sad = np.abs(h - prev).sum() / max(1.0, h.sum())
+        return sad > 0.35                 # x265 threshold scale (0..2)
+
+    # -- encoder query/control API (x265.h:2108-2186 analogs) --
+
+    def get_slicetype_poc_and_scenecut(self):
+        """x265_encoder_get_slicetype_poc_and_scenecut: slice type, POC
+        and scenecut state of the most recently output picture."""
+        if not self.frame_stats:
+            return None
+        st = self.frame_stats[-1]
+        return {"slice_type": st["type"], "poc": st["poc"],
+                "scenecut": self._disp_idx(st["poc"])
+                in self._scenecut_frames}
+
+    def get_ref_frame_list(self):
+        """x265_encoder_get_ref_frame_list: POCs of the pictures the
+        next P anchor would reference (L0, nearest first), plus the
+        B-pyramid mid reference when alive."""
+        l0 = [poc for (poc, _rec) in self.anchors]
+        l1 = []
+        if getattr(self, "_bref_recon", None) is not None:
+            l1 = [max(l0) + 1] if l0 else []
+        return {"l0": l0, "l1": l1}
+
+    def set_analysis_data(self, decisions) -> None:
+        """x265_encoder_set_analysis_data: queue FrameDecisions for the
+        upcoming intra pictures (the in-memory twin of --analysis-load;
+        inter analysis reuse remains file-based)."""
+        if isinstance(decisions, FrameDecisions):
+            decisions = [decisions]
+        self._analysis_queue.extend(decisions)
+
+    def get_analysis_data(self):
+        """x265_encoder_get_analysis_data: the FrameDecisions the most
+        recent picture was coded with."""
+        return self._last_analysis
+
+    def set_ctu_info(self, display_idx: int, qp_offsets) -> None:
+        """x265_encoder_ctu_info analog: per-CTU QP offsets (an ROI map,
+        [pic_height_in_ctbs, pic_width_in_ctbs] ints) folded into that
+        display picture's qp_map. Requires AQ/cu_qp_delta signalling."""
+        if not self.pps.cu_qp_delta_enabled:
+            from x265_tpu.api.params import _warn
+            _warn(self.param, "set_ctu_info needs cu_qp_delta "
+                  "(enable AQ); the offsets will be ignored")
+        self._ctu_info[display_idx] = np.asarray(qp_offsets, np.int32)
+
+    @staticmethod
+    def calculate_vmaf(*_args, **_kw):
+        """x265_calculate_vmaf analog — libvmaf is not available in this
+        build (x265 requires -DENABLE_LIBVMAF too). Use PSNR/SSIM from
+        get_stats instead."""
+        raise NotImplementedError(
+            "VMAF requires libvmaf, which this build does not bundle; "
+            "PSNR/SSIM are available via --psnr/--ssim and get_stats()")
 
     def get_stats(self):
         """x265_encoder_get_stats analog: global summary."""
@@ -719,18 +879,21 @@ class Encoder:
                 delta_poc_s0=[k - poc for k in keep_pocs],
                 used_s0=[False] * len(keep_pocs))
         if decisions is None:
-            decisions = (self._areader.get() if self._areader
-                         else self._intra_decisions(y))
+            if self._analysis_queue:
+                decisions = self._analysis_queue.pop(0)
+            else:
+                decisions = (self._areader.get() if self._areader
+                             else self._intra_decisions(y))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([], []), ((), ()), poc, SLICE_I)
         self._record_colmv(decisions, ((), ()), poc)
         self._last_recon = recon
-        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I)
+        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I, poc)
               + self._dhdr10_sei(poc, SLICE_I)
               + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
-                          len(au) * 8, poc)
+                          len(au) * 8, poc, decisions)
         return au
 
     def _assemble_slices(self, payload, sh, nal_type) -> bytes:
@@ -882,12 +1045,12 @@ class Encoder:
             from x265_tpu.hevc.sei import recovery_point_sei
             rp = annexb([recovery_point_sei(self._ir_recovery)])
             self._ir_recovery = None
-        au = (self._aud(SLICE_P) + self._hrd_sei(SLICE_P) + rp
+        au = (self._aud(SLICE_P) + self._hrd_sei(SLICE_P, poc) + rp
               + self._dhdr10_sei(poc, SLICE_P)
               + self._assemble_slices(slice_data, sh, NAL_TRAIL_R)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
-                          len(au) * 8, poc)
+                          len(au) * 8, poc, decisions)
         return au
 
     def _nr_offsets(self) -> np.ndarray:
@@ -991,7 +1154,13 @@ class Encoder:
             ct = getattr(self, "_cutree", {}).pop(poc, None)
             if ct is not None and ct.shape == off.shape:
                 off = off + ct
+            # x265_encoder_ctu_info analog: externally supplied per-CTU
+            # QP offsets (ROI maps) for this display picture
+            ci = self._ctu_info.pop(self._gop_base + poc, None)
+            if ci is not None and np.shape(ci) == off.shape:
+                off = off + np.asarray(ci, dtype=np.int32)
             decisions.qp_map = np.clip(sh.qp + off, 0, 51).astype(np.int32)
+        self._last_analysis = decisions
         if self._awriter is not None:
             self._awriter.put(decisions)
         sao_on = p.sao and not p.lossless
@@ -1344,12 +1513,12 @@ class Encoder:
             self._bref_recon = recon
         nal_type = (nal_override if nal_override is not None
                     else (NAL_TRAIL_R if as_ref else NAL_TRAIL_N))
-        au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B)
+        au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B, poc)
               + self._dhdr10_sei(poc, SLICE_B)
               + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon))
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
-                          len(au) * 8, poc)
+                          len(au) * 8, poc, decisions)
         return au
 
     def _adopt_coherent(self, y, refs0, refs1, dir_blk, mv_blk, ref_blk,

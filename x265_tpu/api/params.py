@@ -86,6 +86,10 @@ class Param:
     sar: str = ""                # sample aspect ratio (--sar W:H or idc)
     videoformat: str = ""        # --videoformat component/pal/ntsc/...
     intra_refresh: bool = False  # periodic intra column (x265 --intra-refresh)
+    frame_dup: bool = False      # drop duplicate frames + pic_struct
+    #                              doubling/tripling (x265 --frame-dup)
+    dup_threshold: int = 70      # luma PSNR (dB) to call a frame duplicate
+    hist_scenecut: bool = False  # histogram-based scenecut (--hist-scenecut)
     bframes: int = 4
     b_adapt: int = 2
     b_pyramid: bool = True
@@ -289,6 +293,9 @@ _OPT_ALIASES = {
     "sar": "sar",
     "videoformat": "videoformat",
     "intra-refresh": "intra_refresh",
+    "frame-dup": "frame_dup",
+    "dup-threshold": "dup_threshold",
+    "hist-scenecut": "hist_scenecut",
     "bframes": "bframes",
     "b-adapt": "b_adapt",
     "open-gop": "open_gop",

@@ -107,9 +107,14 @@ def main(argv=None) -> int:
         enc.use_tpu_analysis = False
 
     csv = open(args.csv, "w") if args.csv else None
+    csv2 = csv and p.csv_log_level >= 2
     if csv:   # x265 csvlog_frame column set (api.cpp:1284)
-        csv.write("Encode Order, Type, POC, QP, Bits, "
-                  "Y PSNR, U PSNR, V PSNR, SSIM, Latency ms\n")
+        cols = ("Encode Order, Type, POC, QP, Bits, "
+                "Y PSNR, U PSNR, V PSNR, SSIM, Latency ms")
+        if csv2:   # csv-log-level 2: per-frame analysis breakdown
+            cols += (", Intra CU%, Inter CU%, Avg CU size, "
+                     "CU8%, CU16%, CU32%, CU64%")
+        csv.write(cols + "\n")
 
     # recon sinks: --recon writes a Y4M file, --recon-play pipes to a
     # player (x265 --recon-y4m-exe, source/output/reconplay.cpp). Both
@@ -155,11 +160,20 @@ def main(argv=None) -> int:
             if csv:
                 while csv_done < len(enc.frame_stats):
                     s = enc.frame_stats[csv_done]
-                    csv.write(f"{csv_done}, {s['type']}, {s['poc']}, "
-                              f"{s['qp']}, {s['bits']}, "
-                              f"{s['psnr_y']:.3f}, {s['psnr_u']:.3f}, "
-                              f"{s['psnr_v']:.3f}, {s['ssim']:.5f}, "
-                              f"{dt:.1f}\n")
+                    row = (f"{csv_done}, {s['type']}, {s['poc']}, "
+                           f"{s['qp']}, {s['bits']}, "
+                           f"{s['psnr_y']:.3f}, {s['psnr_u']:.3f}, "
+                           f"{s['psnr_v']:.3f}, {s['ssim']:.5f}, "
+                           f"{dt:.1f}")
+                    if csv2:
+                        row += (f", {s.get('cu_intra_pct', 0)}"
+                                f", {s.get('cu_inter_pct', 0)}"
+                                f", {s.get('avg_cu_size', 0)}"
+                                f", {s.get('cu8_pct', 0)}"
+                                f", {s.get('cu16_pct', 0)}"
+                                f", {s.get('cu32_pct', 0)}"
+                                f", {s.get('cu64_pct', 0)}")
+                    csv.write(row + "\n")
                     csv_done += 1
             nframes += 1
             if args.frames and nframes >= args.frames:

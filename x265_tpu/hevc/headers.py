@@ -79,6 +79,8 @@ class SPS:
     temporal_mvp_enabled: bool = False
     strong_intra_smoothing: bool = True
     vui_present: bool = False
+    frame_field_info: bool = False   # VUI flag: pic_timing carries
+    #                                  pic_struct (frame-dup signalling)
     # VUI colour description (H.273); 0/unset = not signalled
     colour_primaries: int = 0
     transfer_characteristics: int = 0
@@ -550,7 +552,7 @@ def _write_vui(bw: BitWriter, sps: SPS) -> None:
         bw.write_flag(0)                  # chroma_loc_info_present
     bw.write_flag(0)                      # neutral_chroma_indication
     bw.write_flag(0)                      # field_seq
-    bw.write_flag(0)                      # frame_field_info_present
+    bw.write_flag(sps.frame_field_info)  # frame_field_info_present
     bw.write_flag(0)                      # default_display_window
     bw.write_flag(1)                      # vui_timing_info_present
     bw.write(sps.fps_den, 32)             # vui_num_units_in_tick

@@ -171,12 +171,21 @@ def buffering_period_sei(initial_delay_90k: int,
 
 
 def pic_timing_sei(au_cpb_removal_delay_m1: int,
-                   dpb_output_delay: int) -> bytes:
-    """pic_timing SEI (D.3.3) with HRD timing only (frame_field_info
-    is not signalled in our VUI)."""
+                   dpb_output_delay: int,
+                   pic_struct: Optional[int] = None,
+                   with_delays: bool = True) -> bytes:
+    """pic_timing SEI (D.3.3). pic_struct (when the VUI signals
+    frame_field_info_present) precedes the HRD delay fields; values 7/8
+    are frame doubling/tripling — how x265 --frame-dup keeps timing
+    after dropping duplicate pictures (encoder.cpp:1602)."""
     from x265_tpu.hevc.bitstream import BitWriter, NAL_PREFIX_SEI
     bw = BitWriter()
-    bw.write(min(au_cpb_removal_delay_m1, (1 << 24) - 1), 24)
-    bw.write(min(dpb_output_delay, (1 << 24) - 1), 24)
+    if pic_struct is not None:
+        bw.write(pic_struct, 4)
+        bw.write(0, 2)                   # source_scan_type: progressive
+        bw.write(0, 1)                   # duplicate_flag
+    if with_delays:
+        bw.write(min(au_cpb_removal_delay_m1, (1 << 24) - 1), 24)
+        bw.write(min(dpb_output_delay, (1 << 24) - 1), 24)
     bw.rbsp_trailing_bits()
     return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_PIC_TIMING, bw.data()))
