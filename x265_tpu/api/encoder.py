@@ -368,6 +368,10 @@ class Encoder:
                   if qp_forced is not None
                   else self.rc.start(SLICE_I, cost))
             au = self._encode_intra_frame(*frame, decisions, qp=qp)
+            rq = self.rc.reencode_qp(len(au) * 8)
+            if rq is not None:        # VBV emergency re-encode (see P path)
+                self.frame_stats.pop()
+                au = self._encode_intra_frame(*frame, decisions, qp=rq)
             self.rc.end(len(au) * 8)
             out += au
             self.anchor = (0, self._last_recon)
@@ -520,6 +524,8 @@ class Encoder:
             off = cutree_propagate(recs, p.ctb_log2, self.rc.qcompress)
             if off is not None:
                 self._cutree[anchor_poc] = off
+                if self.rc.pass_num == 1:   # ride the stats file
+                    self.rc.note_cutree(off)
         # VBV/ABR lookahead window: the mini-GOP's Bs + everything still
         # queued behind it (rateControlStart's updateVbvPlan analog)
         self.rc.set_lookahead(
@@ -529,8 +535,20 @@ class Encoder:
         qp = (self.rc.start_forced(SLICE_P, anchor_qpf, anchor_cost)
               if anchor_qpf is not None
               else self.rc.start(SLICE_P, anchor_cost))
+        if self.rc.pass_num == 2:     # reuse pass-1 cuTree offsets
+            ct2 = self.rc.cutree_from_stats()
+            if ct2 is not None:
+                self._cutree[anchor_poc] = ct2
         out = self._encode_p_frame(anchor_frame, anchor_poc,
                                    list(self.anchors), qp)
+        # VBV emergency: one conservative re-encode when the coded frame
+        # would underflow the CPB (the whole-frame analog of x265's row
+        # re-encode, ratecontrol.cpp:2526)
+        rq = self.rc.reencode_qp(len(out) * 8)
+        if rq is not None:
+            self.frame_stats.pop()
+            out = self._encode_p_frame(anchor_frame, anchor_poc,
+                                       list(self.anchors), rq)
         self.rc.end(len(out) * 8)
         new_anchor = (anchor_poc, self._last_recon)
         self.anchors.insert(0, new_anchor)

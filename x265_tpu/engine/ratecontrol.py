@@ -140,12 +140,43 @@ class RateControl:
         rf = target_total / max(1e-9, sum(c / r for c, r in
                                           zip(cplx, rceqs)))
         self.pass2_qs = [r / max(1e-9, rf) for r in rceqs]
+        # pass-1 cuTree offset maps ride the stats file so pass 2 reuses
+        # them instead of recomputing (x265 cuTree stat files,
+        # ratecontrol.h:237-252)
+        self.pass2_cutree = [rec.get("cutree") for rec in recs]
+        if self.vbv:
+            self._pass2_vbv_replan(cplx)
         planned = [c / q for c, q in zip(cplx, self.pass2_qs)]
         # cumulative planned bits BEFORE each frame (overflow reference)
         self.pass2_cum = [0.0]
         for b in planned[:-1]:
             self.pass2_cum.append(self.pass2_cum[-1] + b)
         self.pass2_qp = True          # flag: plan available
+
+    def _pass2_vbv_replan(self, cplx):
+        """VBV re-plan over the pass-2 qscale schedule (x265 initPass2 ->
+        vbv2Pass, x264 findUnderflow/fixUnderflow analog): simulate the
+        CPB over the plan's predicted bits (cplx_i / q_i); wherever it
+        would underflow, raise the qscales of the whole deficit stretch
+        and re-simulate until the plan is feasible."""
+        floor_ = 0.15 * self.vbv_bufsize
+        qs = self.pass2_qs
+        for _ in range(64):
+            fill = self.vbv_bufsize * 0.9
+            start = 0                   # beginning of the deficit stretch
+            bad = -1
+            for i, (c, q) in enumerate(zip(cplx, qs)):
+                if fill >= 0.7 * self.vbv_bufsize:
+                    start = i           # buffer healthy here
+                fill = min(self.vbv_bufsize, fill + self.buffer_rate)
+                fill -= c / q
+                if fill < floor_:
+                    bad = i
+                    break
+            if bad < 0:
+                return
+            for j in range(start, bad + 1):   # fixUnderflow: spend less
+                qs[j] *= 1.1
 
     def write_stats(self) -> None:
         """Flush pass-1 per-frame records (x265 rateControlEnd's
@@ -299,6 +330,52 @@ class RateControl:
                 break
         return qscale
 
+    def note_cutree(self, off) -> None:
+        """Pass-1: attach this frame's cuTree offset map to the next
+        end() record so the stats file carries it (x265 cuTree stat
+        files, ratecontrol.h:237-252)."""
+        self._pending_cutree = (off.tolist()
+                                if hasattr(off, "tolist") else off)
+
+    def cutree_from_stats(self):
+        """Pass-2: the recorded cuTree offsets for the frame whose
+        start() was just issued (encode order), or None."""
+        import numpy as np
+        if self.pass2_qp is None or not getattr(self, "pass2_cutree", None):
+            return None
+        idx = self.pass2_idx - 1          # start() already advanced it
+        if 0 <= idx < len(self.pass2_cutree):
+            ct = self.pass2_cutree[idx]
+            return None if ct is None else np.asarray(ct, np.int32)
+        return None
+
+    def reencode_qp(self, bits: int):
+        """Post-encode VBV emergency gate — the whole-frame re-imagining
+        of x265's row-level VBV re-encode (rowVbvRateControl,
+        ratecontrol.cpp:2526): if the frame as coded would underflow the
+        CPB, return a conservatively higher QP for ONE re-encode of the
+        same picture; otherwise None. Call before end()."""
+        if not self.vbv or self._pending is None:
+            return None
+        fill_after = self.buffer_fill - bits + self.buffer_rate
+        hard_floor = 0.05 * self.vbv_bufsize
+        if fill_after >= hard_floor:
+            return None
+        qscale = self._pending[2]
+        budget = max(1.0, self.buffer_fill + self.buffer_rate - hard_floor)
+        ratio = bits / budget             # linear bits ~ 1/qscale model
+        new_qs = qscale * min(4.0, max(1.25, ratio))
+        qp = int(math.ceil(qscale2qp(new_qs)))
+        qp = max(self.qp_min, min(self.qp_max, qp))
+        cur = int(round(qscale2qp(qscale)))
+        if qp <= cur:
+            return None
+        # keep the model pointed at the re-encode operating point
+        self._pending = (self._pending[0], self._pending[1],
+                         qp2qscale(qp)) + tuple(self._pending[3:])
+        self.last_qscale = qp2qscale(qp)
+        return qp
+
     def end(self, bits: int) -> None:
         """Account a coded frame (x265 rateControlEnd)."""
         st = self._pending[0] if self._pending else P_SLICE
@@ -307,9 +384,14 @@ class RateControl:
         self.total_bits += bits
         self.frames_coded += 1
         if self.pass_num == 1:
-            self.pass1_records.append({
+            rec = {
                 "type": {I_SLICE: "I", P_SLICE: "P", B_SLICE: "B"}[st],
-                "cost": satd, "bits": bits, "qscale": qscale})
+                "cost": satd, "bits": bits, "qscale": qscale}
+            ct = getattr(self, "_pending_cutree", None)
+            if ct is not None:
+                rec["cutree"] = ct
+                self._pending_cutree = None
+            self.pass1_records.append(rec)
         if self.mode == RC_ABR and self._pending and len(self._pending) > 3:
             rceq = self._pending[3]
             # normalize P-frame equivalent qscale (undo I/B modulation)

@@ -54,7 +54,11 @@ class ReconPlay:
             self._dead = True
 
     def write_frame(self, poc: int, planes) -> None:
-        """Queue one reconstructed picture; flush in display order."""
+        """Queue one reconstructed picture; flush in display order.
+        A re-encoded picture overwrites its pending entry; writes for
+        already-flushed indices are dropped."""
+        if poc < self._next_poc:
+            return
         self._pending[poc] = tuple(np.asarray(p) for p in planes)
         while self._next_poc in self._pending:
             y, cb, cr = self._pending.pop(self._next_poc)
