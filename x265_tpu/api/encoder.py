@@ -1763,7 +1763,7 @@ class Encoder:
                 R=p.me_range, qp=qpv, subme=max(1, p.sub_me),
                 bit_depth=p.bit_depth,
                 slack=48.0 if p.early_skip else 24.0,
-                force_dense=p.me_method == "full", mesh=self.mesh)
+                force_dense=p.me_method in ("full", "star", "sea"), mesh=self.mesh)
         cost = cost + lam * 2.0 * np.arange(len(ref_ys),
                                             dtype=np.float32)[:, None, None]
         best_ref = np.argmin(cost, axis=0).astype(np.int32)
@@ -1836,7 +1836,7 @@ class Encoder:
                 p.width, p.height, S=S, R=R, qp=qpv, subme=max(1, p.sub_me),
                 bit_depth=p.bit_depth, do_bi=True,
                 slack=48.0 if p.early_skip else 24.0,
-                force_dense=p.me_method == "full", mesh=self.mesh)
+                force_dense=p.me_method in ("full", "star", "sea"), mesh=self.mesh)
         return self._b_select(dec, icost, mv, cost, bi_satd, lam,
                               satd=satd, y=np.asarray(y),
                               refs=(np.asarray(ref0_y), np.asarray(ref1_y)),
@@ -1912,7 +1912,7 @@ class Encoder:
             p.width, p.height, R=p.me_range, qps=[qp_est] * len(ys),
             subme=max(1, p.sub_me), bit_depth=p.bit_depth, do_bi=True,
             slack=48.0 if p.early_skip else 24.0,
-            force_dense=p.me_method == "full")
+            force_dense=p.me_method in ("full", "star", "sea"))
         S = 1 << cu_log2
         ph = -(-p.height // S) * S
         pw = -(-p.width // S) * S

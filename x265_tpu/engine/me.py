@@ -204,6 +204,23 @@ _QUARTER_OFFS = np.array([(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1),
                           (-1, -1), (-1, 1), (1, -1), (1, 1)], dtype=np.int32)
 
 
+def subpel_rounds(subme: int):
+    """Refinement schedule per --subme tier (x265 subme dial,
+    motion.cpp subpelRefine iterations — re-imagined as batched
+    8-neighbor rounds; each extra round is one more device dispatch):
+        <=1: half only          2-3: half + quarter (default)
+        4:   half + 2x quarter  >=5: 2x half + 2x quarter
+    A second round of the same step lets the minimum drift beyond the
+    +-1 neighborhood the single round can reach."""
+    if subme <= 1:
+        return [_HALF_OFFS]
+    if subme <= 3:
+        return [_HALF_OFFS, _QUARTER_OFFS]
+    if subme == 4:
+        return [_HALF_OFFS, _QUARTER_OFFS, _QUARTER_OFFS]
+    return [_HALF_OFFS, _HALF_OFFS, _QUARTER_OFFS, _QUARTER_OFFS]
+
+
 @partial(jax.jit, static_argnames=("S", "margin"))
 def _bi_satd(cur_blocks, planes0, planes1, mv0, mv1, bxy, S, margin):
     """SATD of the averaged bi-prediction per block (x265 checkBidir2Nx2N
@@ -317,7 +334,7 @@ def motion_decide(cur_y: np.ndarray, ref_y: np.ndarray, width: int,
     best2 = mv_q[:, :2]
     cost2 = None
     zero_mvp = jnp.zeros((N, 2), jnp.int32)
-    rounds = [_HALF_OFFS] + ([_QUARTER_OFFS] if subme >= 2 else [])
+    rounds = subpel_rounds(subme)
     for offs in rounds:
         best2, cost2 = _refine(cur_blocks, planes,
                                jnp.concatenate([best2, mv_q[:, 2:]], axis=1),
@@ -376,7 +393,7 @@ def refine_with_mvp(aux, mv: np.ndarray, mvp: np.ndarray, subme: int = 2):
     mv_q = jnp.asarray(state)
     best2 = mv_q[:, :2]
     mvp_dev = jnp.asarray(mvp.reshape(N, 2).astype(np.int32))
-    rounds = [_HALF_OFFS] + ([_QUARTER_OFFS] if subme >= 2 else [])
+    rounds = subpel_rounds(subme)
     if subme < 1:
         rounds = [np.array([(0, 0)], dtype=np.int32)]
     cost2 = None
@@ -563,9 +580,7 @@ def _motion_fused(cur, refs_big, lam, S, R, subme, bd, do_bi,
                   .reshape(N, S, S))
     state_xy = bxy
 
-    rounds = [jnp.asarray(_HALF_OFFS)]
-    if subme >= 2:
-        rounds.append(jnp.asarray(_QUARTER_OFFS))
+    rounds = [jnp.asarray(r) for r in subpel_rounds(subme)]
 
     def refine_ref(planes_r, mv0):
         # MVP from the integer-search field directly (skipping a zero-MVP
