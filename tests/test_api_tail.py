@@ -164,3 +164,34 @@ def test_csv_log_level2_columns(tmp_path):
     assert len(lines) == 4
     first = [v.strip() for v in lines[1].split(",")]
     assert float(first[12]) > 0        # avg CU size populated
+
+
+def test_level_enforcement():
+    """x265 enforceLevel analog (level.cpp:290): a requested level must
+    fit the picture; rate knobs are clamped; ABR inherits the level's
+    VBV when none is set."""
+    from x265_tpu.api.params import RC_ABR
+
+    # 1080p cannot claim level 2.0 (idc 60)
+    p = _params()
+    p.width, p.height = 1920, 1080
+    p.level_idc = 60
+    with pytest.raises(ValueError):
+        Encoder(p)
+
+    # bitrate above the level-3.1 cap is clamped, VBV inherited
+    p = _params()
+    p.rc_mode = RC_ABR
+    p.bitrate = 99999
+    p.level_idc = 93            # level 3.1: MaxBR 10000 kbps main
+    enc = Encoder(p)
+    assert enc.param.bitrate == 10000
+    assert enc.param.vbv_maxrate == 10000
+    assert enc.param.vbv_bufsize == 10000
+
+    # high tier is refused where the spec has none
+    p = _params()
+    p.level_idc = 90
+    p.high_tier = True
+    enc = Encoder(p)
+    assert enc.param.high_tier is False

@@ -43,11 +43,71 @@ def _level_for(width: int, height: int, fps: float) -> int:
     return 186
 
 
+# spec Table A.8/A.9 rate limits per level_idc:
+# (MaxLumaPs, MaxLumaSr, MaxBR main kbps, MaxBR high kbps,
+#  MaxCPB main kb, MaxCPB high kb); high == 0 => no high tier at level
+_LEVEL_LIMITS = {
+    30: (36864, 552960, 128, 0, 350, 0),
+    60: (122880, 3686400, 1500, 0, 1500, 0),
+    63: (245760, 7372800, 3000, 0, 3000, 0),
+    90: (552960, 16588800, 6000, 0, 6000, 0),
+    93: (983040, 33177600, 10000, 0, 10000, 0),
+    120: (2228224, 66846720, 12000, 30000, 12000, 30000),
+    123: (2228224, 133693440, 20000, 50000, 20000, 50000),
+    150: (8912896, 267386880, 25000, 100000, 25000, 100000),
+    153: (8912896, 534773760, 40000, 160000, 40000, 160000),
+    156: (8912896, 1069547520, 60000, 240000, 60000, 240000),
+    180: (35651584, 1069547520, 60000, 240000, 60000, 240000),
+    183: (35651584, 2139095040, 120000, 480000, 120000, 480000),
+    186: (35651584, 4278190080, 240000, 800000, 240000, 800000),
+}
+
+
+def _enforce_level(p, level_idc: int) -> None:
+    """x265 enforceLevel analog (level.cpp:290): a user-requested
+    --level-idc must fit the picture size/rate (hard error otherwise),
+    and the rate-control knobs are clamped to the level's MaxBR/MaxCPB;
+    ABR without an explicit VBV gets the level-mandated one."""
+    from x265_tpu.api.params import RC_ABR, _warn
+    lim = _LEVEL_LIMITS.get(level_idc)
+    if lim is None:
+        raise ValueError(f"unknown level_idc {level_idc}")
+    max_ps, max_sr, br_m, br_h, cpb_m, cpb_h = lim
+    fps = p.fps_num / max(1, p.fps_den)
+    if p.width * p.height > max_ps or p.width * p.height * fps > max_sr:
+        raise ValueError(
+            f"picture size/rate out of range for level {level_idc / 30:.1f}"
+            f" ({p.width}x{p.height}@{fps:g})")
+    if p.high_tier and not br_h:
+        _warn(p, f"level {level_idc / 30:.1f} has no high tier — "
+              "using main tier")
+        p.high_tier = False
+    max_br = br_h if p.high_tier else br_m
+    max_cpb = cpb_h if p.high_tier else cpb_m
+    if p.bitrate > max_br:
+        _warn(p, f"bitrate {p.bitrate} exceeds level limit — "
+              f"clamping to {max_br} kbps")
+        p.bitrate = max_br
+    if p.vbv_maxrate > max_br:
+        _warn(p, f"vbv-maxrate clamped to level limit {max_br} kbps")
+        p.vbv_maxrate = max_br
+    if p.vbv_bufsize > max_cpb:
+        _warn(p, f"vbv-bufsize clamped to level CPB limit {max_cpb} kb")
+        p.vbv_bufsize = max_cpb
+    if p.rc_mode == RC_ABR and not p.vbv_maxrate and not p.vbv_bufsize:
+        # a level claim is an HRD promise: give ABR the level-mandated
+        # buffer so the claim is enforceable (level.cpp:363)
+        p.vbv_maxrate = max_br
+        p.vbv_bufsize = max_cpb
+
+
 class Encoder:
     def __init__(self, param: Param):
         self.param = check_params(param.copy())
         p = self.param
         fps = p.fps_num / max(1, p.fps_den)
+        if p.level_idc:
+            _enforce_level(p, p.level_idc)
         ptl = ProfileTierLevel(
             profile_idc=2 if p.bit_depth == 10 else 1,
             tier_flag=1 if p.high_tier else 0,
