@@ -78,10 +78,33 @@ def _encode(frames, qp=30, use_native=True, split=True, force64=False):
         if native.get_lib() is None:
             pytest.skip("native unavailable")
     if force64:
-        # drop the energy gates so promotion depends on motion only
+        # force a uniform motion field and drop the promotion gates:
+        # these tests pin the 64x64 *coding* paths (three-way residual
+        # bit-exactness), not the analyzer's willingness to unify MVs
+        # on this clip (low-QP subpel refinement legitimately prefers
+        # per-block fractional MVs on the fade component)
         orig32, orig64 = enc._merge_cu32, enc._merge_cu64
-        enc._merge_cu32 = lambda dec, satd16=None, qp=None: orig32(dec)
-        enc._merge_cu64 = lambda dec, satd16=None, qp=None: orig64(dec)
+
+        def unify(dec):
+            if dec.inter8 is None or not dec.inter8.any():
+                return
+            sel = dec.inter8.astype(bool)
+            flat = dec.mv8[sel].reshape(int(sel.sum()), -1)
+            vals, counts = np.unique(flat, axis=0, return_counts=True)
+            dec.mv8[:] = vals[counts.argmax()].reshape(2, 2)
+            dec.inter8[:] = True
+            dec.dir8[:] = 1
+            if dec.ref8 is not None:
+                dec.ref8[:] = 0
+            dec.cu_log2_map[:] = 4
+
+        def m32(dec, satd16=None, qp=None, rd_ctx=None):
+            unify(dec)
+            return orig32(dec)
+
+        enc._merge_cu32 = m32
+        enc._merge_cu64 = (
+            lambda dec, satd16=None, qp=None, rd_ctx=None: orig64(dec))
     seen = []
     orig_p = enc._p_decisions
 
@@ -149,8 +172,8 @@ def test_cu64_with_dqp_and_bframes():
     if native.get_lib() is None:
         pytest.skip("native unavailable")
     orig32, orig64 = enc._merge_cu32, enc._merge_cu64
-    enc._merge_cu32 = lambda dec, satd16=None, qp=None: orig32(dec)
-    enc._merge_cu64 = lambda dec, satd16=None, qp=None: orig64(dec)
+    enc._merge_cu32 = lambda dec, satd16=None, qp=None, rd_ctx=None: orig32(dec)
+    enc._merge_cu64 = lambda dec, satd16=None, qp=None, rd_ctx=None: orig64(dec)
     stream = enc.encode(frames)
     ours = HEVCDecoder().decode(stream)
     assert len(ours) == 5

@@ -1642,7 +1642,7 @@ class Encoder:
         satd_out = np.where(adopt, s_c, satd_now).astype(np.float32)
         return dir_out, mv_out, ref_out, satd_out
 
-    def _merge_cu32(self, dec, satd16=None, qp=None) -> None:
+    def _merge_cu32(self, dec, satd16=None, qp=None, rd_ctx=None) -> None:
         """Bottom-up CU merging: promote 2x2 groups of 16x16 blocks to one
         32x32 CU when they carry identical decisions — one skip/merge per
         32 instead of four (the quadtree dial of Analysis::compressCTU;
@@ -1672,7 +1672,23 @@ class Encoder:
                  else np.zeros_like(d))
             same_ref = (r == r[:, :, :1]).all(axis=2)
             ok_inter = all16 & inter & same_dir & same_mv & same_ref
-            if satd16 is not None and qp is not None:
+            if (p.rd_level >= 3 and rd_ctx is not None and qp is not None
+                    and ok_inter.any()):
+                # recon-in-the-loop promotion (VERDICT r2 #1 / x265
+                # compressInterCU_rd0_4 bottom-up merge): code each
+                # candidate both ways on the device and keep the
+                # cheaper tree — replaces the SATD energy heuristic
+                from x265_tpu.models.rdo import rd_promote32
+                ys, xs = np.nonzero(ok_inter)
+                cand = np.stack([ys, xs], 1)
+                promote = rd_promote32(
+                    rd_ctx[0], rd_ctx[1], rd_ctx[2], cand,
+                    mv[ys, xs, 0], d[ys, xs, 0], r[ys, xs, 0],
+                    int(qp), p, mesh=self.mesh)
+                keep = ok_inter.copy()
+                keep[ys, xs] = promote
+                ok_inter = keep
+            elif satd16 is not None and qp is not None:
                 # promote only skip-likely groups: a 32x32 TU re-quantizes
                 # the residual differently, so uniform motion alone is
                 # bit-neutral; low energy => the 32 CU skips and the
@@ -1703,7 +1719,7 @@ class Encoder:
         up = np.repeat(np.repeat(ok, 4, 0), 4, 1)
         dec.cu_log2_map[:h32 * 4, :w32 * 4][up] = 5
 
-    def _merge_cu64(self, dec, satd16=None, qp=None) -> None:
+    def _merge_cu64(self, dec, satd16=None, qp=None, rd_ctx=None) -> None:
         """Promote 2x2 groups of 32x32 inter CUs to one 64x64 CU when
         they carry identical motion — one skip/merge per CTB instead of
         four (the 16x16-CU syntax floor VERDICT r2 blamed for the BD
@@ -1732,7 +1748,13 @@ class Encoder:
         r = (grp(dec.ref8) if dec.ref8 is not None else np.zeros_like(d))
         same_ref = (r == r[:, :, :1]).all(axis=2)
         ok = all32 & inter & same_dir & same_mv & same_ref
-        if satd16 is not None and qp is not None:
+        if p.rd_level >= 3:
+            # a 64 CU's transform tree is the implicit 4x32 split — the
+            # residual coding is IDENTICAL to four 32 CUs with the same
+            # motion, so merging strictly saves the three extra CU
+            # headers; no energy gate needed (7.3.8.8 forced split)
+            pass
+        elif satd16 is not None and qp is not None:
             h16, w16 = satd16.shape
             g16 = satd16[:h64 * 4, :w64 * 4].reshape(
                 h64, 4, w64, 4).sum(axis=(1, 3))
@@ -1853,8 +1875,13 @@ class Encoder:
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
         if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
-            self._merge_cu32(dec, satd16, qpv)
-            self._merge_cu64(dec, satd16, qpv)
+            rd_ctx = None
+            if p.rd_level >= 3:
+                pad80 = [np.pad(r.astype(np.int16), 80, mode="edge")
+                         for r in ref_ys]
+                rd_ctx = (np.asarray(y, np.int32), pad80, [])
+            self._merge_cu32(dec, satd16, qpv, rd_ctx)
+            self._merge_cu64(dec, satd16, qpv, rd_ctx)
         self._apply_intra_refresh(dec)
         return dec
 
@@ -1946,8 +1973,15 @@ class Encoder:
         dec.dir8 = self._to8(dir_blk.astype(np.int32), h8, w8, rep)
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         if p.rd_level >= 2:
-            self._merge_cu32(dec, satd16, qp)
-            self._merge_cu64(dec, satd16, qp)
+            rd_ctx = None
+            if p.rd_level >= 3 and y is not None and refs is not None:
+                rd_ctx = (np.asarray(y, np.int32),
+                          [np.pad(np.asarray(refs[0]).astype(np.int16),
+                                  80, mode="edge")],
+                          [np.pad(np.asarray(refs[1]).astype(np.int16),
+                                  80, mode="edge")])
+            self._merge_cu32(dec, satd16, qp, rd_ctx)
+            self._merge_cu64(dec, satd16, qp, rd_ctx)
         return dec
 
     def _precompute_b_batch(self, items, rec0, rec1):
