@@ -1672,22 +1672,38 @@ class Encoder:
                  else np.zeros_like(d))
             same_ref = (r == r[:, :, :1]).all(axis=2)
             ok_inter = all16 & inter & same_dir & same_mv & same_ref
-            if (p.rd_level >= 3 and rd_ctx is not None and qp is not None
-                    and ok_inter.any()):
-                # recon-in-the-loop promotion (VERDICT r2 #1 / x265
-                # compressInterCU_rd0_4 bottom-up merge): code each
-                # candidate both ways on the device and keep the
-                # cheaper tree — replaces the SATD energy heuristic
-                from x265_tpu.models.rdo import rd_promote32
-                ys, xs = np.nonzero(ok_inter)
-                cand = np.stack([ys, xs], 1)
-                promote = rd_promote32(
-                    rd_ctx[0], rd_ctx[1], rd_ctx[2], cand,
-                    mv[ys, xs, 0], d[ys, xs, 0], r[ys, xs, 0],
-                    int(qp), p, mesh=self.mesh)
-                keep = ok_inter.copy()
-                keep[ys, xs] = promote
-                ok_inter = keep
+            if (p.rd_level >= 3 and rd_ctx is not None and qp is not None):
+                # recon-in-the-loop promotion WITH motion unification
+                # (VERDICT r2 #1 / x265 compressInterCU_rd0_4 +
+                # checkMerge2Nx2N): candidates only need uniform
+                # dir/ref — the 32 CU is coded at the group's modal MV
+                # and both trees are costed on the device; per-block
+                # quarter-pel refinement noise no longer blocks the
+                # merge (the dominant bit sink on panning content)
+                elig = all16 & inter & same_dir & same_ref
+                if elig.any():
+                    from x265_tpu.models.rdo import rd_promote32
+                    ys, xs = np.nonzero(elig)
+                    cand = np.stack([ys, xs], 1)
+                    # the 4 z-order 16x16 sub-blocks' motions: group
+                    # member (2*dy)*4 + 2*dx of the 4x4 8-block view
+                    sub = np.array([0, 2, 8, 10])
+                    mv4 = mv[ys, xs][:, sub]          # [G,4,2,2]
+                    promote, mv_uni = rd_promote32(
+                        rd_ctx[0], rd_ctx[1], rd_ctx[2], cand, mv4,
+                        d[ys, xs, 0], r[ys, xs, 0], int(qp), p,
+                        mesh=self.mesh)
+                    keep = np.zeros_like(elig)
+                    keep[ys, xs] = promote
+                    ok_inter = keep
+                    # promoted groups adopt the unified motion
+                    pys, pxs = ys[promote], xs[promote]
+                    pmv = mv_uni[promote]
+                    for (gy, gx, m_) in zip(pys, pxs, pmv):
+                        dec.mv8[gy * 4:gy * 4 + 4,
+                                gx * 4:gx * 4 + 4] = m_
+                else:
+                    ok_inter = elig
             elif satd16 is not None and qp is not None:
                 # promote only skip-likely groups: a 32x32 TU re-quantizes
                 # the residual differently, so uniform motion alone is
@@ -1748,12 +1764,30 @@ class Encoder:
         r = (grp(dec.ref8) if dec.ref8 is not None else np.zeros_like(d))
         same_ref = (r == r[:, :, :1]).all(axis=2)
         ok = all32 & inter & same_dir & same_mv & same_ref
-        if p.rd_level >= 3:
-            # a 64 CU's transform tree is the implicit 4x32 split — the
-            # residual coding is IDENTICAL to four 32 CUs with the same
-            # motion, so merging strictly saves the three extra CU
-            # headers; no energy gate needed (7.3.8.8 forced split)
-            pass
+        if p.rd_level >= 3 and rd_ctx is not None and qp is not None:
+            # same-motion groups promote unconditionally (the implicit
+            # 4x32 TU split makes the residual coding identical — the
+            # merge strictly saves three CU headers); groups of 32s with
+            # only dir/ref in common additionally try a UNIFIED motion
+            # via the recon-in-loop RD dispatch (see _merge_cu32)
+            elig = all32 & inter & same_dir & same_ref & ~ok
+            if elig.any():
+                from x265_tpu.models.rdo import rd_promote
+                ys, xs = np.nonzero(elig)
+                cand = np.stack([ys, xs], 1)
+                # quadrant (dy,dx) representative member of the 8x8
+                # 8-block group view: (4*dy)*8 + 4*dx
+                sub = np.array([0, 4, 32, 36])
+                mv4 = mv[ys, xs][:, sub]
+                promote, mv_uni = rd_promote(
+                    rd_ctx[0], rd_ctx[1], rd_ctx[2], cand, mv4,
+                    d[ys, xs, 0], r[ys, xs, 0], int(qp), p, n=64,
+                    mesh=self.mesh)
+                pys, pxs = ys[promote], xs[promote]
+                for (gy, gx, m_) in zip(pys, pxs, mv_uni[promote]):
+                    dec.mv8[gy * 8:gy * 8 + 8, gx * 8:gx * 8 + 8] = m_
+                ok = ok.copy()
+                ok[pys, pxs] = True
         elif satd16 is not None and qp is not None:
             h16, w16 = satd16.shape
             g16 = satd16[:h64 * 4, :w64 * 4].reshape(

@@ -5,13 +5,17 @@ x265 analog: Analysis::compressInterCU_rd0_4's bottom-up merge
 transform, quantize, reconstruct), its distortion measured against the
 source and its rate estimated, and the cheaper tree wins. Re-imagined
 TPU-first: every candidate 32x32 group in the frame is evaluated in ONE
-batched dispatch — both configurations (one 32x32 TU vs four 16x16 TUs)
-share the motion-compensated prediction (translation-invariant MC), so
-the only difference is the transform/quant domain, exactly what the
-batched _tq_chain computes.
+batched dispatch.
+
+Unlike a same-motion-only merge, the 32-CU candidate is coded at a
+UNIFIED motion vector (the group's modal MV) while the four 16-CU
+candidates keep their own refined MVs — the exact trade recursive RDO
+makes on panning content, where per-block quarter-pel refinement leaves
+a field of almost-equal MVs whose AMVP syntax costs more than the tiny
+SATD it buys (x265 wins this via checkMerge2Nx2N at every depth).
 
 Cost domain matches the RDOQ fixed-point model: 32*SSE +
-RDOQ_LAM32[qp] * (rate_bins + per-CU header overhead), so promotion
+RDOQ_LAM32[qp] * (rate_bins + per-CU header bits), so promotion
 decisions are consistent with the quantizer's own RD arithmetic.
 
 Luma-only: chroma residual energy tracks luma at these block sizes and
@@ -30,9 +34,11 @@ from x265_tpu.hevc.tables import RDOQ_LAM32
 from x265_tpu.models.residual import _tq_chain
 from x265_tpu.models.inter_residual import _mc_gather, _LUMA_FILT
 
-# bits of CU-level syntax a merged tree saves per eliminated CU
-# (skip_flag + merge idx bins; calibrated with the static rate model)
+# CU-level syntax estimates (static bin-count scale): a merge/skip CU
+# header, and the extra AMVP cost of a sub-CU whose MV differs from the
+# group's unified motion (ref idx + mvp idx + mvd exp-golomb)
 CU_OH_BITS = 6
+AMVP_EXTRA_BITS = 10
 
 
 def _rate_bins_j(l: jnp.ndarray) -> jnp.ndarray:
@@ -48,92 +54,138 @@ def _rate_bins_j(l: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("n", "bd", "sdh", "do_rdoq", "scaling",
                                    "pad"))
-def _promo_costs(src_y, r0y, r1y, xy, mv, dirm, ref_i, qp,
+def _promo_costs(src_y, r0y, r1y, xy, mv4, mv1, dirm, ref_i, qp,
+                 oh_one, oh_four,
                  n, bd, sdh, do_rdoq, scaling, pad):
-    """RD costs of G candidate n x n regions with uniform motion:
-    coded as ONE n-CU vs FOUR (n/2)-CUs.
+    """RD costs of G candidate n x n regions:
+    ONE n-CU at the unified motion mv1 vs FOUR (n/2)-CUs at their own
+    motions mv4.
 
     src_y [H,W] int32; r0y/r1y [R,Hp,Wp] padded int16 ref stacks;
-    xy [G,2] (x0,y0); mv [G,2,2] qpel; dirm [G] 1/2/3; ref_i [G] L0 idx;
-    qp [G]. Returns (cost_one [G], cost_four [G]) int64-domain float32.
+    xy [G,2] (x0,y0); mv4 [G,4,2,2] qpel per z-order sub-block;
+    mv1 [G,2,2]; dirm [G] 1/2/3; ref_i [G] L0 idx; qp [G];
+    oh_one/oh_four [G] header-bit estimates.
+    Returns (cost_one [G], cost_four [G]) float32.
     """
     G = xy.shape[0]
+    m = n // 2
     x0, y0 = xy[:, 0], xy[:, 1]
     maxv = (1 << bd) - 1
     filt = jnp.asarray(_LUMA_FILT)
     use0 = (dirm & 1) > 0
-    use1 = (dirm & 2) > 0
 
-    p0 = _mc_gather(r0y, jnp.where(use0, ref_i, 0), x0, y0,
-                    mv[:, 0, 0], mv[:, 0, 1], filt, 2, n, 8, pad, bd)
-    p1 = _mc_gather(r1y, jnp.zeros_like(ref_i), x0, y0,
-                    mv[:, 1, 0], mv[:, 1, 1], filt, 2, n, 8, pad, bd)
-    sh_bi = 15 - bd
-    bi = jnp.clip((p0 + p1 + (1 << (sh_bi - 1))) >> sh_bi, 0, maxv)
-    p14 = jnp.where(use0[:, None, None], p0, p1)
-    sh_u = 14 - bd
-    uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
-    pred = jnp.where((dirm == 3)[:, None, None], bi, uni)
+    def pred_at(x, y, mv, size):
+        p0 = _mc_gather(r0y, jnp.where(use0, ref_i, 0), x, y,
+                        mv[:, 0, 0], mv[:, 0, 1], filt, 2, size, 8,
+                        pad, bd)
+        p1 = _mc_gather(r1y, jnp.zeros_like(ref_i), x, y,
+                        mv[:, 1, 0], mv[:, 1, 1], filt, 2, size, 8,
+                        pad, bd)
+        sh_bi = 15 - bd
+        bi = jnp.clip((p0 + p1 + (1 << (sh_bi - 1))) >> sh_bi, 0, maxv)
+        p14 = jnp.where(use0[:, None, None], p0, p1)
+        sh_u = 14 - bd
+        uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
+        return jnp.where((dirm == 3)[:, None, None], bi, uni)
 
     def blk(i):
         return jax.lax.dynamic_slice(src_y, (y0[i], x0[i]), (n, n))
 
     src = jax.vmap(blk)(jnp.arange(G)).astype(jnp.int32)
-    resi = src - pred
     qpy = qp + 6 * (bd - 8)
     lam = jnp.asarray(np.asarray(RDOQ_LAM32),
                       jnp.int64)[qpy].astype(jnp.float32)
 
-    def cfg_cost(r, qvec, m):
-        lvl, rres, cbf = _tq_chain(r, qvec, jnp.zeros((r.shape[0],),
-                                                      jnp.int32),
-                                   m, False, False, bd, sdh, do_rdoq,
-                                   False, scaling)
+    def cfg_cost(r, qvec, size):
+        # TBs larger than 32 ride the implicit RQT split (7.3.8.8):
+        # transform in 32x32 quads, aggregate the costs back per region
+        if size > 32:
+            gq = r.shape[0]
+            h = size // 2
+            r = (r.reshape(gq, 2, h, 2, h).transpose(0, 1, 3, 2, 4)
+                 .reshape(gq * 4, h, h))
+            sse, rate = cfg_cost(r, jnp.repeat(qvec, 4), h)
+            return (sse.reshape(gq, 4).sum(axis=1),
+                    rate.reshape(gq, 4).sum(axis=1))
+        lvl, rres, cbf = _tq_chain(
+            r, qvec, jnp.zeros((r.shape[0],), jnp.int32),
+            size, False, False, bd, sdh, do_rdoq, False, scaling)
         e = (r - rres).astype(jnp.float32)
         sse = (e * e).sum(axis=(1, 2))
         rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
         return sse, rate.astype(jnp.float32)
 
-    # one n-CU (TU == n)
-    sse1, rate1 = cfg_cost(resi, qpy, n)
-    cost_one = 32.0 * sse1 + lam * (rate1 + CU_OH_BITS)
-    # four (n/2)-CUs — same prediction, finer transform
-    m = n // 2
-    q = resi.reshape(G, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
-    q = q.reshape(G * 4, m, m)
-    sse4, rate4 = cfg_cost(q, jnp.repeat(qpy, 4), m)
+    # --- one n-CU at the unified motion ---
+    pred1 = pred_at(x0, y0, mv1, n)
+    resi1 = src - pred1
+    sse1, rate1 = cfg_cost(resi1, qpy, n)
+    cost_one = 32.0 * sse1 + lam * (rate1 + oh_one)
+
+    # --- four (n/2)-CUs at their own motions ---
+    # z-order sub-block q: (dy, dx) = (q // 2, q % 2)
+    src4 = (src.reshape(G, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
+            .reshape(G * 4, m, m))
+    qq = jnp.arange(4, dtype=jnp.int32)   # int32 under enable_x64 too
+    x4 = (x0[:, None] + (qq % 2)[None, :] * m).reshape(-1)
+    y4 = (y0[:, None] + (qq // 2)[None, :] * m).reshape(-1)
+    mv4f = mv4.reshape(G * 4, 2, 2)
+    # per-sub dir/ref follow the group (eligibility requires same dir/ref)
+    use0 = jnp.repeat(use0, 4)
+    dirm = jnp.repeat(dirm, 4)
+    ref_i = jnp.repeat(ref_i, 4)
+    pred4 = pred_at(x4, y4, mv4f, m)
+    resi4 = src4 - pred4
+    sse4, rate4 = cfg_cost(resi4, jnp.repeat(qpy, 4), m)
     sse4 = sse4.reshape(G, 4).sum(axis=1)
     rate4 = rate4.reshape(G, 4).sum(axis=1)
-    cost_four = 32.0 * sse4 + lam * (rate4 + 4 * CU_OH_BITS)
+    cost_four = 32.0 * sse4 + lam * (rate4 + oh_four)
     return cost_one, cost_four
 
 
-def rd_promote32(src_y, refs0_padded, refs1_padded, cand_yx, mv, dirm,
-                 ref_i, qp, p, mesh=None):
-    """Decide per candidate group whether one 32x32 CU beats four 16s.
+def rd_promote(src_y, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
+               ref_i, qp, p, n=32, mesh=None):
+    """Decide per candidate group whether one n x n CU at the group's
+    modal motion beats four (n/2)-CUs at their own motions.
 
-    cand_yx [G,2] (y32, x32) indices on the 32-grid; mv [G,2,2];
-    dirm/ref_i/[G]. Returns promote [G] bool. Batches are padded to the
-    full 32-grid so the jitted shape never varies frame-to-frame.
-    """
+    cand_yx [G,2] (yn, xn) indices on the n-grid; mv4 [G,4,2,2]
+    z-order sub-block motions; dirm/ref_i [G]. Returns (promote [G]
+    bool, mv_uni [G,2,2]). Batches pad to the full n-grid so the
+    jitted shape never varies frame-to-frame."""
     from jax import enable_x64
-    h32 = p.height // 32
-    w32 = p.width // 32
+    hn = p.height // n
+    wn = p.width // n
     G = len(cand_yx)
-    NB = max(32, -(-(h32 * w32) // 32) * 32)
+    NB = max(32, -(-(hn * wn) // 32) * 32)
     pad_n = NB - G
+
+    # unified candidate: the modal MV among the 4 sub-blocks (the member
+    # minimizing summed L1 distance to the others — ties break low)
+    d = np.abs(mv4[:, :, None] - mv4[:, None, :]).sum(axis=(3, 4))
+    modal = d.sum(axis=2).argmin(axis=1)
+    mv_uni = mv4[np.arange(G), modal]
+
+    # header estimates: the unified CU merges with its uniform
+    # neighborhood (~CU_OH_BITS); each sub-CU pays a header plus AMVP
+    # syntax when its MV differs from the unified one
+    differs = (mv4 != mv_uni[:, None]).any(axis=(2, 3))
+    oh_one = np.full(G, CU_OH_BITS, np.float32)
+    oh_four = (4 * CU_OH_BITS
+               + AMVP_EXTRA_BITS * differs.sum(axis=1)).astype(np.float32)
 
     def padn(a, fill=0):
         return np.concatenate(
             [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
             if pad_n else a
 
-    xy = np.stack([cand_yx[:, 1] * 32, cand_yx[:, 0] * 32], 1)
+    xy = np.stack([cand_yx[:, 1] * n, cand_yx[:, 0] * n], 1)
     args = (jnp.asarray(padn(xy.astype(np.int32))),
-            jnp.asarray(padn(mv.astype(np.int32))),
+            jnp.asarray(padn(mv4.astype(np.int32))),
+            jnp.asarray(padn(mv_uni.astype(np.int32))),
             jnp.asarray(padn(dirm.astype(np.int32), 1)),
             jnp.asarray(padn(ref_i.astype(np.int32))),
-            jnp.asarray(padn(np.full(G, qp, np.int32), 26)))
+            jnp.asarray(padn(np.full(G, qp, np.int32), 26)),
+            jnp.asarray(padn(oh_one)),
+            jnp.asarray(padn(oh_four, 1.0)))
 
     def stack(lst, hp, wp):
         if not lst:
@@ -147,9 +199,13 @@ def rd_promote32(src_y, refs0_padded, refs1_padded, cand_yx, mv, dirm,
     with enable_x64():
         c1, c4 = _promo_costs(
             jnp.asarray(np.asarray(src_y, np.int32)), r0, r1, *args,
-            n=32, bd=p.bit_depth, sdh=bool(p.sign_hide),
+            n=n, bd=p.bit_depth, sdh=bool(p.sign_hide),
             do_rdoq=p.rdoq_level > 0, scaling=bool(p.scaling_lists),
             pad=pad)
     c1 = np.asarray(c1)[:G]
     c4 = np.asarray(c4)[:G]
-    return c1 <= c4
+    return c1 <= c4, mv_uni
+
+
+def rd_promote32(*args, **kw):
+    return rd_promote(*args, n=32, **kw)
