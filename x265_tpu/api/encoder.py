@@ -1642,6 +1642,21 @@ class Encoder:
         satd_out = np.where(adopt, s_c, satd_now).astype(np.float32)
         return dir_out, mv_out, ref_out, satd_out
 
+    @staticmethod
+    def _dominant_mv(dec):
+        """(mv [2,2], dir) of the most common inter motion tuple, or
+        (None, None) — the unification bias shared by both promotion
+        levels so merge chains span group boundaries."""
+        if dec.inter8 is None or not dec.inter8.any():
+            return None, None
+        sel = dec.inter8.astype(bool)
+        rows = np.concatenate(
+            [dec.mv8[sel].reshape(int(sel.sum()), -1),
+             dec.dir8[sel].reshape(-1, 1)], axis=1)
+        vals, counts = np.unique(rows, axis=0, return_counts=True)
+        best = vals[counts.argmax()]
+        return best[:4].reshape(2, 2).astype(np.int32), int(best[4])
+
     def _merge_cu32(self, dec, satd16=None, qp=None, rd_ctx=None) -> None:
         """Bottom-up CU merging: promote 2x2 groups of 16x16 blocks to one
         32x32 CU when they carry identical decisions — one skip/merge per
@@ -1689,10 +1704,12 @@ class Encoder:
                     # member (2*dy)*4 + 2*dx of the 4x4 8-block view
                     sub = np.array([0, 2, 8, 10])
                     mv4 = mv[ys, xs][:, sub]          # [G,4,2,2]
+                    bias_mv, bias_dir = self._dominant_mv(dec)
                     promote, mv_uni = rd_promote32(
                         rd_ctx[0], rd_ctx[1], rd_ctx[2], cand, mv4,
                         d[ys, xs, 0], r[ys, xs, 0], int(qp), p,
-                        mesh=self.mesh)
+                        mesh=self.mesh, mv_bias=bias_mv,
+                        bias_dir=bias_dir)
                     keep = np.zeros_like(elig)
                     keep[ys, xs] = promote
                     ok_inter = keep
@@ -1779,10 +1796,11 @@ class Encoder:
                 # 8-block group view: (4*dy)*8 + 4*dx
                 sub = np.array([0, 4, 32, 36])
                 mv4 = mv[ys, xs][:, sub]
+                bias_mv, bias_dir = self._dominant_mv(dec)
                 promote, mv_uni = rd_promote(
                     rd_ctx[0], rd_ctx[1], rd_ctx[2], cand, mv4,
                     d[ys, xs, 0], r[ys, xs, 0], int(qp), p, n=64,
-                    mesh=self.mesh)
+                    mesh=self.mesh, mv_bias=bias_mv, bias_dir=bias_dir)
                 pys, pxs = ys[promote], xs[promote]
                 for (gy, gx, m_) in zip(pys, pxs, mv_uni[promote]):
                     dec.mv8[gy * 8:gy * 8 + 8, gx * 8:gx * 8 + 8] = m_

@@ -143,7 +143,8 @@ def _promo_costs(src_y, r0y, r1y, xy, mv4, mv1, dirm, ref_i, qp,
 
 
 def rd_promote(src_y, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
-               ref_i, qp, p, n=32, mesh=None):
+               ref_i, qp, p, n=32, mesh=None, mv_bias=None,
+               bias_dir=None):
     """Decide per candidate group whether one n x n CU at the group's
     modal motion beats four (n/2)-CUs at their own motions.
 
@@ -163,6 +164,16 @@ def rd_promote(src_y, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
     d = np.abs(mv4[:, :, None] - mv4[:, None, :]).sum(axis=(3, 4))
     modal = d.sum(axis=2).argmin(axis=1)
     mv_uni = mv4[np.arange(G), modal]
+    if mv_bias is not None:
+        # bias toward the FRAME-dominant motion when the group's modal
+        # is within a pel of it: adjacent groups then unify to the SAME
+        # exact MV and the writer's merge/skip chains span group
+        # boundaries (independent per-group modals break the chains
+        # and every promoted CU pays AMVP syntax)
+        near = (np.abs(mv_uni - mv_bias[None]).max(axis=(1, 2)) <= 4)
+        if bias_dir is not None:
+            near &= dirm == bias_dir
+        mv_uni = np.where(near[:, None, None], mv_bias[None], mv_uni)
 
     # header estimates: the unified CU merges with its uniform
     # neighborhood (~CU_OH_BITS); each sub-CU pays a header plus AMVP
