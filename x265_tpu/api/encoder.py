@@ -1917,7 +1917,21 @@ class Encoder:
         mv2 = np.zeros((nby, nbx, 2, 2), dtype=np.int32)
         mv2[:, :, 0] = best_mv
         dir_blk = np.ones((nby, nbx), np.int32)
-        if p.rd_level >= 2:
+        pad80 = None
+        if p.rd_level >= 3:
+            # recon-in-the-loop merge adoption (rdo.rd_adopt16): every
+            # block is coded under its own motion and each dominant
+            # tuple; real SSE+rate replaces the SATD slack heuristic
+            from x265_tpu.engine.me import dominant_tuples
+            from x265_tpu.models.rdo import rd_adopt16
+            cands = dominant_tuples(dir_blk, mv2, best_ref, inter_blk)
+            pad80 = [np.pad(r.astype(np.int16), 80, mode="edge")
+                     for r in ref_ys]
+            if cands:
+                dir_blk, mv2, best_ref, _ad = rd_adopt16(
+                    np.asarray(y), pad80, [], inter_blk, mv2, dir_blk,
+                    best_ref, cands, qpv, p, mesh=self.mesh)
+        elif p.rd_level >= 2:
             bits_now = ((best_cost - satd16) / max(lam, 1e-3) + 4.0)
             dir_blk, mv2, best_ref, satd16 = self._adopt_coherent(
                 np.asarray(y), ref_ys, [], dir_blk, mv2, best_ref,
@@ -1929,8 +1943,9 @@ class Encoder:
         if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
             rd_ctx = None
             if p.rd_level >= 3:
-                pad80 = [np.pad(r.astype(np.int16), 80, mode="edge")
-                         for r in ref_ys]
+                if pad80 is None:
+                    pad80 = [np.pad(r.astype(np.int16), 80, mode="edge")
+                             for r in ref_ys]
                 rd_ctx = (np.asarray(y, np.int32), pad80, [])
             self._merge_cu32(dec, satd16, qpv, rd_ctx)
             self._merge_cu64(dec, satd16, qpv, rd_ctx)
@@ -2006,7 +2021,23 @@ class Encoder:
         mv2[:, :, 0] = np.where(use0[..., None], mv0, 0)
         mv2[:, :, 1] = np.where(use1[..., None], mv1, 0)
         satd16 = None
-        if (p.rd_level >= 2 and satd is not None and y is not None
+        pads = None
+        if (p.rd_level >= 3 and y is not None and refs is not None):
+            from x265_tpu.engine.me import dominant_tuples
+            from x265_tpu.models.rdo import rd_adopt16
+            ref_blk = np.zeros((nby, nbx), np.int32)
+            dir_blk = dir_blk.astype(np.int32)
+            cands = dominant_tuples(dir_blk, mv2, ref_blk, inter_blk)
+            pads = ([np.pad(np.asarray(refs[0]).astype(np.int16), 80,
+                            mode="edge")],
+                    [np.pad(np.asarray(refs[1]).astype(np.int16), 80,
+                            mode="edge")])
+            if cands:
+                dir_blk, mv2, _rb, _ad = rd_adopt16(
+                    y, pads[0], pads[1], inter_blk, mv2, dir_blk,
+                    ref_blk, cands, qp if qp is not None else 32, p,
+                    mesh=self.mesh)
+        elif (p.rd_level >= 2 and satd is not None and y is not None
                 and refs is not None):
             satd_now = np.where(
                 choice == 1, satd[0],
@@ -2027,11 +2058,12 @@ class Encoder:
         if p.rd_level >= 2:
             rd_ctx = None
             if p.rd_level >= 3 and y is not None and refs is not None:
-                rd_ctx = (np.asarray(y, np.int32),
-                          [np.pad(np.asarray(refs[0]).astype(np.int16),
-                                  80, mode="edge")],
-                          [np.pad(np.asarray(refs[1]).astype(np.int16),
-                                  80, mode="edge")])
+                if pads is None:
+                    pads = ([np.pad(np.asarray(refs[0]).astype(np.int16),
+                                    80, mode="edge")],
+                            [np.pad(np.asarray(refs[1]).astype(np.int16),
+                                    80, mode="edge")])
+                rd_ctx = (np.asarray(y, np.int32), pads[0], pads[1])
             self._merge_cu32(dec, satd16, qp, rd_ctx)
             self._merge_cu64(dec, satd16, qp, rd_ctx)
         return dec

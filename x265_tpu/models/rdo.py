@@ -220,3 +220,135 @@ def rd_promote(src_y, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
 
 def rd_promote32(*args, **kw):
     return rd_promote(*args, n=32, **kw)
+
+
+@partial(jax.jit, static_argnames=("bd", "sdh", "do_rdoq", "scaling",
+                                   "pad", "k"))
+def _adopt_costs(src_y, r0y, r1y, xy, mv_all, dir_all, ref_all, qp,
+                 hdr_all, k, bd, sdh, do_rdoq, scaling, pad):
+    """RD cost of coding every 16x16 block under each of k motion
+    configurations (config 0 = the block's own refined motion, 1..k-1 =
+    frame-dominant candidate tuples): 32*SSE(recon) + lam*(rate + hdr).
+
+    xy [N,2]; mv_all [k*N,2,2]; dir_all/ref_all [k*N]; qp [N];
+    hdr_all [k] header-bit estimates per config. Returns cost [k, N].
+    """
+    N = xy.shape[0]
+    x0 = jnp.tile(xy[:, 0], k)
+    y0 = jnp.tile(xy[:, 1], k)
+    maxv = (1 << bd) - 1
+    filt = jnp.asarray(_LUMA_FILT)
+    use0 = (dir_all & 1) > 0
+
+    p0 = _mc_gather(r0y, jnp.where(use0, ref_all, 0), x0, y0,
+                    mv_all[:, 0, 0], mv_all[:, 0, 1], filt, 2, 16, 8,
+                    pad, bd)
+    p1 = _mc_gather(r1y, jnp.zeros_like(ref_all), x0, y0,
+                    mv_all[:, 1, 0], mv_all[:, 1, 1], filt, 2, 16, 8,
+                    pad, bd)
+    sh_bi = 15 - bd
+    bi = jnp.clip((p0 + p1 + (1 << (sh_bi - 1))) >> sh_bi, 0, maxv)
+    p14 = jnp.where(use0[:, None, None], p0, p1)
+    sh_u = 14 - bd
+    uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
+    pred = jnp.where((dir_all == 3)[:, None, None], bi, uni)
+
+    def blk(i):
+        return jax.lax.dynamic_slice(src_y, (xy[i, 1], xy[i, 0]),
+                                     (16, 16))
+
+    src = jnp.tile(jax.vmap(blk)(jnp.arange(N)).astype(jnp.int32),
+                   (k, 1, 1))
+    resi = src - pred
+    qpy = jnp.tile(qp + 6 * (bd - 8), k)
+    lvl, rres, cbf = _tq_chain(
+        resi, qpy, jnp.zeros((k * N,), jnp.int32),
+        16, False, False, bd, sdh, do_rdoq, False, scaling)
+    e = (resi - rres).astype(jnp.float32)
+    sse = (e * e).sum(axis=(1, 2))
+    rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
+    lam = jnp.asarray(np.asarray(RDOQ_LAM32),
+                      jnp.int64)[qpy].astype(jnp.float32)
+    hdr = jnp.repeat(jnp.asarray(hdr_all, jnp.float32), N)
+    cost = 32.0 * sse + lam * (rate.astype(jnp.float32) + hdr)
+    return cost.reshape(k, N)
+
+
+# header-bit estimates for the adoption configs (static bin scale):
+# a block keeping its own motion pays AMVP syntax (mvp idx + mvd +
+# ref idx); a block adopting a frame-dominant tuple codes merge/skip
+OWN_HDR_BITS = 14.0
+CAND_HDR_BITS = 5.0
+
+
+def rd_adopt16(src_y, refs0_padded, refs1_padded, inter_blk, mv_blk,
+               dir_blk, ref_blk, cands, qp, p, mesh=None):
+    """Recon-in-the-loop merge adoption (x265 checkMerge2Nx2N with real
+    RD, analysis.cpp:1914): every inter 16x16 block is coded under its
+    own motion AND each frame-dominant candidate tuple; the cheapest
+    configuration wins. Zero-residual blocks whose refined MV matches
+    no merge candidate stop paying AMVP headers for nothing.
+
+    Returns updated (dir_blk, mv_blk, ref_blk, adopted_mask)."""
+    from jax import enable_x64
+    nby, nbx = dir_blk.shape
+    N = nby * nbx
+    K = 4                                  # fixed -> stable trace shape
+    cands = list(cands)[:K]
+    while len(cands) < K:
+        cands.append(cands[-1])
+    by, bx = np.meshgrid(np.arange(nby), np.arange(nbx), indexing="ij")
+    xy = np.stack([bx.reshape(-1) * 16, by.reshape(-1) * 16],
+                  1).astype(np.int32)
+    mv_own = mv_blk.reshape(N, 2, 2).astype(np.int32)
+    dir_own = dir_blk.reshape(N).astype(np.int32)
+    ref_own = ref_blk.reshape(N).astype(np.int32)
+    mv_all = [mv_own]
+    dir_all = [dir_own]
+    ref_all = [ref_own]
+    for (dd, r0_, _r1, m0, m1) in cands:
+        mvc = np.zeros((N, 2, 2), np.int32)
+        mvc[:, 0] = m0
+        mvc[:, 1] = m1
+        mv_all.append(mvc)
+        dir_all.append(np.full(N, dd, np.int32))
+        ref_all.append(np.full(N, r0_, np.int32))
+    hdr = np.array([OWN_HDR_BITS] + [CAND_HDR_BITS] * K, np.float32)
+
+    def stack(lst, hp, wp):
+        if not lst:
+            return jnp.zeros((1, hp, wp), jnp.int16)
+        return jnp.stack([jnp.asarray(r) for r in lst])
+
+    pad = 80
+    hp, wp = p.height + 2 * pad, p.width + 2 * pad
+    with enable_x64():
+        cost = _adopt_costs(
+            jnp.asarray(np.asarray(src_y, np.int32)),
+            stack(refs0_padded, hp, wp), stack(refs1_padded, hp, wp),
+            jnp.asarray(xy),
+            jnp.asarray(np.concatenate(mv_all)),
+            jnp.asarray(np.concatenate(dir_all)),
+            jnp.asarray(np.concatenate(ref_all)),
+            jnp.asarray(np.full(N, qp, np.int32)),
+            jnp.asarray(hdr), k=K + 1, bd=p.bit_depth,
+            sdh=bool(p.sign_hide), do_rdoq=p.rdoq_level > 0,
+            scaling=bool(p.scaling_lists), pad=pad)
+    cost = np.asarray(cost)                        # [K+1, N]
+    choice = cost.argmin(axis=0).reshape(nby, nbx)
+    choice = np.where(inter_blk, choice, 0)
+    adopted = choice > 0
+    if not adopted.any():
+        return dir_blk, mv_blk, ref_blk, adopted
+    carr = np.array([[dd, r0_, m0[0], m0[1], m1[0], m1[1]]
+                     for (dd, r0_, _r1, m0, m1) in cands], np.int32)
+    ci = np.clip(choice - 1, 0, K - 1)
+    sel = carr[ci]                                 # [nby,nbx,6]
+    dir_out = np.where(adopted, sel[..., 0], dir_blk).astype(np.int32)
+    ref_out = np.where(adopted, sel[..., 1], ref_blk).astype(np.int32)
+    mv_out = mv_blk.copy()
+    mv_out[adopted, 0, 0] = sel[adopted, 2]
+    mv_out[adopted, 0, 1] = sel[adopted, 3]
+    mv_out[adopted, 1, 0] = sel[adopted, 4]
+    mv_out[adopted, 1, 1] = sel[adopted, 5]
+    return dir_out, mv_out, ref_out, adopted
