@@ -179,3 +179,42 @@ def test_dither_reduces_banding():
     y, cb, cr = dither_image((ramp10, ramp10[:32, :256], ramp10[:32, :256]),
                              10, 8)
     assert y.max() <= 255 and cb.shape == (32, 256)
+
+
+def test_dolby_vision_rpu_passthrough(tmp_path):
+    """--dolby-vision-rpu: one NAL_UNSPEC62 per AU, display-order
+    payloads, both interchange formats; streams still decode."""
+    from x265_tpu.api.params import param_default_preset, param_parse
+    from x265_tpu.decoder.decoder import HEVCDecoder
+    from x265_tpu.hevc.bitstream import make_nal, annexb, split_annexb
+
+    n = 4
+    payloads = [bytes([0x10 + i, 0xAA, i]) for i in range(n)]
+    # format A: Annex-B framed NAL 62 units
+    fa = tmp_path / "rpu_annexb.bin"
+    fa.write_bytes(b"".join(annexb([make_nal(62, pl)]) for pl in payloads))
+    # format B: 4-byte BE length prefixes (raw payloads)
+    fb = tmp_path / "rpu_len.bin"
+    fb.write_bytes(b"".join(len(pl).to_bytes(4, "big") + pl
+                            for pl in payloads))
+
+    for path in (fa, fb):
+        p = param_default_preset("ultrafast")
+        p.width, p.height = 96, 64
+        p.bframes = 2
+        p.b_adapt = 0
+        p.scenecut = 0
+        param_parse(p, "qp", "30")
+        param_parse(p, "dolby-vision-rpu", str(path))
+        frames = _small_frames(n)
+        enc = Encoder(p)
+        bs = enc.encode(frames)
+        units = [nal for nal in split_annexb(bs)
+                 if (nal[0] >> 1) & 0x3F == 62]
+        assert len(units) == n, path
+        # payload set preserved (RBSP after the 2-byte NAL header)
+        got = {u[2:5] for u in units}
+        if path is fa:
+            assert got == {pl[:3] for pl in payloads}
+        dec = HEVCDecoder().decode(bs)
+        assert len(dec) == n

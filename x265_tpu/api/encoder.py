@@ -63,6 +63,30 @@ _LEVEL_LIMITS = {
 }
 
 
+def _load_rpu_file(path: str):
+    """Read a Dolby Vision RPU file -> list of per-frame NAL payloads
+    (display order). Accepts the common interchange formats: Annex-B
+    framed NAL_UNSPEC62 units (dovi_tool output / x265's input format)
+    or 4-byte big-endian length-prefixed payloads."""
+    with open(path, "rb") as f:
+        data = f.read()
+    out = []
+    if b"\x00\x00\x01" in data[:8]:
+        from x265_tpu.hevc.bitstream import split_annexb
+        for nal in split_annexb(data):
+            out.append(nal)
+    else:
+        i = 0
+        while i + 4 <= len(data):
+            ln = int.from_bytes(data[i:i + 4], "big")
+            i += 4
+            if ln <= 0 or i + ln > len(data):
+                break
+            out.append(data[i:i + ln])
+            i += ln
+    return out
+
+
 def _enforce_level(p, level_idc: int) -> None:
     """x265 enforceLevel analog (level.cpp:290): a user-requested
     --level-idc must fit the picture size/rate (hard error otherwise),
@@ -250,6 +274,18 @@ class Encoder:
         if p.dhdr10_info:
             from x265_tpu.hevc.dhdr10 import load_dhdr10_json
             self._dhdr10 = load_dhdr10_json(p.dhdr10_info)
+        # Dolby Vision RPU passthrough (x265 --dolby-vision-rpu,
+        # dolbyvisionrpu handling in x265cli/encoder.cpp): one
+        # NAL_UNSPEC62 unit per display picture, appended at the end of
+        # its access unit. The carriage is pure passthrough — RPU
+        # payloads come from an external grading tool.
+        self._dovi_rpus = None
+        if p.dolby_vision_rpu:
+            self._dovi_rpus = _load_rpu_file(p.dolby_vision_rpu)
+            if p.dolby_vision_profile:
+                from x265_tpu.api.params import _warn
+                _warn(p, "dolby-vision-profile accepted for signalling "
+                      "intent only — RPUs are passed through unmodified")
         self.anchor = None           # (poc, (y, cb, cr)) last anchor recon
         self._colmv = {}             # poc -> ColCtx (TMVP source fields)
         # DCT-domain noise reduction accumulators (frameencoder.cpp:2098)
@@ -831,6 +867,20 @@ class Encoder:
             self._dhdr10_last = pack_st2094_40(meta)
         return annexb([dhdr10_sei(meta)])
 
+    def _dovi_rpu(self, poc: int) -> bytes:
+        """The display picture's Dolby Vision RPU as a NAL_UNSPEC62 unit
+        at the end of the AU (DV bitstream carriage)."""
+        if not self._dovi_rpus:
+            return b""
+        idx = self._disp_idx(poc)
+        if idx >= len(self._dovi_rpus):
+            return b""
+        unit = self._dovi_rpus[idx]
+        if not (len(unit) >= 2 and (unit[0] >> 1) & 0x3F == 62):
+            from x265_tpu.hevc.bitstream import make_nal
+            unit = make_nal(62, unit)
+        return annexb([unit])
+
     def _hash_sei(self, recon) -> bytes:
         """Decoded-picture-hash suffix SEI (MD5) of the loop-filtered
         recon (x265 frameencoder.cpp:1167)."""
@@ -969,7 +1019,7 @@ class Encoder:
         au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I, poc)
               + self._dhdr10_sei(poc, SLICE_I)
               + self._assemble_slices(slice_data, sh, nal_type)
-              + self._hash_sei(recon))
+              + self._hash_sei(recon) + self._dovi_rpu(poc))
         self._frame_stats((y, cb, cr), recon, SLICE_I, sh.qp,
                           len(au) * 8, poc, decisions)
         return au
@@ -1126,7 +1176,7 @@ class Encoder:
         au = (self._aud(SLICE_P) + self._hrd_sei(SLICE_P, poc) + rp
               + self._dhdr10_sei(poc, SLICE_P)
               + self._assemble_slices(slice_data, sh, NAL_TRAIL_R)
-              + self._hash_sei(recon))
+              + self._hash_sei(recon) + self._dovi_rpu(poc))
         self._frame_stats((y, cb, cr), recon, SLICE_P, sh.qp,
                           len(au) * 8, poc, decisions)
         return au
@@ -1594,7 +1644,7 @@ class Encoder:
         au = (self._aud(SLICE_B) + self._hrd_sei(SLICE_B, poc)
               + self._dhdr10_sei(poc, SLICE_B)
               + self._assemble_slices(slice_data, sh, nal_type)
-              + self._hash_sei(recon))
+              + self._hash_sei(recon) + self._dovi_rpu(poc))
         self._frame_stats((y, cb, cr), recon, SLICE_B, sh.qp,
                           len(au) * 8, poc, decisions)
         return au

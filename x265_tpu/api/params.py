@@ -71,6 +71,8 @@ class Param:
     hdr10: bool = False          # force-signal BT.2020/PQ even if unset
     dhdr10_info: str = ""        # HDR10+ per-frame JSON (--dhdr10-info)
     dhdr10_opt: bool = False     # emit HDR10+ SEI only on IDR/changes
+    dolby_vision_rpu: str = ""   # per-frame RPU file (--dolby-vision-rpu)
+    dolby_vision_profile: str = ""  # 5 / 8.1 / 8.2 (signalling note only)
     zones: str = ""              # "start,end,q=QP/start,end,b=MULT" ranges
     tmvp: bool = True            # temporal MVP (x265 sps always-on analog)
     nr_intra: int = 0            # DCT-domain noise reduction 0-2000
@@ -273,6 +275,8 @@ _OPT_ALIASES = {
     "hdr": "hdr10",
     "dhdr10-info": "dhdr10_info",
     "dhdr10-opt": "dhdr10_opt",
+    "dolby-vision-rpu": "dolby_vision_rpu",
+    "dolby-vision-profile": "dolby_vision_profile",
     "zones": "zones",
     "tmvp": "tmvp",
     "temporal-mvp": "tmvp",
