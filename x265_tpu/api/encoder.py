@@ -1162,7 +1162,8 @@ class Encoder:
                 sh.chroma_log2_weight_denom = DENOM
                 sh.chroma_weights_l0 = [wc] + [None] * (n0 - 1)
         decisions = (self._areader.get() if self._areader
-                     else self._p_decisions(y, me_refs, qp))
+                     else self._p_decisions(y, me_refs, qp,
+                                            frame=(y, cb, cr)))
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, (refs_l0, []),
             (pocs_l0, ()), poc, SLICE_P)
@@ -1632,7 +1633,9 @@ class Encoder:
         )
         decisions = (self._areader.get() if self._areader
                      else getattr(self, "_bdec_cache", {}).pop(poc, None)
-                     or self._b_decisions(y, rec0[0], rec1[0], qp))
+                     or self._b_decisions(y, rec0[0], rec1[0], qp,
+                                          frame=(y, cb, cr),
+                                          ref_tuples=(rec0, rec1)))
         slice_data, recon = yield from self._inter_slice_gen(
             (y, cb, cr), sh, decisions, ([rec0], [rec1]),
             ((p0,), (p1,)), poc, SLICE_B)
@@ -1923,7 +1926,7 @@ class Encoder:
                 fast=p.fast_intra)
         return self._intra_decisions(y), self._intra_cost_grid(y)
 
-    def _p_decisions(self, y, refs, qp=None) -> FrameDecisions:
+    def _p_decisions(self, y, refs, qp=None, frame=None) -> FrameDecisions:
         """Inter/intra split + MVs + ref choice for a P frame: ONE fused
         device dispatch covers all refs' integer search + subpel +
         MVP-relative re-cost + smoothing (the pme bonded group becomes an
@@ -1967,19 +1970,24 @@ class Encoder:
         mv2 = np.zeros((nby, nbx, 2, 2), dtype=np.int32)
         mv2[:, :, 0] = best_mv
         dir_blk = np.ones((nby, nbx), np.int32)
-        pad80 = None
-        if p.rd_level >= 3:
+        # full-plane RD context: current frame + padded refs, all three
+        # planes (the RD dispatches cost luma AND chroma; luma-only
+        # costing measurably over-adopted unified motion)
+        rd_refs = None
+        if (p.rd_level >= 3 and frame is not None
+                and all(isinstance(r, tuple) and len(r) == 3
+                        for r in refs)):
+            rd_refs = [self._pad_ref(r) for r in refs]
+        if rd_refs is not None:
             # recon-in-the-loop merge adoption (rdo.rd_adopt16): every
             # block is coded under its own motion and each dominant
             # tuple; real SSE+rate replaces the SATD slack heuristic
             from x265_tpu.engine.me import dominant_tuples
             from x265_tpu.models.rdo import rd_adopt16
             cands = dominant_tuples(dir_blk, mv2, best_ref, inter_blk)
-            pad80 = [np.pad(r.astype(np.int16), 80, mode="edge")
-                     for r in ref_ys]
             if cands:
                 dir_blk, mv2, best_ref, _ad = rd_adopt16(
-                    np.asarray(y), pad80, [], inter_blk, mv2, dir_blk,
+                    frame, rd_refs, [], inter_blk, mv2, dir_blk,
                     best_ref, cands, qpv, p, mesh=self.mesh)
         elif p.rd_level >= 2:
             bits_now = ((best_cost - satd16) / max(lam, 1e-3) + 4.0)
@@ -1991,12 +1999,8 @@ class Encoder:
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         dec.ref8 = self._to8(best_ref, h8, w8, rep)
         if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
-            rd_ctx = None
-            if p.rd_level >= 3:
-                if pad80 is None:
-                    pad80 = [np.pad(r.astype(np.int16), 80, mode="edge")
-                             for r in ref_ys]
-                rd_ctx = (np.asarray(y, np.int32), pad80, [])
+            rd_ctx = (None if rd_refs is None
+                      else (frame, rd_refs, []))
             self._merge_cu32(dec, satd16, qpv, rd_ctx)
             self._merge_cu64(dec, satd16, qpv, rd_ctx)
         self._apply_intra_refresh(dec)
@@ -2020,7 +2024,8 @@ class Encoder:
         x1 = min(p.width, x0 + p.ctu_size)
         dec.inter8[:, x0 >> 3:x1 >> 3] = False
 
-    def _b_decisions(self, y, ref0_y, ref1_y, qp=None) -> FrameDecisions:
+    def _b_decisions(self, y, ref0_y, ref1_y, qp=None, frame=None,
+                     ref_tuples=None) -> FrameDecisions:
         """B-frame analysis: ME vs both anchors + bi-prediction trial
         (x265 checkBidir2Nx2N analog) + intra fallback, as batched argmin."""
         from x265_tpu.engine.me import (
@@ -2044,10 +2049,11 @@ class Encoder:
         return self._b_select(dec, icost, mv, cost, bi_satd, lam,
                               satd=satd, y=np.asarray(y),
                               refs=(np.asarray(ref0_y), np.asarray(ref1_y)),
-                              qp=qpv)
+                              qp=qpv, frame=frame, ref_tuples=ref_tuples)
 
     def _b_select(self, dec, icost, mv, cost, bi_satd, lam, satd=None,
-                  y=None, refs=None, qp=None):
+                  y=None, refs=None, qp=None, frame=None,
+                  ref_tuples=None):
         """Per-block B choice (intra/L0/L1/bi) from batched ME results."""
         from x265_tpu.engine.me import _mv_bits, mv_field_median3
         p = self.param
@@ -2072,19 +2078,18 @@ class Encoder:
         mv2[:, :, 1] = np.where(use1[..., None], mv1, 0)
         satd16 = None
         pads = None
-        if (p.rd_level >= 3 and y is not None and refs is not None):
+        if (p.rd_level >= 3 and frame is not None
+                and ref_tuples is not None):
             from x265_tpu.engine.me import dominant_tuples
             from x265_tpu.models.rdo import rd_adopt16
             ref_blk = np.zeros((nby, nbx), np.int32)
             dir_blk = dir_blk.astype(np.int32)
             cands = dominant_tuples(dir_blk, mv2, ref_blk, inter_blk)
-            pads = ([np.pad(np.asarray(refs[0]).astype(np.int16), 80,
-                            mode="edge")],
-                    [np.pad(np.asarray(refs[1]).astype(np.int16), 80,
-                            mode="edge")])
+            pads = ([self._pad_ref(ref_tuples[0])],
+                    [self._pad_ref(ref_tuples[1])])
             if cands:
                 dir_blk, mv2, _rb, _ad = rd_adopt16(
-                    y, pads[0], pads[1], inter_blk, mv2, dir_blk,
+                    frame, pads[0], pads[1], inter_blk, mv2, dir_blk,
                     ref_blk, cands, qp if qp is not None else 32, p,
                     mesh=self.mesh)
         elif (p.rd_level >= 2 and satd is not None and y is not None
@@ -2107,13 +2112,8 @@ class Encoder:
         dec.mv8 = self._to8(mv2, h8, w8, rep)
         if p.rd_level >= 2:
             rd_ctx = None
-            if p.rd_level >= 3 and y is not None and refs is not None:
-                if pads is None:
-                    pads = ([np.pad(np.asarray(refs[0]).astype(np.int16),
-                                    80, mode="edge")],
-                            [np.pad(np.asarray(refs[1]).astype(np.int16),
-                                    80, mode="edge")])
-                rd_ctx = (np.asarray(y, np.int32), pads[0], pads[1])
+            if pads is not None and frame is not None:
+                rd_ctx = (frame, pads[0], pads[1])
             self._merge_cu32(dec, satd16, qp, rd_ctx)
             self._merge_cu64(dec, satd16, qp, rd_ctx)
         return dec
@@ -2151,7 +2151,8 @@ class Encoder:
                 dec, icost, mv, cost, bi, lam, satd=satd,
                 y=np.asarray(it[1][0]),
                 refs=(np.asarray(rec0[0]), np.asarray(rec1[0])),
-                qp=qp_est)
+                qp=qp_est, frame=tuple(np.asarray(x) for x in it[1]),
+                ref_tuples=(rec0, rec1))
 
     def encode(self, frames) -> bytes:
         """Encode an iterable of (y, cb, cr) frames; returns full stream."""

@@ -18,9 +18,9 @@ Cost domain matches the RDOQ fixed-point model: 32*SSE +
 RDOQ_LAM32[qp] * (rate_bins + per-CU header bits), so promotion
 decisions are consistent with the quantizer's own RD arithmetic.
 
-Luma-only: chroma residual energy tracks luma at these block sizes and
-its rate share is small; the ranking (not the absolute cost) is what
-matters here.
+Costs cover all three planes: a luma-only model systematically
+over-adopts unified motion wherever the chroma misprediction it cannot
+see would generate chroma residual (measurably worse BD at high QP).
 """
 from __future__ import annotations
 
@@ -30,9 +30,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from x265_tpu.hevc.tables import RDOQ_LAM32
+from x265_tpu.hevc.tables import CHROMA_QP_TABLE, RDOQ_LAM32
 from x265_tpu.models.residual import _tq_chain
-from x265_tpu.models.inter_residual import _mc_gather, _LUMA_FILT
+from x265_tpu.models.inter_residual import (_mc_gather, _CHROMA_FILT,
+                                            _LUMA_FILT)
 
 # CU-level syntax estimates (static bin-count scale): a merge/skip CU
 # header, and the extra AMVP cost of a sub-CU whose MV differs from the
@@ -52,11 +53,20 @@ def _rate_bins_j(l: jnp.ndarray) -> jnp.ndarray:
     return r + jnp.where(a > 1, 2 + 2 * lg, 0)
 
 
+def _chroma_qp_vec(qp, bd, off):
+    """Qp'C for a traced QP vector (8.6.1 via table + offset)."""
+    bdo = 6 * (bd - 8)
+    q = jnp.clip(qp + off, -bdo, 57)
+    tab = jnp.asarray(np.asarray(CHROMA_QP_TABLE, np.int32))
+    return jnp.where(q < 0, q + bdo, tab[jnp.maximum(q, 0)] + bdo)
+
+
 @partial(jax.jit, static_argnames=("n", "bd", "sdh", "do_rdoq", "scaling",
-                                   "pad"))
-def _promo_costs(src_y, r0y, r1y, xy, mv4, mv1, dirm, ref_i, qp,
+                                   "pad", "cb_off", "cr_off"))
+def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
+                 r1y, r1cb, r1cr, xy, mv4, mv1, dirm, ref_i, qp,
                  oh_one, oh_four,
-                 n, bd, sdh, do_rdoq, scaling, pad):
+                 n, bd, sdh, do_rdoq, scaling, pad, cb_off, cr_off):
     """RD costs of G candidate n x n regions:
     ONE n-CU at the unified motion mv1 vs FOUR (n/2)-CUs at their own
     motions mv4.
@@ -71,27 +81,42 @@ def _promo_costs(src_y, r0y, r1y, xy, mv4, mv1, dirm, ref_i, qp,
     m = n // 2
     x0, y0 = xy[:, 0], xy[:, 1]
     maxv = (1 << bd) - 1
-    filt = jnp.asarray(_LUMA_FILT)
-    use0 = (dirm & 1) > 0
+    lfilt = jnp.asarray(_LUMA_FILT)
+    cfilt = jnp.asarray(_CHROMA_FILT)
+    use0_g = (dirm & 1) > 0
 
-    def pred_at(x, y, mv, size):
-        p0 = _mc_gather(r0y, jnp.where(use0, ref_i, 0), x, y,
-                        mv[:, 0, 0], mv[:, 0, 1], filt, 2, size, 8,
-                        pad, bd)
-        p1 = _mc_gather(r1y, jnp.zeros_like(ref_i), x, y,
-                        mv[:, 1, 0], mv[:, 1, 1], filt, 2, size, 8,
-                        pad, bd)
+    def pred_at(x, y, mv, size, pl, use0, dirv, refv):
+        """Motion-compensated prediction for plane pl (0=Y, 1=Cb,
+        2=Cr); chroma runs at half geometry with the 4-tap filters and
+        eighth-pel phases (8.5.4.2.2)."""
+        if pl == 0:
+            planes0, planes1 = r0y, r1y
+            filt, fb, taps, pd = lfilt, 2, 8, pad
+        else:
+            planes0 = r0cb if pl == 1 else r0cr
+            planes1 = r1cb if pl == 1 else r1cr
+            filt, fb, taps, pd = cfilt, 3, 4, pad >> 1
+            x, y, size = x >> 1, y >> 1, size // 2
+        p0 = _mc_gather(planes0, jnp.where(use0, refv, 0), x, y,
+                        mv[:, 0, 0], mv[:, 0, 1], filt, fb, size, taps,
+                        pd, bd)
+        p1 = _mc_gather(planes1, jnp.zeros_like(refv), x, y,
+                        mv[:, 1, 0], mv[:, 1, 1], filt, fb, size, taps,
+                        pd, bd)
         sh_bi = 15 - bd
         bi = jnp.clip((p0 + p1 + (1 << (sh_bi - 1))) >> sh_bi, 0, maxv)
         p14 = jnp.where(use0[:, None, None], p0, p1)
         sh_u = 14 - bd
         uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
-        return jnp.where((dirm == 3)[:, None, None], bi, uni)
+        return jnp.where((dirv == 3)[:, None, None], bi, uni)
 
-    def blk(i):
-        return jax.lax.dynamic_slice(src_y, (y0[i], x0[i]), (n, n))
+    def blks(plane, xv, yv, size):
+        def one(i):
+            return jax.lax.dynamic_slice(plane, (yv[i], xv[i]),
+                                         (size, size))
+        return jax.vmap(one)(jnp.arange(xv.shape[0])).astype(jnp.int32)
 
-    src = jax.vmap(blk)(jnp.arange(G)).astype(jnp.int32)
+    src = blks(src_y, x0, y0, n)
     qpy = qp + 6 * (bd - 8)
     lam = jnp.asarray(np.asarray(RDOQ_LAM32),
                       jnp.int64)[qpy].astype(jnp.float32)
@@ -115,34 +140,67 @@ def _promo_costs(src_y, r0y, r1y, xy, mv4, mv1, dirm, ref_i, qp,
         rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
         return sse, rate.astype(jnp.float32)
 
+    qpc_cb = _chroma_qp_vec(qp, bd, cb_off) + 6 * (bd - 8)
+    qpc_cr = _chroma_qp_vec(qp, bd, cr_off) + 6 * (bd - 8)
+
+    def plane_cost(pl, xv, yv, mv, size, use0, dirv, refv, qv):
+        sp = (src_y, src_cb, src_cr)[pl]
+        xs, ys, sz = ((xv, yv, size) if pl == 0
+                      else (xv >> 1, yv >> 1, size // 2))
+        srcp = blks(sp, xs, ys, sz)
+        pred = pred_at(xv, yv, mv, size, pl, use0, dirv, refv)
+        return cfg_cost(srcp - pred, qv, sz)
+
     # --- one n-CU at the unified motion ---
-    pred1 = pred_at(x0, y0, mv1, n)
-    resi1 = src - pred1
-    sse1, rate1 = cfg_cost(resi1, qpy, n)
+    sse1, rate1 = plane_cost(0, x0, y0, mv1, n, use0_g, dirm, ref_i, qpy)
+    for pl, qv in ((1, qpc_cb), (2, qpc_cr)):
+        sc, rc = plane_cost(pl, x0, y0, mv1, n, use0_g, dirm, ref_i, qv)
+        sse1 = sse1 + sc
+        rate1 = rate1 + rc
     cost_one = 32.0 * sse1 + lam * (rate1 + oh_one)
 
     # --- four (n/2)-CUs at their own motions ---
     # z-order sub-block q: (dy, dx) = (q // 2, q % 2)
-    src4 = (src.reshape(G, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
-            .reshape(G * 4, m, m))
     qq = jnp.arange(4, dtype=jnp.int32)   # int32 under enable_x64 too
     x4 = (x0[:, None] + (qq % 2)[None, :] * m).reshape(-1)
     y4 = (y0[:, None] + (qq // 2)[None, :] * m).reshape(-1)
     mv4f = mv4.reshape(G * 4, 2, 2)
     # per-sub dir/ref follow the group (eligibility requires same dir/ref)
-    use0 = jnp.repeat(use0, 4)
-    dirm = jnp.repeat(dirm, 4)
-    ref_i = jnp.repeat(ref_i, 4)
-    pred4 = pred_at(x4, y4, mv4f, m)
-    resi4 = src4 - pred4
-    sse4, rate4 = cfg_cost(resi4, jnp.repeat(qpy, 4), m)
+    use0_4 = jnp.repeat(use0_g, 4)
+    dirm_4 = jnp.repeat(dirm, 4)
+    ref_4 = jnp.repeat(ref_i, 4)
+    sse4, rate4 = plane_cost(0, x4, y4, mv4f, m, use0_4, dirm_4, ref_4,
+                             jnp.repeat(qpy, 4))
+    for pl, qv in ((1, qpc_cb), (2, qpc_cr)):
+        sc, rc = plane_cost(pl, x4, y4, mv4f, m, use0_4, dirm_4, ref_4,
+                            jnp.repeat(qv, 4))
+        sse4 = sse4 + sc
+        rate4 = rate4 + rc
     sse4 = sse4.reshape(G, 4).sum(axis=1)
     rate4 = rate4.reshape(G, 4).sum(axis=1)
     cost_four = 32.0 * sse4 + lam * (rate4 + oh_four)
     return cost_one, cost_four
 
 
-def rd_promote(src_y, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
+def _plane_stacks(src_yuv, refs0_padded, refs1_padded, p, pad):
+    """Device stacks for the RD dispatches: (src_y, src_cb, src_cr) and
+    [r, Hp, Wp] per-plane reference stacks for each list. refs*_padded:
+    lists of (y, cb, cr) edge-padded planes (pad luma, pad/2 chroma)."""
+    def stack(lst, pl):
+        if not lst:
+            sh_ = ((p.height + 2 * pad, p.width + 2 * pad) if pl == 0
+                   else (p.height // 2 + pad, p.width // 2 + pad))
+            return jnp.zeros((1,) + sh_, jnp.int16)
+        return jnp.stack([jnp.asarray(r[pl]) for r in lst])
+
+    srcs = tuple(jnp.asarray(np.asarray(pl_arr, np.int32))
+                 for pl_arr in src_yuv)
+    r0s = tuple(stack(refs0_padded, pl) for pl in range(3))
+    r1s = tuple(stack(refs1_padded, pl) for pl in range(3))
+    return srcs, r0s, r1s
+
+
+def rd_promote(src_yuv, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
                ref_i, qp, p, n=32, mesh=None, mv_bias=None,
                bias_dir=None):
     """Decide per candidate group whether one n x n CU at the group's
@@ -198,21 +256,16 @@ def rd_promote(src_y, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
             jnp.asarray(padn(oh_one)),
             jnp.asarray(padn(oh_four, 1.0)))
 
-    def stack(lst, hp, wp):
-        if not lst:
-            return jnp.zeros((1, hp, wp), jnp.int16)
-        return jnp.stack([jnp.asarray(r) for r in lst])
-
     pad = 80
-    hp, wp = p.height + 2 * pad, p.width + 2 * pad
-    r0 = stack(refs0_padded, hp, wp)
-    r1 = stack(refs1_padded, hp, wp)
+    srcs, r0s, r1s = _plane_stacks(src_yuv, refs0_padded, refs1_padded,
+                                   p, pad)
     with enable_x64():
         c1, c4 = _promo_costs(
-            jnp.asarray(np.asarray(src_y, np.int32)), r0, r1, *args,
+            *srcs, *r0s, *r1s, *args,
             n=n, bd=p.bit_depth, sdh=bool(p.sign_hide),
             do_rdoq=p.rdoq_level > 0, scaling=bool(p.scaling_lists),
-            pad=pad)
+            pad=pad, cb_off=int(p.cb_qp_offset),
+            cr_off=int(p.cr_qp_offset))
     c1 = np.asarray(c1)[:G]
     c4 = np.asarray(c4)[:G]
     return c1 <= c4, mv_uni
@@ -223,12 +276,15 @@ def rd_promote32(*args, **kw):
 
 
 @partial(jax.jit, static_argnames=("bd", "sdh", "do_rdoq", "scaling",
-                                   "pad", "k"))
-def _adopt_costs(src_y, r0y, r1y, xy, mv_all, dir_all, ref_all, qp,
-                 hdr_all, k, bd, sdh, do_rdoq, scaling, pad):
+                                   "pad", "k", "cb_off", "cr_off"))
+def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
+                 r1y, r1cb, r1cr, xy, mv_all, dir_all, ref_all, qp,
+                 hdr_all, k, bd, sdh, do_rdoq, scaling, pad,
+                 cb_off, cr_off):
     """RD cost of coding every 16x16 block under each of k motion
     configurations (config 0 = the block's own refined motion, 1..k-1 =
-    frame-dominant candidate tuples): 32*SSE(recon) + lam*(rate + hdr).
+    frame-dominant candidate tuples): 32*SSE(recon) + lam*(rate + hdr),
+    summed over all three planes.
 
     xy [N,2]; mv_all [k*N,2,2]; dir_all/ref_all [k*N]; qp [N];
     hdr_all [k] header-bit estimates per config. Returns cost [k, N].
@@ -237,40 +293,59 @@ def _adopt_costs(src_y, r0y, r1y, xy, mv_all, dir_all, ref_all, qp,
     x0 = jnp.tile(xy[:, 0], k)
     y0 = jnp.tile(xy[:, 1], k)
     maxv = (1 << bd) - 1
-    filt = jnp.asarray(_LUMA_FILT)
+    lfilt = jnp.asarray(_LUMA_FILT)
+    cfilt = jnp.asarray(_CHROMA_FILT)
     use0 = (dir_all & 1) > 0
-
-    p0 = _mc_gather(r0y, jnp.where(use0, ref_all, 0), x0, y0,
-                    mv_all[:, 0, 0], mv_all[:, 0, 1], filt, 2, 16, 8,
-                    pad, bd)
-    p1 = _mc_gather(r1y, jnp.zeros_like(ref_all), x0, y0,
-                    mv_all[:, 1, 0], mv_all[:, 1, 1], filt, 2, 16, 8,
-                    pad, bd)
-    sh_bi = 15 - bd
-    bi = jnp.clip((p0 + p1 + (1 << (sh_bi - 1))) >> sh_bi, 0, maxv)
-    p14 = jnp.where(use0[:, None, None], p0, p1)
-    sh_u = 14 - bd
-    uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
-    pred = jnp.where((dir_all == 3)[:, None, None], bi, uni)
-
-    def blk(i):
-        return jax.lax.dynamic_slice(src_y, (xy[i, 1], xy[i, 0]),
-                                     (16, 16))
-
-    src = jnp.tile(jax.vmap(blk)(jnp.arange(N)).astype(jnp.int32),
-                   (k, 1, 1))
-    resi = src - pred
     qpy = jnp.tile(qp + 6 * (bd - 8), k)
-    lvl, rres, cbf = _tq_chain(
-        resi, qpy, jnp.zeros((k * N,), jnp.int32),
-        16, False, False, bd, sdh, do_rdoq, False, scaling)
-    e = (resi - rres).astype(jnp.float32)
-    sse = (e * e).sum(axis=(1, 2))
-    rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
+    qpc_cb = jnp.tile(_chroma_qp_vec(qp, bd, cb_off) + 6 * (bd - 8), k)
+    qpc_cr = jnp.tile(_chroma_qp_vec(qp, bd, cr_off) + 6 * (bd - 8), k)
+
+    def plane_cost(pl, qv):
+        if pl == 0:
+            planes0, planes1, sp = r0y, r1y, src_y
+            filt, fb, taps, pd, sz = lfilt, 2, 8, pad, 16
+            xs, ys = x0, y0
+        else:
+            planes0 = r0cb if pl == 1 else r0cr
+            planes1 = r1cb if pl == 1 else r1cr
+            sp = src_cb if pl == 1 else src_cr
+            filt, fb, taps, pd, sz = cfilt, 3, 4, pad >> 1, 8
+            xs, ys = x0 >> 1, y0 >> 1
+        p0 = _mc_gather(planes0, jnp.where(use0, ref_all, 0), xs, ys,
+                        mv_all[:, 0, 0], mv_all[:, 0, 1], filt, fb, sz,
+                        taps, pd, bd)
+        p1 = _mc_gather(planes1, jnp.zeros_like(ref_all), xs, ys,
+                        mv_all[:, 1, 0], mv_all[:, 1, 1], filt, fb, sz,
+                        taps, pd, bd)
+        sh_bi = 15 - bd
+        bi = jnp.clip((p0 + p1 + (1 << (sh_bi - 1))) >> sh_bi, 0, maxv)
+        p14 = jnp.where(use0[:, None, None], p0, p1)
+        sh_u = 14 - bd
+        uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
+        pred = jnp.where((dir_all == 3)[:, None, None], bi, uni)
+
+        def blk(i):
+            return jax.lax.dynamic_slice(sp, (ys[i], xs[i]), (sz, sz))
+
+        src = jax.vmap(blk)(jnp.arange(k * N)).astype(jnp.int32)
+        resi = src - pred
+        lvl, rres, cbf = _tq_chain(
+            resi, qv, jnp.zeros((k * N,), jnp.int32),
+            sz, False, False, bd, sdh, do_rdoq, False, scaling)
+        e = (resi - rres).astype(jnp.float32)
+        sse = (e * e).sum(axis=(1, 2))
+        rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
+        return sse, rate.astype(jnp.float32)
+
+    sse, rate = plane_cost(0, qpy)
+    for pl, qv in ((1, qpc_cb), (2, qpc_cr)):
+        sc, rc = plane_cost(pl, qv)
+        sse = sse + sc
+        rate = rate + rc
     lam = jnp.asarray(np.asarray(RDOQ_LAM32),
                       jnp.int64)[qpy].astype(jnp.float32)
     hdr = jnp.repeat(jnp.asarray(hdr_all, jnp.float32), N)
-    cost = 32.0 * sse + lam * (rate.astype(jnp.float32) + hdr)
+    cost = 32.0 * sse + lam * (rate + hdr)
     return cost.reshape(k, N)
 
 
@@ -281,7 +356,7 @@ OWN_HDR_BITS = 14.0
 CAND_HDR_BITS = 5.0
 
 
-def rd_adopt16(src_y, refs0_padded, refs1_padded, inter_blk, mv_blk,
+def rd_adopt16(src_yuv, refs0_padded, refs1_padded, inter_blk, mv_blk,
                dir_blk, ref_blk, cands, qp, p, mesh=None):
     """Recon-in-the-loop merge adoption (x265 checkMerge2Nx2N with real
     RD, analysis.cpp:1914): every inter 16x16 block is coded under its
@@ -315,17 +390,12 @@ def rd_adopt16(src_y, refs0_padded, refs1_padded, inter_blk, mv_blk,
         ref_all.append(np.full(N, r0_, np.int32))
     hdr = np.array([OWN_HDR_BITS] + [CAND_HDR_BITS] * K, np.float32)
 
-    def stack(lst, hp, wp):
-        if not lst:
-            return jnp.zeros((1, hp, wp), jnp.int16)
-        return jnp.stack([jnp.asarray(r) for r in lst])
-
     pad = 80
-    hp, wp = p.height + 2 * pad, p.width + 2 * pad
+    srcs, r0s, r1s = _plane_stacks(src_yuv, refs0_padded, refs1_padded,
+                                   p, pad)
     with enable_x64():
         cost = _adopt_costs(
-            jnp.asarray(np.asarray(src_y, np.int32)),
-            stack(refs0_padded, hp, wp), stack(refs1_padded, hp, wp),
+            *srcs, *r0s, *r1s,
             jnp.asarray(xy),
             jnp.asarray(np.concatenate(mv_all)),
             jnp.asarray(np.concatenate(dir_all)),
@@ -333,7 +403,8 @@ def rd_adopt16(src_y, refs0_padded, refs1_padded, inter_blk, mv_blk,
             jnp.asarray(np.full(N, qp, np.int32)),
             jnp.asarray(hdr), k=K + 1, bd=p.bit_depth,
             sdh=bool(p.sign_hide), do_rdoq=p.rdoq_level > 0,
-            scaling=bool(p.scaling_lists), pad=pad)
+            scaling=bool(p.scaling_lists), pad=pad,
+            cb_off=int(p.cb_qp_offset), cr_off=int(p.cr_qp_offset))
     cost = np.asarray(cost)                        # [K+1, N]
     choice = cost.argmin(axis=0).reshape(nby, nbx)
     choice = np.where(inter_blk, choice, 0)
