@@ -318,6 +318,11 @@ def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
     cbf bool [N]). Traced under x64 so the RDOQ cost accumulation is
     int64-exact (TPU emulates s64 for these small elementwise ops).
     """
+    from x265_tpu.utils import checks
+    if checks.enabled():      # X265TPU_CHECKIFY=1: instrumented graph
+        return checks.checked_tq_chain(resi, qp, scan_sel, n, dst,
+                                       is_intra, bd, sdh, do_rdoq,
+                                       lossless, scaling)
     from jax import enable_x64
     with enable_x64():
         return _tq_chain(resi, qp, scan_sel, n, dst, is_intra, bd, sdh,
