@@ -585,11 +585,14 @@ class Encoder:
                 and all(e[4] is not None for e in queue)):
             from x265_tpu.engine.lookahead import slicetype_split
             from x265_tpu.utils.profiling import scope
-            # the DP only places the NEXT anchor, so a window of a couple
-            # of mini-GOPs is enough — the full rc_lookahead queue made
-            # the pair-cost sweep O(window^2) (x265 likewise re-analyses a
-            # sliding window, slicetype.cpp:1867)
-            win = queue[:2 * (self.bframes + 1)]
+            # anchor placement optimises over the real lookahead window
+            # (x265 slicetypeAnalyse spans the whole lookahead,
+            # slicetype.cpp:1867; round-2's 2-mini-GOP cap silently
+            # ignored --rc-lookahead above ~2*(bframes+1)). The pair
+            # costs stay a single padded-bucket dispatch; only the
+            # host-side DP is O(window^2 * bframes).
+            win = queue[:max(2 * (self.bframes + 1),
+                             min(p_.rc_lookahead, 32))]
             with scope("slicetype"):
                 k = slicetype_split(self._anchor_low,
                                     [e[4] for e in win],

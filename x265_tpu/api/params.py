@@ -479,6 +479,10 @@ def check_params(p: Param) -> Param:
         _warn(p, f"custom scaling list file {p.scaling_lists!r} not "
               "supported — using the default matrices")
         p.scaling_lists = "default"
+    if p.rc_lookahead > 32:
+        _warn(p, "rc-lookahead clamped to 32 (queue and b-adapt window "
+              "cap; x265 allows 250)")
+        p.rc_lookahead = 32
     # rd-level implications (presets.rst: rdoq engages at rd >= 5; our
     # dial additionally gates the 32x32 promotion pass at rd >= 2)
     if p.rd_level >= 5 and p.rdoq_level == 0:
