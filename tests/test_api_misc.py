@@ -138,15 +138,18 @@ def test_option_surface_honored_or_coerced():
     must warn and be forced to its supported value by check_params."""
     from x265_tpu.api.params import (
         COERCED_OPTIONS, Param, check_params)
-    p = Param(width=64, height=64, rect=True, amp=True, psy_rd=2.0,
+    p = Param(width=64, height=64, rect=True, amp=True,
               tu_inter_depth=3, tu_intra_depth=3, wpp=True, tiles=(2, 2))
     p = check_params(p)
-    assert not p.rect and not p.amp and p.psy_rd == 0.0
+    assert not p.rect and not p.amp
     assert p.tu_inter_depth == 1 and p.tu_intra_depth == 1
     assert not p.wpp and p.tiles == (1, 1)
+    # psy-rd is honored now (models/rdo.py), not coerced
+    p2 = check_params(Param(width=64, height=64, psy_rd=3.0))
+    assert p2.psy_rd == 3.0
     # the documented coerce list matches what check_params forces
     assert set(COERCED_OPTIONS) == {
-        "rect", "amp", "psy_rd", "tu_inter_depth", "tu_intra_depth",
+        "rect", "amp", "tu_inter_depth", "tu_intra_depth",
         "wpp", "tiles"}
 
 

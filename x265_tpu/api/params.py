@@ -121,7 +121,10 @@ class Param:
     aq_strength: float = 1.0
     cu_tree: bool = True
     rdoq_level: int = 0
-    psy_rd: float = 2.0
+    psy_rd: float = 2.0          # psychovisual RD strength: weights
+    #   |AC-energy(src)-AC-energy(recon)| into the recon-in-loop RD
+    #   dispatches (models/rdo.py; x265 rdcost.h calcPsyRdCost).
+    #   Active where those dispatches run (rd_level >= 3 presets).
     lossless: bool = False
     scaling_lists: str = ""      # ""/off | "default" (--scaling-list)
     tskip: bool = False          # transform skip on 4x4 TBs (--tskip)
@@ -421,7 +424,6 @@ COERCED_OPTIONS = {
     # (field, unsupported-when, forced-to, why)
     "rect": "rectangular PUs not implemented (quadtree is square-only)",
     "amp": "asymmetric PUs not implemented",
-    "psy_rd": "psychovisual rd cost not implemented (satd/sse costs only)",
     "tu_inter_depth": "RQT depth >1 not implemented (TU == CU)",
     "tu_intra_depth": "RQT depth >1 not implemented (TU == CU)",
     "wpp": ("WPP entry-point substreams not emitted (analysis is "
@@ -453,9 +455,6 @@ def check_params(p: Param) -> Param:
     if p.amp:
         _warn(p, COERCED_OPTIONS["amp"] + " — forcing --no-amp")
         p.amp = False
-    if p.psy_rd > 0:
-        _warn(p, COERCED_OPTIONS["psy_rd"] + " — forcing --psy-rd 0")
-        p.psy_rd = 0.0
     if p.tu_inter_depth > 1:
         _warn(p, COERCED_OPTIONS["tu_inter_depth"]
               + " — forcing --tu-inter-depth 1")

@@ -53,6 +53,28 @@ def _rate_bins_j(l: jnp.ndarray) -> jnp.ndarray:
     return r + jnp.where(a > 1, 2 + 2 * lg, 0)
 
 
+def _psy_energy8(blocks: jnp.ndarray) -> jnp.ndarray:
+    """Per-8x8 AC energy of pixel blocks (x265 pixel.cpp:727 psyCost_pp):
+    sa8d against zero (sum |H8 b H8^T| / 4) minus the DC term
+    (sum(pixels) >> 2). blocks [N, S, S] int32 -> [N, S/8 * S/8] int32."""
+    from x265_tpu.engine.me import _H8
+    N, S, _ = blocks.shape
+    b = blocks.reshape(N, S // 8, 8, S // 8, 8)
+    b = b.transpose(0, 1, 3, 2, 4).reshape(-1, 8, 8)
+    h = jnp.asarray(_H8)
+    t = jnp.einsum("ij,njk,lk->nil", h, b, h)
+    sa8d = jnp.abs(t).sum(axis=(1, 2)) // 4
+    dc = b.sum(axis=(1, 2)) >> 2
+    return (sa8d - dc).reshape(N, -1)
+
+
+def _psy_cost(src, recon):
+    """Summed |AC-energy(src) - AC-energy(recon)| over the 8x8 tiling of
+    [N, S, S] blocks (abs at 8x8 granularity, as in psyCost_pp)."""
+    return jnp.abs(_psy_energy8(src) - _psy_energy8(recon)) \
+        .sum(axis=1).astype(jnp.float32)
+
+
 def _chroma_qp_vec(qp, bd, off):
     """Qp'C for a traced QP vector (8.6.1 via table + offset)."""
     bdo = 6 * (bd - 8)
@@ -62,11 +84,12 @@ def _chroma_qp_vec(qp, bd, off):
 
 
 @partial(jax.jit, static_argnames=("n", "bd", "sdh", "do_rdoq", "scaling",
-                                   "pad", "cb_off", "cr_off"))
+                                   "pad", "cb_off", "cr_off", "psy"))
 def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
                  r1y, r1cb, r1cr, xy, mv4, mv1, dirm, ref_i, qp,
                  oh_one, oh_four,
-                 n, bd, sdh, do_rdoq, scaling, pad, cb_off, cr_off):
+                 n, bd, sdh, do_rdoq, scaling, pad, cb_off, cr_off,
+                 psy=0.0):
     """RD costs of G candidate n x n regions:
     ONE n-CU at the unified motion mv1 vs FOUR (n/2)-CUs at their own
     motions mv4.
@@ -121,24 +144,40 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
     lam = jnp.asarray(np.asarray(RDOQ_LAM32),
                       jnp.int64)[qpy].astype(jnp.float32)
 
-    def cfg_cost(r, qvec, size):
+    # psy-rd lambda: cost domain is 32*SSE, so the sqrt-lambda psy term
+    # (rdcost.h calcPsyRdCost: dist + sqrt_lam*psyRd*energyDiff) scales
+    # as 32*sqrt(lam/32) = sqrt(32*lam)
+    psylam = jnp.sqrt(32.0 * jnp.asarray(np.asarray(RDOQ_LAM32),
+                                         jnp.int64)[qpy]
+                      .astype(jnp.float32)) * psy
+
+    def cfg_cost(r, pred, qvec, size, want_psy):
         # TBs larger than 32 ride the implicit RQT split (7.3.8.8):
         # transform in 32x32 quads, aggregate the costs back per region
         if size > 32:
             gq = r.shape[0]
             h = size // 2
-            r = (r.reshape(gq, 2, h, 2, h).transpose(0, 1, 3, 2, 4)
-                 .reshape(gq * 4, h, h))
-            sse, rate = cfg_cost(r, jnp.repeat(qvec, 4), h)
+
+            def quads(a):
+                return (a.reshape(gq, 2, h, 2, h).transpose(0, 1, 3, 2, 4)
+                        .reshape(gq * 4, h, h))
+            sse, rate, pc = cfg_cost(quads(r), quads(pred),
+                                     jnp.repeat(qvec, 4), h, want_psy)
             return (sse.reshape(gq, 4).sum(axis=1),
-                    rate.reshape(gq, 4).sum(axis=1))
+                    rate.reshape(gq, 4).sum(axis=1),
+                    pc.reshape(gq, 4).sum(axis=1))
         lvl, rres, cbf = _tq_chain(
             r, qvec, jnp.zeros((r.shape[0],), jnp.int32),
             size, False, False, bd, sdh, do_rdoq, False, scaling)
         e = (r - rres).astype(jnp.float32)
         sse = (e * e).sum(axis=(1, 2))
         rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
-        return sse, rate.astype(jnp.float32)
+        if want_psy:
+            maxv_ = (1 << bd) - 1
+            pc = _psy_cost(pred + r, jnp.clip(pred + rres, 0, maxv_))
+        else:
+            pc = jnp.zeros_like(sse)
+        return sse, rate.astype(jnp.float32), pc
 
     qpc_cb = _chroma_qp_vec(qp, bd, cb_off) + 6 * (bd - 8)
     qpc_cr = _chroma_qp_vec(qp, bd, cr_off) + 6 * (bd - 8)
@@ -149,15 +188,18 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
                       else (xv >> 1, yv >> 1, size // 2))
         srcp = blks(sp, xs, ys, sz)
         pred = pred_at(xv, yv, mv, size, pl, use0, dirv, refv)
-        return cfg_cost(srcp - pred, qv, sz)
+        # psy energy is a luma-plane cost (pixel.cpp psyCost_pp usage)
+        return cfg_cost(srcp - pred, pred, qv, sz, psy > 0 and pl == 0)
 
     # --- one n-CU at the unified motion ---
-    sse1, rate1 = plane_cost(0, x0, y0, mv1, n, use0_g, dirm, ref_i, qpy)
+    sse1, rate1, psy1 = plane_cost(0, x0, y0, mv1, n, use0_g, dirm,
+                                   ref_i, qpy)
     for pl, qv in ((1, qpc_cb), (2, qpc_cr)):
-        sc, rc = plane_cost(pl, x0, y0, mv1, n, use0_g, dirm, ref_i, qv)
+        sc, rc, _pc = plane_cost(pl, x0, y0, mv1, n, use0_g, dirm, ref_i,
+                                 qv)
         sse1 = sse1 + sc
         rate1 = rate1 + rc
-    cost_one = 32.0 * sse1 + lam * (rate1 + oh_one)
+    cost_one = 32.0 * sse1 + lam * (rate1 + oh_one) + psylam * psy1
 
     # --- four (n/2)-CUs at their own motions ---
     # z-order sub-block q: (dy, dx) = (q // 2, q % 2)
@@ -169,16 +211,17 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
     use0_4 = jnp.repeat(use0_g, 4)
     dirm_4 = jnp.repeat(dirm, 4)
     ref_4 = jnp.repeat(ref_i, 4)
-    sse4, rate4 = plane_cost(0, x4, y4, mv4f, m, use0_4, dirm_4, ref_4,
-                             jnp.repeat(qpy, 4))
+    sse4, rate4, psy4 = plane_cost(0, x4, y4, mv4f, m, use0_4, dirm_4,
+                                   ref_4, jnp.repeat(qpy, 4))
     for pl, qv in ((1, qpc_cb), (2, qpc_cr)):
-        sc, rc = plane_cost(pl, x4, y4, mv4f, m, use0_4, dirm_4, ref_4,
-                            jnp.repeat(qv, 4))
+        sc, rc, _pc = plane_cost(pl, x4, y4, mv4f, m, use0_4, dirm_4,
+                                 ref_4, jnp.repeat(qv, 4))
         sse4 = sse4 + sc
         rate4 = rate4 + rc
     sse4 = sse4.reshape(G, 4).sum(axis=1)
     rate4 = rate4.reshape(G, 4).sum(axis=1)
-    cost_four = 32.0 * sse4 + lam * (rate4 + oh_four)
+    psy4 = psy4.reshape(G, 4).sum(axis=1)
+    cost_four = 32.0 * sse4 + lam * (rate4 + oh_four) + psylam * psy4
     return cost_one, cost_four
 
 
@@ -265,7 +308,8 @@ def rd_promote(src_yuv, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
             n=n, bd=p.bit_depth, sdh=bool(p.sign_hide),
             do_rdoq=p.rdoq_level > 0, scaling=bool(p.scaling_lists),
             pad=pad, cb_off=int(p.cb_qp_offset),
-            cr_off=int(p.cr_qp_offset))
+            cr_off=int(p.cr_qp_offset),
+            psy=round(float(getattr(p, "psy_rd", 0.0)), 2))
     c1 = np.asarray(c1)[:G]
     c4 = np.asarray(c4)[:G]
     return c1 <= c4, mv_uni
@@ -276,11 +320,11 @@ def rd_promote32(*args, **kw):
 
 
 @partial(jax.jit, static_argnames=("bd", "sdh", "do_rdoq", "scaling",
-                                   "pad", "k", "cb_off", "cr_off"))
+                                   "pad", "k", "cb_off", "cr_off", "psy"))
 def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
                  r1y, r1cb, r1cr, xy, mv_all, dir_all, ref_all, qp,
                  hdr_all, k, bd, sdh, do_rdoq, scaling, pad,
-                 cb_off, cr_off):
+                 cb_off, cr_off, psy=0.0):
     """RD cost of coding every 16x16 block under each of k motion
     configurations (config 0 = the block's own refined motion, 1..k-1 =
     frame-dominant candidate tuples): 32*SSE(recon) + lam*(rate + hdr),
@@ -335,17 +379,22 @@ def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
         e = (resi - rres).astype(jnp.float32)
         sse = (e * e).sum(axis=(1, 2))
         rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
-        return sse, rate.astype(jnp.float32)
+        if psy > 0 and pl == 0:
+            pc = _psy_cost(src, jnp.clip(pred + rres, 0, maxv))
+        else:
+            pc = jnp.zeros_like(sse)
+        return sse, rate.astype(jnp.float32), pc
 
-    sse, rate = plane_cost(0, qpy)
+    sse, rate, psyc = plane_cost(0, qpy)
     for pl, qv in ((1, qpc_cb), (2, qpc_cr)):
-        sc, rc = plane_cost(pl, qv)
+        sc, rc, _pc = plane_cost(pl, qv)
         sse = sse + sc
         rate = rate + rc
     lam = jnp.asarray(np.asarray(RDOQ_LAM32),
                       jnp.int64)[qpy].astype(jnp.float32)
     hdr = jnp.repeat(jnp.asarray(hdr_all, jnp.float32), N)
-    cost = 32.0 * sse + lam * (rate + hdr)
+    cost = (32.0 * sse + lam * (rate + hdr)
+            + jnp.sqrt(32.0 * lam) * psy * psyc)
     return cost.reshape(k, N)
 
 
@@ -404,7 +453,8 @@ def rd_adopt16(src_yuv, refs0_padded, refs1_padded, inter_blk, mv_blk,
             jnp.asarray(hdr), k=K + 1, bd=p.bit_depth,
             sdh=bool(p.sign_hide), do_rdoq=p.rdoq_level > 0,
             scaling=bool(p.scaling_lists), pad=pad,
-            cb_off=int(p.cb_qp_offset), cr_off=int(p.cr_qp_offset))
+            cb_off=int(p.cb_qp_offset), cr_off=int(p.cr_qp_offset),
+            psy=round(float(getattr(p, "psy_rd", 0.0)), 2))
     cost = np.asarray(cost)                        # [K+1, N]
     choice = cost.argmin(axis=0).reshape(nby, nbx)
     choice = np.where(inter_blk, choice, 0)
