@@ -195,9 +195,46 @@ def write_clip(name: str, path: str) -> str:
 
 
 def frames_of(name: str):
+    """Frames of a named clip, disk-cached: generation is deterministic
+    but costs ~30-90 s of pure numpy for the 1080p clip, which is bench
+    budget (the driver runs bench.py under a hard timeout).  The cache key
+    includes this file's mtime so editing the generator invalidates it."""
     gen, W, H, n = CLIPS[name]
-    return [(y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32))
-            for (y, cb, cr) in gen()]
+    key = int(os.path.getmtime(os.path.abspath(__file__)))
+    path = os.path.join("/tmp", f"x265tpu_clip_{name}_{key}.npz")
+    import glob
+    for stale in glob.glob(os.path.join(
+            "/tmp", f"x265tpu_clip_{name}_*.npz")):
+        if stale != path:
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
+    if os.path.exists(path):
+        try:
+            z = np.load(path)
+            return [(z[f"y{i}"].astype(np.int32),
+                     z[f"cb{i}"].astype(np.int32),
+                     z[f"cr{i}"].astype(np.int32))
+                    for i in range(int(z["n"]))]
+        except Exception:
+            pass
+    frames = [(y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32))
+              for (y, cb, cr) in gen()]
+    try:
+        arrs = {"n": np.int64(len(frames))}
+        for i, (y, cb, cr) in enumerate(frames):
+            # int16 covers 8/10-bit sample ranges at half the npz size
+            arrs[f"y{i}"] = y.astype(np.int16)
+            arrs[f"cb{i}"] = cb.astype(np.int16)
+            arrs[f"cr{i}"] = cr.astype(np.int16)
+        tmp = path + ".tmp"
+        np.savez(tmp, **arrs)
+        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp,
+                   path)
+    except Exception:
+        pass
+    return frames
 
 
 if __name__ == "__main__":
