@@ -194,14 +194,21 @@ def write_clip(name: str, path: str) -> str:
     return path
 
 
+def _cache_key() -> str:
+    """Content hash of this file: editing the generator invalidates the
+    cache; re-checkouts with identical content keep it (an mtime key
+    missed both ways — same-second edits and fresh clones)."""
+    import hashlib
+    with open(os.path.abspath(__file__), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
 def frames_of(name: str):
     """Frames of a named clip, disk-cached: generation is deterministic
     but costs ~30-90 s of pure numpy for the 1080p clip, which is bench
-    budget (the driver runs bench.py under a hard timeout).  The cache key
-    includes this file's mtime so editing the generator invalidates it."""
+    budget (the driver runs bench.py under a hard timeout)."""
     gen, W, H, n = CLIPS[name]
-    key = int(os.path.getmtime(os.path.abspath(__file__)))
-    path = os.path.join("/tmp", f"x265tpu_clip_{name}_{key}.npz")
+    path = os.path.join("/tmp", f"x265tpu_clip_{name}_{_cache_key()}.npz")
     import glob
     for stale in glob.glob(os.path.join(
             "/tmp", f"x265tpu_clip_{name}_*.npz")):
@@ -212,11 +219,11 @@ def frames_of(name: str):
                 pass
     if os.path.exists(path):
         try:
-            z = np.load(path)
-            return [(z[f"y{i}"].astype(np.int32),
-                     z[f"cb{i}"].astype(np.int32),
-                     z[f"cr{i}"].astype(np.int32))
-                    for i in range(int(z["n"]))]
+            with np.load(path) as z:
+                return [(z[f"y{i}"].astype(np.int32),
+                         z[f"cb{i}"].astype(np.int32),
+                         z[f"cr{i}"].astype(np.int32))
+                        for i in range(int(z["n"]))]
         except Exception:
             pass
     frames = [(y.astype(np.int32), cb.astype(np.int32), cr.astype(np.int32))

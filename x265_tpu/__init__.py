@@ -45,4 +45,17 @@ if _plat:
 
     _jax.config.update("jax_platforms", _plat)
 
+# Persistent XLA compilation cache. The encoder compiles dozens of
+# whole-frame programs; on the tunneled-TPU box a cold 1080p first
+# frame costs ~9 min of serial compiles, warm <2 s (measured). Cache
+# entries are keyed on HLO+flags+device so reuse is always sound.
+# Disable with X265TPU_XLA_CACHE=0 or point it elsewhere with a path.
+_cache = _os.environ.get("X265TPU_XLA_CACHE", "/tmp/x265tpu_xla_cache")
+if _cache and _cache != "0":
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from x265_tpu.api.params import Param, param_default, param_default_preset  # noqa: F401

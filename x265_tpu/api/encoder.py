@@ -508,6 +508,15 @@ class Encoder:
             out += self._emit_minigop()
         return out
 
+    def flush_step(self) -> bytes:
+        """Incremental flush: encode ONE queued mini-GOP and return its
+        access units (the analog of x265_encoder_encode's pic_in=NULL
+        drain contract, api.cpp:410 — each call returns a bounded chunk
+        instead of the whole tail at once). Returns b"" when drained."""
+        if not self.pending:
+            return b""
+        return self._emit_minigop()
+
     def reconfigure(self, **kwargs) -> None:
         """x265_encoder_reconfig analog (api.cpp:307): swap rate-control
         and analysis knobs mid-stream. Only settings that do not change
