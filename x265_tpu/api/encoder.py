@@ -1021,9 +1021,19 @@ class Encoder:
         if decisions is None:
             if self._analysis_queue:
                 decisions = self._analysis_queue.pop(0)
+            elif self._areader:
+                decisions = self._areader.get()
             else:
-                decisions = (self._areader.get() if self._areader
-                             else self._intra_decisions(y))
+                decisions = self._intra_decisions(y)
+                if p.rd_level >= 3:
+                    # intra quadtree depth-1 RDO (compressIntraCU
+                    # analog): promote 16-CU groups to 32 intra CUs
+                    # where full T/Q/recon RD wins (models/intra_rdo)
+                    from x265_tpu.models.intra_rdo import \
+                        rd_intra_promote32
+                    rd_intra_promote32((np.asarray(y), np.asarray(cb),
+                                        np.asarray(cr)), decisions,
+                                       qp, p)
         slice_data, recon = self._inter_slice_data(
             (y, cb, cr), sh, decisions, ([], []), ((), ()), poc, SLICE_I)
         self._record_colmv(decisions, ((), ()), poc)
@@ -1801,21 +1811,32 @@ class Encoder:
                 ok_inter &= g16 < 192.0 * qstep
         else:
             ok_inter = np.zeros((h32, w32), dtype=bool)
-        # intra: merge only uniform planar/DC (32x32 prediction of flat
-        # areas is near-identical to four 16s)
-        modes = grp(dec.luma_mode8)
-        same_mode = (modes == modes[:, :, :1]).all(axis=2)
-        flat = modes[:, :, 0] <= 1
-        if dec.inter8 is not None:
-            not_inter = ~grp(dec.inter8.astype(bool)).any(axis=2)
+        rd_intra = (p.rd_level >= 3 and rd_ctx is not None
+                    and qp is not None)
+        if rd_intra:
+            # recon-in-loop intra promotion runs below (after the inter
+            # map update) — it needs cu_log2_map still at 4 here
+            ok_intra = np.zeros((h32, w32), dtype=bool)
         else:
-            not_inter = np.ones((h32, w32), dtype=bool)
-        ok_intra = all16 & same_mode & flat & not_inter
+            # heuristic: merge only uniform planar/DC (32x32 prediction
+            # of flat areas is near-identical to four 16s)
+            modes = grp(dec.luma_mode8)
+            same_mode = (modes == modes[:, :, :1]).all(axis=2)
+            flat = modes[:, :, 0] <= 1
+            if dec.inter8 is not None:
+                not_inter = ~grp(dec.inter8.astype(bool)).any(axis=2)
+            else:
+                not_inter = np.ones((h32, w32), dtype=bool)
+            ok_intra = all16 & same_mode & flat & not_inter
         ok = ok_inter | ok_intra
-        if not ok.any():
-            return
-        up = np.repeat(np.repeat(ok, 4, 0), 4, 1)
-        dec.cu_log2_map[:h32 * 4, :w32 * 4][up] = 5
+        if ok.any():
+            up = np.repeat(np.repeat(ok, 4, 0), 4, 1)
+            dec.cu_log2_map[:h32 * 4, :w32 * 4][up] = 5
+        if rd_intra:
+            # intra quadtree depth-1 RDO on the remaining intra groups
+            # (compressIntraCU analog, analysis.cpp:514)
+            from x265_tpu.models.intra_rdo import rd_intra_promote32
+            rd_intra_promote32(rd_ctx[0], dec, int(qp), p)
 
     def _merge_cu64(self, dec, satd16=None, qp=None, rd_ctx=None) -> None:
         """Promote 2x2 groups of 32x32 inter CUs to one 64x64 CU when
@@ -2214,6 +2235,10 @@ class Encoder:
                 # complexity-blind (degenerates toward constant qscale)
                 satd_cost = float(np.asarray(h[1]).sum())
                 qp = self.rc.start(SLICE_I, max(1.0, satd_cost))
+                if p.rd_level >= 3:
+                    from x265_tpu.models.intra_rdo import \
+                        rd_intra_promote32
+                    rd_intra_promote32(f, dec, qp, p)
                 self._gop_base = self.frame_count   # every AU is POC 0
                 au = self._encode_intra_frame(*f, dec, qp=qp)
                 self.rc.end(len(au) * 8)
