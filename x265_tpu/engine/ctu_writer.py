@@ -775,7 +775,8 @@ class FrameSyntaxWriter:
         cf_s = forward_transform_skip(resi, self.bd)
         lvl_s = quantize(cf_s, qp, 2, is_intra, self.bd, m)
         if self.rdoq_level > 0 and np.any(lvl_s):
-            lvl_s = rdoq(cf_s, lvl_s, qp, 2, None, self.bd, m)
+            lvl_s = rdoq(cf_s, lvl_s, qp, 2, None, self.bd, m,
+                         consts=self._rk(c_idx))
         if self.pps.sign_data_hiding and np.any(lvl_s):
             lvl_s = sign_bit_hiding_adjust(lvl_s, scan)
         if np.any(lvl_s):
@@ -796,6 +797,16 @@ class FrameSyntaxWriter:
         if log2 != 2 or not self.tskip or self.lossless:
             return -1
         return self._tsmap.get((c_idx, x0, y0), 0)
+
+    def _rk(self, c_idx):
+        """estBit fractional-bit RDOQ constants for a plane
+        (hevc/rate_model.py; same derivation as native and device)."""
+        rk = getattr(self, "_rk_cache", None)
+        if rk is None:
+            from x265_tpu.hevc.rate_model import slice_rate_consts
+            rk = slice_rate_consts(self.sh.slice_type, self.sh.qp)
+            self._rk_cache = rk
+        return rk[0 if c_idx == 0 else 1]
 
     def _sm(self, log2, is_intra, c_idx):
         """Scaling matrix m for quant/dequant (None when lists are off)."""
@@ -826,8 +837,8 @@ class FrameSyntaxWriter:
         m = self._sm(log2, is_intra_tb, c_idx)
         level = quantize(coeff, qp, log2, is_intra_tb, self.bd, m)
         if self.rdoq_level > 0 and np.any(level):
-            lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
-            level = rdoq(coeff, level, qp, log2, lam, self.bd, m)
+            level = rdoq(coeff, level, qp, log2, None, self.bd, m,
+                         consts=self._rk(c_idx))
         if self.pps.sign_data_hiding and np.any(level):
             level = sign_bit_hiding_adjust(level, SCANS[(log2, 0)])
         if np.any(level):
@@ -892,10 +903,8 @@ class FrameSyntaxWriter:
         m = self._sm(log2, True, c_idx)
         level = quantize(coeff, qp, log2, True, self.bd, m)
         if self.rdoq_level > 0 and np.any(level):
-            # 0.4x lambda: calibrated against the static bin-count rate
-            # model (full CABAC fracBits estimates would use 1.0)
-            lam = 0.4 * 0.85 * 2.0 ** ((qp - 12) / 3.0)
-            level = rdoq(coeff, level, qp, log2, lam, self.bd, m)
+            level = rdoq(coeff, level, qp, log2, None, self.bd, m,
+                         consts=self._rk(c_idx))
         if self.pps.sign_data_hiding and np.any(level):
             scan = SCANS[(log2, coeff_scan_index(log2, c_idx, mode, True))]
             level = sign_bit_hiding_adjust(level, scan)

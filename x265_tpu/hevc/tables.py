@@ -126,9 +126,11 @@ _CTX_LAYOUT = [
 ]
 
 CTX_OFF = {}
+CTX_CNT = {}
 _off = 0
 for _name, _cnt in _CTX_LAYOUT:
     CTX_OFF[_name] = _off
+    CTX_CNT[_name] = _cnt
     _off += _cnt
 NUM_CONTEXTS = _off
 
@@ -411,4 +413,12 @@ GO_RICE_RANGE = np.array([7, 14, 26, 46, 78], dtype=np.int32)
 # residual pipeline make bit-identical RDOQ decisions (no float divergence).
 RDOQ_LAM32 = np.array(
     [int(np.floor(0.4 * 0.85 * (2.0 ** ((q - 12) / 3.0)) * 32 + 0.5))
+     for q in range(70)], dtype=np.int64)
+
+# Full-calibration variant (x265's lambda2, rdcost.h): used by the
+# estBit fractional-bit RDOQ path (hevc/rate_model.py) — real bits get
+# the real lambda; the 0.4 factor above compensated the bin-count
+# model's systematic rate overestimate.
+RDOQ_LAM32_FULL = np.array(
+    [int(np.floor(0.85 * (2.0 ** ((q - 12) / 3.0)) * 32 + 0.5))
      for q in range(70)], dtype=np.int64)

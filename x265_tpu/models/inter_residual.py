@@ -72,7 +72,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  xy, mv, dirm, ref_i, qp, wp,
                  n, bd, sdh, do_rdoq, lossless, pad, wld, wcd,
-                 cb_off, cr_off, scaling=False):
+                 cb_off, cr_off, scaling=False, consts=None):
     """One CU-size class of inter CUs: MC + residual chain, all planes.
 
     xy [N,2] luma top-left; mv [N,2,2] (list, x/y) qpel; dirm [N] 1/2/3;
@@ -152,22 +152,26 @@ def _inter_class_body(src_y, src_cb, src_cr,
         return jnp.where(q < 0, q + bdo, tab[jnp.maximum(q, 0)] + bdo)
 
     zsel = jnp.zeros((N,), jnp.int32)
+    kl = None if consts is None else consts[0]
+    kc = None if consts is None else consts[1]
     if n <= 32:
         lvl_y, rres_y, cbf_y = _tq_chain(sy - pred_y, qpy, zsel, n, False,
                                          False, bd, sdh, do_rdoq, lossless,
-                                         scaling)
+                                         scaling, kl)
         lvl_cb, rres_cb, cbf_cb = _tq_chain(scb - pred_cb, cqp(cb_off),
                                             zsel, hs, False, False, bd,
-                                            sdh, do_rdoq, lossless, scaling)
+                                            sdh, do_rdoq, lossless, scaling,
+                                            kc)
         lvl_cr, rres_cr, cbf_cr = _tq_chain(scr - pred_cr, cqp(cr_off),
                                             zsel, hs, False, False, bd,
-                                            sdh, do_rdoq, lossless, scaling)
+                                            sdh, do_rdoq, lossless, scaling,
+                                            kc)
         cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
     else:
         # 64x64 CU: the transform tree splits implicitly into 4 32x32
         # luma (+16x16 chroma) TUs — transform/quant run per quadrant,
         # cbf is per quadrant (z-order) for the writer's tree emission
-        def tq_quads(res, qvec, m):
+        def tq_quads(res, qvec, m, kk=None):
             """res [N,2m,2m] -> per-quadrant chain at m; returns
             (lvl [N,2m,2m], rres [N,2m,2m], cbf [N,4])."""
             q = res.reshape(N, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
@@ -175,17 +179,17 @@ def _inter_class_body(src_y, src_cb, src_cr,
             lv, rr, cb_ = _tq_chain(q, jnp.repeat(qvec, 4),
                                     jnp.zeros((N * 4,), jnp.int32), m,
                                     False, False, bd, sdh, do_rdoq,
-                                    lossless, scaling)
+                                    lossless, scaling, kk)
             def back(a):
                 return (a.reshape(N, 2, 2, m, m).transpose(0, 1, 3, 2, 4)
                         .reshape(N, 2 * m, 2 * m))
             return back(lv), back(rr), cb_.reshape(N, 4)
 
-        lvl_y, rres_y, qcbf_y = tq_quads(sy - pred_y, qpy, n // 2)
+        lvl_y, rres_y, qcbf_y = tq_quads(sy - pred_y, qpy, n // 2, kl)
         lvl_cb, rres_cb, qcbf_cb = tq_quads(scb - pred_cb, cqp(cb_off),
-                                            hs // 2)
+                                            hs // 2, kc)
         lvl_cr, rres_cr, qcbf_cr = tq_quads(scr - pred_cr, cqp(cr_off),
-                                            hs // 2)
+                                            hs // 2, kc)
         cbf = jnp.stack([qcbf_y, qcbf_cb, qcbf_cr], axis=2)  # [N,4,3]
     rec_y = jnp.clip(pred_y + rres_y, 0, maxv)
     rec_cb = jnp.clip(pred_cb + rres_cb, 0, maxv)
@@ -208,7 +212,7 @@ _inter_class = partial(jax.jit, static_argnames=(
 def _inter_multi(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  per_class, wp, ns, bd, sdh, do_rdoq, lossless, pad,
-                 wld, wcd, cb_off, cr_off, scaling=False):
+                 wld, wcd, cb_off, cr_off, scaling=False, consts=None):
     """Several CU-size classes in ONE dispatch (one tunnel round trip
     instead of one per class). per_class: tuple of (xy, mv, dirm, ref_i,
     qp) batches matching `ns`."""
@@ -218,12 +222,12 @@ def _inter_multi(src_y, src_cb, src_cr,
         outs.append(_inter_class_body(
             src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
-            pad, wld, wcd, cb_off, cr_off, scaling))
+            pad, wld, wcd, cb_off, cr_off, scaling, consts))
     return tuple(outs)
 
 
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
-                    sdh, rdoq_level, mesh=None):
+                    sdh, rdoq_level, mesh=None, slice_type=1):
     """Assemble the precomputed-residual dict for the native writer.
 
     src: (y, cb, cr) numpy planes; decisions: FrameDecisions with
@@ -371,13 +375,19 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         classes.append((n, N, x0, y0, ys8, xs8, r, args))
     if any_pre:
         ns = tuple(c[0] for c in classes)
+        kk = None
+        if rdoq_level > 0 and not p.lossless:
+            # estBit RDOQ consts from the SLICE qp/type — identical to
+            # the native and oracle derivations (hevc/rate_model.py)
+            from x265_tpu.hevc.rate_model import slice_rate_consts
+            kk = jnp.asarray(slice_rate_consts(slice_type, qp_slice))
         with enable_x64():
             outs = _inter_multi(
                 sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                 tuple(c[7] for c in classes), wp_arr, ns, bd,
                 bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
                 wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
-                bool(p.scaling_lists))
+                bool(p.scaling_lists), kk)
         outs = jax.device_get(outs)
         for (n, N, x0, y0, ys8, xs8, r, _a), out in zip(classes, outs):
             ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N]

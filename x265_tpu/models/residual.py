@@ -177,15 +177,23 @@ def _ilog2(l: jnp.ndarray) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("n", "bd", "scaling", "is_intra"))
 def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
-              is_intra: bool = False):
-    """int64 body of rdoq_b — must be traced with x64 enabled."""
+              is_intra: bool = False, consts=None):
+    """int64 body of rdoq_b — must be traced with x64 enabled.
+
+    consts: optional [8] int32 Q15 fractional-bit constants
+    (hevc.rate_model estBit analog) for the batch's plane; None keeps
+    the static bin-count model."""
     log2 = n.bit_length() - 1
     qp = qp.astype(jnp.int32)
     per = qp // 6
     rem = qp % 6
     bs = bd + log2 - 5
     tr_shift = 15 - bd - log2
-    lam_fx = (jnp.asarray(RDOQ_LAM32, jnp.int64)[qp]
+    # estBit path: real fractional bits get the full lambda2; the
+    # static bin-count model keeps its 0.4-calibrated table
+    from x265_tpu.hevc.tables import RDOQ_LAM32_FULL
+    lam_tab = RDOQ_LAM32 if consts is None else RDOQ_LAM32_FULL
+    lam_fx = (jnp.asarray(lam_tab, jnp.int64)[qp]
               << (2 * tr_shift))[:, None, None]
     c = coeff.astype(jnp.int64)
     sgn = jnp.sign(lvl).astype(jnp.int64)
@@ -196,14 +204,32 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
         return _deq_core(l32, per, rem, bs, rounded=False,
                          m=m).astype(jnp.int64)
 
-    def rate(l):
-        r = jnp.where(l > 0, 3, 1).astype(jnp.int64)
-        lg = _ilog2(jnp.maximum(l, 1))
-        return r + jnp.where(l > 1, 2 + 2 * lg, 0)
+    if consts is not None:
+        K = consts.astype(jnp.int64)
+
+        def rcost(l):
+            # shared estBit formula (hevc/rate_model.py module doc)
+            esc = jnp.maximum(l - 5, 1)
+            lg = _ilog2(esc).astype(jnp.int64)
+            remb = jnp.where(l < 6, jnp.maximum(l - 2, 0) << 15,
+                             (4 + 2 * lg) << 15)
+            rf = jnp.where(
+                l == 0, K[0],
+                K[1] + 32768 + jnp.where(
+                    l == 1, K[2],
+                    K[3] + jnp.where(l == 2, K[4], K[5] + remb)))
+            return (lam_fx * rf) >> 15
+
+        cg_gain = K[7] - K[6]
+    else:
+        def rcost(l):
+            r = jnp.where(l > 0, 3, 1).astype(jnp.int64)
+            lg = _ilog2(jnp.maximum(l, 1))
+            return lam_fx * (r + jnp.where(l > 1, 2 + 2 * lg, 0))
 
     def cost(l):
         e = c - sgn * deq(l.astype(jnp.int32))
-        return 32 * e * e + lam_fx * rate(l)
+        return 32 * e * e + rcost(l)
 
     best_l = l0
     best = cost(l0)
@@ -214,7 +240,7 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
         best_l = jnp.where(take, cand, best_l)
     out = sgn * best_l
 
-    # CG zeroing: 32*(d_zero - d_now) < lam_fx*(r_now - 1)
+    # CG zeroing: 32*(d_zero - d_now) < rate saved by coding csbf=0
     ncg = n // 4
     l_abs = jnp.abs(out)
     e_now = c - jnp.sign(out) * deq(l_abs.astype(jnp.int32))
@@ -224,10 +250,14 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
 
     d_zero = cg_sum(c * c)
     d_now = cg_sum(e_now * e_now)
-    r_now = cg_sum(rate(l_abs))
+    r_now = cg_sum(rcost(l_abs))
     any_nz = cg_sum(l_abs) > 0
     # lam_fx is [N,1,1], broadcasting over the [N,ncg,ncg] CG grid
-    zero_cg = any_nz & (32 * (d_zero - d_now) < lam_fx * (r_now - 1))
+    if consts is not None:
+        save = r_now + ((lam_fx * cg_gain) >> 15)
+    else:
+        save = r_now - lam_fx
+    zero_cg = any_nz & (32 * (d_zero - d_now) < save)
     z = zero_cg[:, :, None, :, None]
     out5 = out.reshape(-1, ncg, 4, ncg, 4)
     out5 = jnp.where(z, 0, out5)
@@ -235,11 +265,12 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
 
 
 def rdoq_b(coeff, lvl, qp, n: int, bd: int, scaling: bool = False,
-           is_intra: bool = False):
+           is_intra: bool = False, consts=None):
     """Batched integer RDOQ (bit-exact vs rdoq_adjust / oracle rdoq)."""
     from jax import enable_x64
     with enable_x64():
-        return _rdoq_x64(coeff, lvl, qp, n, bd, scaling, is_intra)
+        return _rdoq_x64(coeff, lvl, qp, n, bd, scaling, is_intra,
+                         None if consts is None else jnp.asarray(consts))
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -289,14 +320,15 @@ def sbh_b(lvl: jnp.ndarray, scan_sel: jnp.ndarray, n: int) -> jnp.ndarray:
                                    "do_rdoq", "lossless", "scaling"))
 def _tq_chain(resi: jnp.ndarray, qp: jnp.ndarray, scan_sel: jnp.ndarray,
               n: int, dst: bool, is_intra: bool, bd: int, sdh: bool,
-              do_rdoq: bool, lossless: bool, scaling: bool = False):
+              do_rdoq: bool, lossless: bool, scaling: bool = False,
+              consts=None):
     if lossless:
         cbf = jnp.any(resi != 0, axis=(1, 2))
         return resi, resi, cbf
     cf = fwd_transform_b(resi, n, dst, bd)
     lvl = quantize_b(cf, qp, n, is_intra, bd, scaling)
     if do_rdoq:
-        lvl = _rdoq_x64(cf, lvl, qp, n, bd, scaling, is_intra)
+        lvl = _rdoq_x64(cf, lvl, qp, n, bd, scaling, is_intra, consts)
     if sdh:
         lvl = jnp.where(jnp.any(lvl != 0, axis=(1, 2))[:, None, None],
                         sbh_b(lvl, scan_sel, n), lvl)
@@ -309,7 +341,7 @@ def _tq_chain(resi: jnp.ndarray, qp: jnp.ndarray, scan_sel: jnp.ndarray,
 
 def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
              bd: int, sdh: bool, do_rdoq: bool, lossless: bool,
-             scaling: bool = False):
+             scaling: bool = False, consts=None):
     """The full coeffs_from_pred / tb_process transform chain for a batch
     of same-size TUs: residual -> (levels, recon-residual, cbf).
 
@@ -322,8 +354,8 @@ def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
     if checks.enabled():      # X265TPU_CHECKIFY=1: instrumented graph
         return checks.checked_tq_chain(resi, qp, scan_sel, n, dst,
                                        is_intra, bd, sdh, do_rdoq,
-                                       lossless, scaling)
+                                       lossless, scaling, consts)
     from jax import enable_x64
     with enable_x64():
         return _tq_chain(resi, qp, scan_sel, n, dst, is_intra, bd, sdh,
-                         do_rdoq, lossless, scaling)
+                         do_rdoq, lossless, scaling, consts)

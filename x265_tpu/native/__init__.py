@@ -106,6 +106,7 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p,                    # exp cbf8/has8
             ctypes.c_int,                                        # scaling_lists
             ctypes.c_int,                                        # tskip
+            ctypes.c_void_p,                                     # rate consts
         ]
         _lib = lib
         return _lib
@@ -272,6 +273,15 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         qm = c(qp_map, dtype=np.int32)
         keep.append(qm)
         qmp = qm.ctypes.data
+    rc_ptr = None
+    if rdoq_level > 0 and not lossless:
+        # estBit fractional-bit RDOQ constants (hevc/rate_model.py):
+        # identical derivation feeds the oracle and device paths, so
+        # the three implementations keep deciding byte-identically
+        from x265_tpu.hevc.rate_model import slice_rate_consts
+        rc = np.ascontiguousarray(slice_rate_consts(slice_type, qp))
+        keep.append(rc)
+        rc_ptr = rc.ctypes.data
     collect_only = 0
     exp_ptrs = [None] * 5
     if collect is not None:
@@ -304,7 +314,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         cbf4.ctypes.data, wp_ptr, wp_ld, wp_cd,
         cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
         nro_p, nrs_p, nrc_p, int(ctb_begin), int(ctb_count), *pre_ptrs,
-        collect_only, *exp_ptrs, int(scaling_lists), int(tskip))
+        collect_only, *exp_ptrs, int(scaling_lists), int(tskip),
+        rc_ptr)
     if n < 0:
         return None
     return (out[:n].tobytes(),

@@ -434,23 +434,54 @@ static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out,
 // shared kRdoqLam32 fixed-point table) so the native finalizer, the Python
 // oracle and the TPU residual pipeline decide identically:
 //   cost*32*err_norm = 32*e^2 + (LAM32[qp] << 2*tr_shift) * rate
+// K: optional [8] Q15 fractional-bit constants (the estBit analog;
+// hevc/rate_model.py derives them from the slice-initial context
+// states and the python/device paths use the same shared formula).
 static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
-                        int bd, const int32_t* m = nullptr) {
+                        int bd, const int32_t* m = nullptr,
+                        const int32_t* K = nullptr) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int bd_shift = bd + log2 - 5;
   int64_t scale = (int64_t)kDequantScale[rem] * 16;
   int tr_shift = 15 - bd - log2;
-  int64_t lam_fx = kRdoqLam32[qp] << (2 * tr_shift);
+  // estBit path: real fractional bits get the full lambda2; the static
+  // bin-count model keeps its 0.4-calibrated table (tables.py)
+  int64_t lam_fx = (K ? kRdoqLam32Full[qp] : kRdoqLam32[qp])
+                   << (2 * tr_shift);
   auto deq = [&](int64_t l, int i) {
     int64_t sc = m ? (int64_t)kDequantScale[rem] * m[i] : scale;
     return (l * (sc << per)) >> bd_shift;
   };
-  auto rate = [&](int64_t l) -> int64_t {
-    if (l == 0) return 1;
+  // lam-weighted rate cost of coding |level| l (shared formula,
+  // hevc/rate_model.py module doc)
+  auto rcost = [&](int64_t l) -> int64_t {
+    if (K) {
+      int64_t fx;
+      if (l == 0) fx = K[0];
+      else {
+        fx = (int64_t)K[1] + 32768;
+        if (l == 1) fx += K[2];
+        else {
+          fx += K[3];
+          if (l == 2) fx += K[4];
+          else {
+            int64_t remb;
+            if (l < 6) remb = (l - 2) << 15;
+            else {
+              int lg = 63 - __builtin_clzll((uint64_t)(l - 5));
+              remb = (int64_t)(4 + 2 * lg) << 15;
+            }
+            fx += K[5] + remb;
+          }
+        }
+      }
+      return (lam_fx * fx) >> 15;
+    }
+    if (l == 0) return lam_fx;
     int64_t r = 3;                        // sig + gt1 + sign
     if (l > 1) r += 2 + 2 * (63 - __builtin_clzll((uint64_t)l));
-    return r;
+    return lam_fx * r;
   };
   for (int i = 0; i < n * n; i++) {
     int64_t c = coeff[i];
@@ -462,12 +493,12 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
     int64_t cands[3] = {l0, l0 - 1, 0};
     for (int64_t l : cands) {
       int64_t e = c - s * deq(l, i);
-      int64_t cost = 32 * e * e + lam_fx * rate(l);
+      int64_t cost = 32 * e * e + rcost(l);
       if (cost < best) { best = cost; bl = l; }
     }
     lvl[i] = (int32_t)(s * bl);
   }
-  // CG zeroing
+  // CG zeroing (the csbf bin flips 1 -> 0 when the group clears)
   int ng = n / 4;
   for (int cy = 0; cy < ng; cy++)
     for (int cx = 0; cx < ng; cx++) {
@@ -482,10 +513,12 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
           int64_t e = c - s * deq(l, idx);
           d_now += e * e;
           d_zero += c * c;
-          r_now += rate(l);
+          r_now += rcost(l);
           if (l) any = true;
         }
-      if (any && 32 * (d_zero - d_now) < lam_fx * (r_now - 1)) {
+      int64_t save = K ? r_now + ((lam_fx * (int64_t)(K[7] - K[6])) >> 15)
+                       : r_now - lam_fx;
+      if (any && 32 * (d_zero - d_now) < save) {
         for (int j = 0; j < 4; j++)
           for (int i = 0; i < 4; i++)
             lvl[(cy * 4 + j) * n + cx * 4 + i] = 0;
@@ -839,6 +872,12 @@ struct Writer {
   int width, height, ctb_log2, min_cb_log2;
   int qp, bd;
   int rdoq_level = 0;
+  // estBit fractional-bit RDOQ constants ([16]: luma row then chroma
+  // row; null = static bin-count model). See hevc/rate_model.py.
+  const int32_t* rate_consts = nullptr;
+  const int32_t* rk(int pl) const {
+    return rate_consts ? rate_consts + (pl == 0 ? 0 : 8) : nullptr;
+  }
   bool lossless, sign_hiding, strong_smooth;
   int cb_qp_off, cr_qp_off;
   // planes (int16 working recon)
@@ -958,7 +997,7 @@ struct Writer {
   // Returns the flag (0/1) and overwrites lvl/rres when skip wins.
   int try_tskip(const int32_t* resi, int qpc, bool is_intra,
                 const int32_t* mtx, const uint16_t* scan,
-                int32_t* lvl, int32_t* rres) {
+                int32_t* lvl, int32_t* rres, const int32_t* K = nullptr) {
     int32_t cfs[16], lvs[16], rrs[16];
     int tsh = 13 - bd;
     for (int i = 0; i < 16; i++) cfs[i] = resi[i] << tsh;
@@ -966,7 +1005,7 @@ struct Writer {
     bool nz = false;
     for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
     if (rdoq_level > 0 && nz) {
-      rdoq_adjust(cfs, lvs, 4, qpc, bd, mtx);
+      rdoq_adjust(cfs, lvs, 4, qpc, bd, mtx, K);
       nz = false;
       for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
     }
@@ -1540,7 +1579,7 @@ struct Writer {
     const int32_t* mtx = sm(n, false);
     quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false, mtx);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl, n, qpc, bd, mtx);
+      rdoq_adjust(cf.data(), lvl, n, qpc, bd, mtx, rk(pl));
     bool nz = false;
     for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1558,7 +1597,7 @@ struct Writer {
     ts_flag[pl] = -1;
     if (n == 4 && tskip && !lossless) {
       ts_flag[pl] = try_tskip(resi.data(), qpc, false, mtx,
-                              scan_tab(2, 0), lvl, rres);
+                              scan_tab(2, 0), lvl, rres, rk(pl));
       nz = false;
       for (int i = 0; i < 16; i++) if (lvl[i]) { nz = true; break; }
     }
@@ -1941,7 +1980,7 @@ struct Writer {
     const int32_t* mtx = sm(nt, true);
     quantize(cf.data(), nt, qpc, bd, lvl.data(), true, mtx);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd, mtx);
+      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd, mtx, rk(plane));
     bool nz = false;
     for (int i = 0; i < nt * nt; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1960,7 +1999,8 @@ struct Writer {
     if (nt == 4 && tskip && !lossless) {
       int si = scan_index(2, plane == 0 ? 0 : 1, mode, true);
       ts_flag[plane] = try_tskip(resi.data(), qpc, true, mtx,
-                                 scan_tab(2, si), lvl.data(), rres.data());
+                                 scan_tab(2, si), lvl.data(), rres.data(),
+                                 rk(plane));
       nz = false;
       for (int i = 0; i < 16; i++) if (lvl.data()[i]) { nz = true; break; }
     }
@@ -2091,7 +2131,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     int collect_only, int16_t* exp_lvl_y,
                     int16_t* exp_lvl_cb, int16_t* exp_lvl_cr,
                     uint8_t* exp_cbf8, uint8_t* exp_has8,
-                    int scaling_lists, int tskip_enabled) {
+                    int scaling_lists, int tskip_enabled,
+                    const int32_t* rate_consts) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -2124,6 +2165,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.sao_off_cb = sao_off_cb; w.sao_off_cr = sao_off_cr;
   w.qp_map = qp_map;
   w.rdoq_level = rdoq_level;
+  w.rate_consts = rate_consts;
   w.wp = wp; w.wp_ldenom = wp_ldenom; w.wp_cdenom = wp_cdenom;
   w.col_dir = col_dir; w.col_mv = col_mv; w.col_refpoc = col_refpoc;
   w.col_poc = col_poc; w.col_from_l0 = col_from_l0;

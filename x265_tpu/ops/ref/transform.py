@@ -203,12 +203,15 @@ def forward_transform_skip(resi: np.ndarray, bit_depth: int = 8) -> np.ndarray:
 
 def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
          lam: float = None, bit_depth: int = 8,
-         m: np.ndarray = None) -> np.ndarray:
+         m: np.ndarray = None, consts: np.ndarray = None) -> np.ndarray:
     """Rate-distortion optimized quantization, simplified (x265 analog:
     Quant::rdoQuant, quant.cpp:610; this keeps the two decisions that
     carry most of the gain — per-coefficient level choice among
-    {level, level-1, 0} and whole-CG zeroing — with a static bin-count
-    rate model instead of live CABAC fractional bits).
+    {level, level-1, 0} and whole-CG zeroing).
+
+    consts: [8] Q15 fractional-bit constants (hevc.rate_model, the
+    estBit analog) for the TB's plane; None falls back to the static
+    bin-count model.
 
     All-integer cost arithmetic with the shared fixed-point lambda table
     (tables.RDOQ_LAM32), so the native finalizer, this oracle and the TPU
@@ -216,14 +219,17 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
         cost * 32 * err_norm = 32*e^2 + (LAM32[qp] << 2*tr_shift) * rate
     The `lam` argument is accepted for API compatibility and ignored.
     """
-    from x265_tpu.hevc.tables import RDOQ_LAM32
+    from x265_tpu.hevc.tables import RDOQ_LAM32, RDOQ_LAM32_FULL
     n = 1 << log2
     per, rem = qp // 6, qp % 6
     bd_shift = bit_depth + log2 - 5
     mm = 16 if m is None else m.astype(np.int64)
     scale = int(LEV_SCALE[rem]) * mm          # scalar, or [n,n] with lists
     tr_shift = MAX_TR_DYNAMIC_RANGE - bit_depth - log2
-    lam_fx = int(RDOQ_LAM32[qp]) << (2 * tr_shift)
+    # estBit path: real fractional bits get the full lambda2; the
+    # static bin-count model keeps its 0.4-calibrated table
+    lam_tab = RDOQ_LAM32 if consts is None else RDOQ_LAM32_FULL
+    lam_fx = int(lam_tab[qp]) << (2 * tr_shift)
 
     scale_cg = (scale if np.isscalar(scale)
                 else scale.reshape(n // 4, 4, n // 4, 4))
@@ -240,19 +246,28 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
         e = c - sgn * deq(l)
         return 32 * e * e
 
-    def rate(l):
-        # sig + gt1 + sign, plus golomb-ish tail bins for l > 1
-        r = np.where(l > 0, 3, 1).astype(np.int64)
-        lg = np.zeros_like(l)
-        m = l > 1
-        lg[m] = np.floor(np.log2(l[m].astype(np.float64))).astype(np.int64)
-        r += np.where(m, 2 + 2 * lg, 0)
-        return r
+    if consts is not None:
+        from x265_tpu.hevc.rate_model import CG0, CG1, rate_fx_np
+
+        def rcost(l):
+            return (lam_fx * rate_fx_np(l, consts)) >> 15
+
+        cg_gain = int(consts[CG1]) - int(consts[CG0])
+    else:
+        def rcost(l):
+            # sig + gt1 + sign, plus golomb-ish tail bins for l > 1
+            r = np.where(l > 0, 3, 1).astype(np.int64)
+            lg = np.zeros_like(l)
+            m_ = l > 1
+            lg[m_] = np.floor(np.log2(l[m_].astype(np.float64))) \
+                .astype(np.int64)
+            r += np.where(m_, 2 + 2 * lg, 0)
+            return lam_fx * r
 
     best_l = l0.copy()
-    best_cost = dist32(l0) + lam_fx * rate(l0)
+    best_cost = dist32(l0) + rcost(l0)
     for cand in (np.maximum(l0 - 1, 0), np.zeros_like(l0)):
-        cost = dist32(cand) + lam_fx * rate(cand)
+        cost = dist32(cand) + rcost(cand)
         take = cost < best_cost
         best_cost = np.where(take, cost, best_cost)
         best_l = np.where(take, cand, best_l)
@@ -267,9 +282,13 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
     d_zero = cgc * cgc
     e_now = cgc - np.sign(og) * deq(cg_l, scale_cg)
     d_now = e_now * e_now
-    r_now = rate(cg_l)
+    r_now = rcost(cg_l)
     dd = (d_zero - d_now).sum(axis=(1, 3))
     rr = r_now.sum(axis=(1, 3))
-    zero_cg = (cg_l.sum(axis=(1, 3)) > 0) & (32 * dd < lam_fx * (rr - 1))
+    if consts is not None:
+        save = rr + ((lam_fx * cg_gain) >> 15)
+    else:
+        save = rr - lam_fx
+    zero_cg = (cg_l.sum(axis=(1, 3)) > 0) & (32 * dd < save)
     og[...] = np.where(zero_cg[:, None, :, None], 0, og)
     return out

@@ -27,7 +27,7 @@ def enabled() -> bool:
 @partial(jax.jit, static_argnames=("n", "dst", "is_intra", "bd", "sdh",
                                   "do_rdoq", "lossless", "scaling"))
 def _checked_tq(resi, qp, scan_sel, n, dst, is_intra, bd, sdh, do_rdoq,
-                lossless, scaling):
+                lossless, scaling, consts=None):
     from x265_tpu.models.residual import _tq_chain
 
     def run(resi, qp, scan_sel):
@@ -37,7 +37,8 @@ def _checked_tq(resi, qp, scan_sel, n, dst, is_intra, bd, sdh, do_rdoq,
             jnp.all(jnp.abs(resi) < (1 << bd)),
             "tq_chain: residual exceeds the bit-depth dynamic range")
         lvl, rres, cbf = _tq_chain(resi, qp, scan_sel, n, dst, is_intra,
-                                   bd, sdh, do_rdoq, lossless, scaling)
+                                   bd, sdh, do_rdoq, lossless, scaling,
+                                   consts)
         checkify.check(jnp.all(jnp.abs(lvl) <= 32767),
                        "tq_chain: coefficient level overflow")
         checkify.check(jnp.all(jnp.abs(rres) <= 32767),
@@ -49,11 +50,11 @@ def _checked_tq(resi, qp, scan_sel, n, dst, is_intra, bd, sdh, do_rdoq,
 
 
 def checked_tq_chain(resi, qp, scan_sel, n, dst, is_intra, bd, sdh,
-                     do_rdoq, lossless, scaling=False):
+                     do_rdoq, lossless, scaling=False, consts=None):
     """tq_chain with checkify assertions; raises on violated invariants."""
     from jax import enable_x64
     with enable_x64():
         err, out = _checked_tq(resi, qp, scan_sel, n, dst, is_intra, bd,
-                               sdh, do_rdoq, lossless, scaling)
+                               sdh, do_rdoq, lossless, scaling, consts)
     err.throw()
     return out
