@@ -150,7 +150,20 @@ def test_option_surface_honored_or_coerced():
     # the documented coerce list matches what check_params forces
     assert set(COERCED_OPTIONS) == {
         "rect", "amp", "tu_inter_depth", "tu_intra_depth",
-        "wpp", "tiles"}
+        "wpp", "tiles", "weightb", "constrained_intra", "cu_lossless",
+        "ssim_rd", "lowpass_dct", "dynamic_rd", "aq_motion", "hevc_aq",
+        "interlace", "single_sei", "opt_qp_pps", "temporal_layers",
+        "uhd_bd", "sao_non_deblock", "selective_sao", "vbv_end",
+        "refine_intra", "refine_inter", "refine_mv", "qg_size"}
+    # the simple-coerce table forces each row back to its supported value
+    from x265_tpu.api.params import _COERCE_SIMPLE
+    for (fld, bad, forced) in _COERCE_SIMPLE:
+        pc = Param(width=64, height=64)
+        setattr(pc, fld, True if isinstance(forced, bool)
+                else forced + 1)
+        assert bad(getattr(pc, fld)), fld
+        pc = check_params(pc)
+        assert getattr(pc, fld) == forced, fld
 
 
 def test_rd_level_dial():

@@ -87,3 +87,32 @@ def scale_decisions(dec: FrameDecisions, factor: int = 2) -> FrameDecisions:
         qp_map=dec.qp_map,      # per-CTB grid is resolution-relative
     )
     return out
+
+
+def upscale_decisions(dec: FrameDecisions, factor: int = 2,
+                      ctb_log2: int = 6) -> FrameDecisions:
+    """Rescale decision maps saved at 1/factor resolution for a
+    factor-x encode — the x265 --scale-factor direction (cli.rst
+    942-980: analysis saved on the low-res rendition seeds the high-res
+    encode; encoder.cpp:4257 readAnalysisFile scale path).  CU sizes
+    grow by log2(factor) clamped to the CTB; MVs scale by factor."""
+    import math
+    s = int(math.log2(factor))
+
+    def up(m):
+        if m is None:
+            return None
+        m = np.asarray(m)
+        return np.repeat(np.repeat(m, factor, axis=0), factor, axis=1)
+
+    return FrameDecisions(
+        cu_log2_map=np.minimum(up(dec.cu_log2_map) + s, ctb_log2),
+        luma_mode8=up(dec.luma_mode8),
+        chroma_mode8=up(dec.chroma_mode8),
+        inter8=up(dec.inter8),
+        dir8=up(dec.dir8),
+        ref8=up(dec.ref8),
+        mv8=None if dec.mv8 is None else
+            (up(dec.mv8) * factor).astype(np.int32),
+        qp_map=dec.qp_map,      # per-CTB grid is resolution-relative
+    )

@@ -130,7 +130,7 @@ class Encoder:
         self.param = check_params(param.copy())
         p = self.param
         fps = p.fps_num / max(1, p.fps_den)
-        if p.level_idc:
+        if p.level_idc and not p.allow_non_conformance:
             _enforce_level(p, p.level_idc)
         ptl = ProfileTierLevel(
             profile_idc=2 if p.bit_depth == 10 else 1,
@@ -157,7 +157,7 @@ class Encoder:
             chroma_format_idc=1,
             width=p.width, height=p.height,
             bit_depth=p.bit_depth,
-            log2_max_poc_lsb=8,
+            log2_max_poc_lsb=max(4, min(16, p.log2_max_poc_lsb)),
             max_dec_pic_buffering=dpb,
             num_reorder_pics=reorder,
             short_term_rps=[],
@@ -219,6 +219,7 @@ class Encoder:
             self.sps.hrd_bitrate = p.vbv_maxrate * 1000
             self.sps.hrd_cpb_size = p.vbv_bufsize * 1000
             self.sps.vui_present = True
+        self._poc_mask = (1 << self.sps.log2_max_poc_lsb) - 1
         self.pps = PPS(
             weighted_pred=p.weightp,
             sign_data_hiding=p.sign_hide and not p.lossless,
@@ -350,6 +351,22 @@ class Encoder:
         if p.analysis_load:
             from x265_tpu.api.analysis_io import AnalysisReader
             self._areader = AnalysisReader(p.analysis_load)
+            if p.scale_factor == 2:
+                # --scale-factor 2: analysis saved at half resolution
+                # seeds this 2x encode (cli.rst:942-980 save/load chain)
+                from x265_tpu.api.analysis_io import upscale_decisions
+                rdr = self._areader
+
+                class _Scaled:
+                    def get(self, _r=rdr, _c=p.ctb_log2):
+                        d = _r.get()
+                        return (None if d is None
+                                else upscale_decisions(d, 2, _c))
+
+                    def close(self, _r=rdr):
+                        _r.close()
+
+                self._areader = _Scaled()
 
     # -- public API --
 
@@ -365,6 +382,13 @@ class Encoder:
         # HDR10 static metadata rides prefix SEIs right after the
         # parameter sets (x265 Encoder::getStreamHeaders analog)
         from x265_tpu.hevc import sei as sei_mod
+        if p.info_sei:
+            from x265_tpu import __version__ as _ver
+            out += annexb([sei_mod.user_data_unregistered_sei(
+                f"x265-tpu {_ver} - TPU-native HEVC encoder - "
+                f"options: {p.width}x{p.height} fps={p.fps_num}/"
+                f"{p.fps_den} ctu={p.ctu_size} bframes={self.bframes} "
+                f"ref={p.ref} rd={p.rd_level}")])
         if p.master_display:
             out += annexb([sei_mod.mastering_display_sei(p.master_display)])
         if p.max_cll:
@@ -382,6 +406,7 @@ class Encoder:
         p = self.param
         assert y.shape == (p.height, p.width), y.shape
         frame = (np.asarray(y), np.asarray(cb), np.asarray(cr))
+        frame = self._clip_input(frame)
         out = b""
         is_idr = (self.frame_count == 0 or
                   (p.keyint > 0 and self.frames_since_idr >= p.keyint))
@@ -425,9 +450,12 @@ class Encoder:
         # scenecut (slicetype.cpp:2186 analog): the inter path barely beats
         # intra => new scene; respect min-keyint
         min_ki = p.min_keyint or (self.bframes + 1)
+        # --scenecut-bias scales the threshold (x265 scenecutBias is a
+        # percentage, slicetype.cpp:2279; default 5.0 == our baseline)
+        sc_thresh = (p.scenecut / 400.0) * (p.scenecut_bias / 5.0)
         if (not is_idr and p.scenecut > 0 and
                 self.frames_since_idr >= min_ki and
-                pcost >= (1.0 - p.scenecut / 400.0) * icost):
+                pcost >= (1.0 - sc_thresh) * icost):
             is_idr = True
             self._scenecut_frames.add(self.frame_count)
         if (not is_idr and p.hist_scenecut and
@@ -500,6 +528,16 @@ class Encoder:
         if close:
             out += self._emit_minigop()
         return out
+
+    def _clip_input(self, frame):
+        """--min-luma/--max-luma: clip the source luma range (x265
+        planeClipAndMax, applied at picture intake)."""
+        p = self.param
+        if p.min_luma < 0 and p.max_luma < 0:
+            return frame
+        lo = p.min_luma if p.min_luma >= 0 else 0
+        hi = p.max_luma if p.max_luma >= 0 else (1 << p.bit_depth) - 1
+        return (np.clip(frame[0], lo, hi), frame[1], frame[2])
 
     def flush(self) -> bytes:
         """Encode all queued frames (end of stream / before an IDR)."""
@@ -919,7 +957,8 @@ class Encoder:
         if prev is None:
             return False
         sad = np.abs(h - prev).sum() / max(1.0, h.sum())
-        return sad > 0.35                 # x265 threshold scale (0..2)
+        thr = 0.35 * (self.param.hist_threshold / 0.03)
+        return sad > thr     # --hist-threshold (rescaled to our metric)
 
     # -- encoder query/control API (x265.h:2108-2186 analogs) --
 
@@ -1012,7 +1051,7 @@ class Encoder:
             qp = self._slice_qp(SLICE_I)
         sh = SliceHeader(first_slice_in_pic=True, slice_type=SLICE_I, qp=qp)
         if nal_type != NAL_IDR_W_RADL:       # CRA: POC + keep-alive RPS
-            sh.pic_order_cnt_lsb = poc & 0xFF
+            sh.pic_order_cnt_lsb = poc & self._poc_mask
             sh.rps_in_sps = False
             sh.short_term_rps = ShortTermRPS(
                 num_negative=len(keep_pocs),
@@ -1038,7 +1077,12 @@ class Encoder:
             (y, cb, cr), sh, decisions, ([], []), ((), ()), poc, SLICE_I)
         self._record_colmv(decisions, ((), ()), poc)
         self._last_recon = recon
-        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I, poc)
+        rp = b""
+        if p.idr_recovery_sei:
+            # --idr-recovery-sei: recovery point at every keyframe
+            from x265_tpu.hevc.sei import recovery_point_sei
+            rp = annexb([recovery_point_sei(0)])
+        au = (self._aud(SLICE_I) + self._hrd_sei(SLICE_I, poc) + rp
               + self._dhdr10_sei(poc, SLICE_I)
               + self._assemble_slices(slice_data, sh, nal_type)
               + self._hash_sei(recon) + self._dovi_rpu(poc))
@@ -1153,7 +1197,7 @@ class Encoder:
             first_slice_in_pic=True,
             slice_type=SLICE_P,
             qp=qp,
-            pic_order_cnt_lsb=poc & 0xFF,
+            pic_order_cnt_lsb=poc & self._poc_mask,
             rps_in_sps=False,
             short_term_rps=ShortTermRPS(
                 num_negative=len(anchors),
@@ -1350,7 +1394,7 @@ class Encoder:
                         decisions, refs_padded, sh.qp, p, wp_native,
                         self.pps.sign_data_hiding,
                         0 if p.lossless else p.rdoq_level,
-                        mesh=self.mesh)
+                        mesh=self.mesh, slice_type=slice_type)
 
             state = {"pre": pre, "nr_reset": True}
 
@@ -1643,7 +1687,7 @@ class Encoder:
             first_slice_in_pic=True,
             slice_type=SLICE_B,
             qp=qp,
-            pic_order_cnt_lsb=poc & 0xFF,
+            pic_order_cnt_lsb=poc & self._poc_mask,
             rps_in_sps=False,
             short_term_rps=ShortTermRPS(
                 num_negative=len(negs), delta_poc_s0=negs,
@@ -2093,6 +2137,8 @@ class Encoder:
         S = 16
         mv0, mv1 = mv[0], mv[1]
         c0, c1 = cost[0], cost[1]
+        if not p.b_intra:      # --no-b-intra: inter-only B CUs
+            icost = np.full_like(icost, np.inf)
         d0 = mv0 - mv_field_median3(mv0)
         d1 = mv1 - mv_field_median3(mv1)
         bi_bits = (_mv_bits(d0).sum(-1) + _mv_bits(d1).sum(-1))
@@ -2210,7 +2256,8 @@ class Encoder:
         cu_log2 = 4 if p.ctb_log2 >= 4 else p.ctb_log2
         out = [self.headers()]
 
-        frames = [tuple(np.asarray(pl) for pl in f) for f in frames]
+        frames = [self._clip_input(tuple(np.asarray(pl) for pl in f))
+                  for f in frames]
         BATCH = 8        # frames per dispatch (one tunnel RPC per chunk)
         INFLIGHT = 2     # chunks queued on device ahead of the finalizer
         from collections import deque

@@ -109,6 +109,35 @@ class Param:
     me_range: int = 57
     rect: bool = False
     amp: bool = False
+    b_intra: bool = True         # allow intra modes in B frames (--b-intra)
+    weightb: bool = False        # weighted B pred — coerced off (no impl)
+    constrained_intra: bool = False   # coerced off (no impl)
+    cu_lossless: bool = False    # per-CU lossless trial — coerced off
+    hme: bool = False            # hierarchical ME — the fused ME always
+    #   runs the 2-level hierarchy (engine/me.py), flag is a hint
+    hme_search: str = ""         # per-level method (hint; dense sweep)
+    hme_range: str = ""          # per-level range (hint)
+    rdpenalty: int = 0           # 32x32-TU intra penalty 0-2 (hint)
+    ssim_rd: bool = False        # SSIM-RD cost — coerced off (no impl)
+    lowpass_dct: bool = False    # coerced off (no impl)
+    dynamic_rd: float = 0.0      # coerced off (no impl)
+    # serial-CPU pruning dials: the batched analysis evaluates all
+    # candidates in one dispatch, so these save nothing on TPU —
+    # accepted for CLI compatibility, intentionally inert (_NOOP_HINTS)
+    limit_refs: int = 3
+    limit_modes: bool = False
+    limit_tu: int = 0
+    limit_sao: bool = False
+    rskip: int = 1
+    rskip_edge_threshold: int = 5
+    tskip_fast: bool = False
+    splitrd_skip: bool = False
+    rd_refine: bool = False
+    analyze_src_pics: bool = False   # ours always analyses source pics
+    radl: int = 0                    # RADL leading-picture hint
+    multi_pass_opt_analysis: bool = False   # 2-pass reuse dials — the
+    multi_pass_opt_distortion: bool = False  # stats file always carries
+    multi_pass_opt_rps: bool = False         # full records (hints)
 
     # --- quantization / rate control ---
     rc_mode: int = RC_CRF
@@ -121,6 +150,25 @@ class Param:
     aq_strength: float = 1.0
     cu_tree: bool = True
     rdoq_level: int = 0
+    psy_rdoq: float = 0.0        # psy strength inside RDOQ level choice
+    crf_min: float = 0.0         # CRF qscale clamps (--crf-min/max;
+    crf_max: float = 0.0         #   0 = unset)
+    qpstep: int = 4              # max inter-frame QP step (--qpstep)
+    vbv_init: float = 0.9        # initial VBV fullness fraction
+    vbv_end: float = 0.0         # final fullness target — coerced off
+    vbv_end_fr_adj: float = 0.0
+    strict_cbr: bool = False     # tighter ABR tracking (--strict-cbr)
+    rc_grain: bool = False       # grain-preserving RC — hint
+    qblur: float = 0.5           # 2-pass curve blur — hint (pass 2
+    cplxblur: float = 20.0       #   re-plans exactly instead)
+    aq_motion: bool = False      # coerced off (no impl)
+    hevc_aq: bool = False        # coerced off (no impl)
+    qp_adaptation_range: float = 1.0
+    qg_size: int = 0             # QP group size (0/ctu = per-CTU dqp;
+    #                              sub-CTU granularity coerced to CTU)
+    scenecut_bias: float = 5.0   # scenecut threshold bias % (--scenecut-bias)
+    gop_lookahead: int = 0       # keyframe placement lookahead — hint
+    hist_threshold: float = 0.03  # --hist-threshold (scaled to our metric)
     psy_rd: float = 2.0          # psychovisual RD strength: weights
     #   |AC-energy(src)-AC-energy(recon)| into the recon-in-loop RD
     #   dispatches (models/rdo.py; x265 rdcost.h calcPsyRdCost).
@@ -144,6 +192,17 @@ class Param:
     #   analysis needs no wavefront; explicit --wpp is coerced off loudly
     slices: int = 1
     tiles: Tuple[int, int] = (1, 1)
+    # thread-scheduling knobs from the reference's pool model: the TPU
+    # runtime has no worker threads to steer — accepted, inert
+    pools: str = ""
+    lookahead_slices: int = 8
+    lookahead_threads: int = 0
+    pmode: bool = False
+    pme: bool = False
+    asm_opt: str = ""            # --asm (SIMD dispatch: no analog)
+    force_flush: int = 0
+    copy_pic: bool = True
+    slow_firstpass: bool = False
 
     # --- bitstream / SEI ---
     annexb: bool = True
@@ -152,6 +211,22 @@ class Param:
     decoded_picture_hash: int = 0  # 0=off 1=MD5 2=CRC 3=checksum
     temporal_id_nesting: bool = True
     vui_timing_info: bool = True
+    log2_max_poc_lsb: int = 8    # SPS poc lsb bits (--log2-max-poc-lsb)
+    info_sei: bool = True        # encoder-info user-data SEI (--info)
+    idr_recovery_sei: bool = False   # recovery point SEI at keyframes
+    single_sei: bool = False     # coerced off (one SEI per NAL)
+    opt_qp_pps: bool = False     # coerced off
+    temporal_layers: int = 0     # coerced off (no temporal scalability)
+    pic_struct: int = -1         # forced pic_struct — hint
+    uhd_bd: bool = False         # coerced off (UHD-BD constraints)
+    allow_non_conformance: bool = False  # skip level clamps (--allow-non-conformance)
+    interlace: int = 0           # coerced off (progressive only)
+    min_luma: int = -1           # input clip range (--min-luma/--max-luma)
+    max_luma: int = -1
+    chunk_start: int = 0         # frame-range chunking — hint (CLI trims)
+    chunk_end: int = 0
+    sao_non_deblock: bool = False    # coerced off
+    selective_sao: int = 4       # coerced to full-frame SAO
 
     # --- profile/level ---
     profile: str = ""            # "", "main", "main10", "main444-8" ...
@@ -161,6 +236,16 @@ class Param:
     # --- analysis reuse (x265 --analysis-save/load) ---
     analysis_save: str = ""
     analysis_load: str = ""
+    analysis_reuse_level: int = 10   # stored reuse always carries the
+    #   full decision tensors (level-10 semantics); lower levels are
+    #   accepted and coerced up
+    analysis_reuse_mode: str = ""    # legacy save/load selector
+    analysis_reuse_file: str = ""    # legacy file name
+    scale_factor: int = 0        # cross-res analysis reuse (analysis_io
+    #                              rescale path; 0 = same resolution)
+    refine_intra: int = 0        # load-side refinement dials — coerced
+    refine_inter: int = 0        #   (loaded decisions are reused as-is)
+    refine_mv: int = 0
 
     # --- per-frame QP/type forcing (x265 --qpfile; x265cli.h qpfile) ---
     qpfile: str = ""
@@ -357,6 +442,98 @@ _OPT_ALIASES = {
     "stats": "stats_file",
     "fps": None,  # handled specially
     "frames": "total_frames",
+    "total-frames": "total_frames",
+    # --- analysis / RDO surface (param.cpp:778 names) ---
+    "b-intra": "b_intra",
+    "weightb": "weightb",
+    "constrained-intra": "constrained_intra",
+    "cip": "constrained_intra",
+    "cu-lossless": "cu_lossless",
+    "hme": "hme",
+    "hme-search": "hme_search",
+    "hme-range": "hme_range",
+    "rdpenalty": "rdpenalty",
+    "ssim-rd": "ssim_rd",
+    "lowpass-dct": "lowpass_dct",
+    "dynamic-rd": "dynamic_rd",
+    "limit-refs": "limit_refs",
+    "limit-modes": "limit_modes",
+    "limit-tu": "limit_tu",
+    "limit-sao": "limit_sao",
+    "rskip": "rskip",
+    "rskip-edge-threshold": "rskip_edge_threshold",
+    "tskip-fast": "tskip_fast",
+    "splitrd-skip": "splitrd_skip",
+    "rd-refine": "rd_refine",
+    "analyze-src-pics": "analyze_src_pics",
+    "radl": "radl",
+    "multi-pass-opt-analysis": "multi_pass_opt_analysis",
+    "multi-pass-opt-distortion": "multi_pass_opt_distortion",
+    "multi-pass-opt-rps": "multi_pass_opt_rps",
+    "rdoq": "rdoq_level",
+    # --- rate control surface ---
+    "psy-rdoq": "psy_rdoq",
+    "crf-min": "crf_min",
+    "crf-max": "crf_max",
+    "qpstep": "qpstep",
+    "vbv-init": "vbv_init",
+    "vbv-end": "vbv_end",
+    "vbv-end-fr-adj": "vbv_end_fr_adj",
+    "strict-cbr": "strict_cbr",
+    "const-vbv": "strict_cbr",
+    "rc-grain": "rc_grain",
+    "qblur": "qblur",
+    "cplxblur": "cplxblur",
+    "aq-motion": "aq_motion",
+    "hevc-aq": "hevc_aq",
+    "qp-adaptation-range": "qp_adaptation_range",
+    "qg-size": "qg_size",
+    "scenecut-bias": "scenecut_bias",
+    "gop-lookahead": "gop_lookahead",
+    "hist-threshold": "hist_threshold",
+    # --- threading-model hints (inert on TPU by design) ---
+    "pools": "pools",
+    "numa-pools": "pools",
+    "lookahead-slices": "lookahead_slices",
+    "lookahead-threads": "lookahead_threads",
+    "pmode": "pmode",
+    "pme": "pme",
+    "asm": "asm_opt",
+    "force-flush": "force_flush",
+    "copy-pic": "copy_pic",
+    "slow-firstpass": "slow_firstpass",
+    # --- bitstream / VUI / SEI surface ---
+    "log2-max-poc-lsb": "log2_max_poc_lsb",
+    "info": "info_sei",
+    "idr-recovery-sei": "idr_recovery_sei",
+    "single-sei": "single_sei",
+    "opt-qp-pps": "opt_qp_pps",
+    "temporal-layers": "temporal_layers",
+    "pic-struct": "pic_struct",
+    "uhd-bd": "uhd_bd",
+    "allow-non-conformance": "allow_non_conformance",
+    "interlace": "interlace",
+    "field": "interlace",
+    "min-luma": "min_luma",
+    "max-luma": "max_luma",
+    "chunk-start": "chunk_start",
+    "chunk-end": "chunk_end",
+    "sao-non-deblock": "sao_non_deblock",
+    "selective-sao": "selective_sao",
+    "cll": "max_cll",
+    "hdr-opt": "hdr10",
+    "hdr10-opt": "hdr10",
+    "vui-hrd-info": "hrd",
+    # --- analysis reuse surface ---
+    "analysis-save-reuse-level": "analysis_reuse_level",
+    "analysis-load-reuse-level": "analysis_reuse_level",
+    "analysis-reuse-level": "analysis_reuse_level",
+    "analysis-reuse-mode": "analysis_reuse_mode",
+    "analysis-reuse-file": "analysis_reuse_file",
+    "scale-factor": "scale_factor",
+    "refine-intra": "refine_intra",
+    "refine-inter": "refine_inter",
+    "refine-mv": "refine_mv",
 }
 
 _BOOL_TRUE = {"1", "true", "yes", "on"}
@@ -388,6 +565,31 @@ def param_parse(p: Param, name: str, value: str = "1") -> None:
         for f_ in dataclasses.fields(Param):
             setattr(p, f_.name, getattr(newp, f_.name))
         return
+    if name == "range":
+        # x265cli accepts full/limited names
+        v = value.strip().lower()
+        p.video_full_range = v in ("full", "1", "true", "yes", "on")
+        return
+    if name in ("interlace", "field"):
+        # accepts false/true/tff/bff (x265cli); progressive-only engine
+        # coerces non-zero in check_params
+        v = value.strip().lower()
+        p.interlace = {"0": 0, "false": 0, "prog": 0, "1": 1,
+                       "true": 1, "tff": 1, "bff": 2}.get(v, 1)
+        return
+    if name == "input-csp":
+        v = value.strip().lower()
+        m = {"i400": CSP_I400, "400": CSP_I400, "i420": CSP_I420,
+             "420": CSP_I420, "i422": CSP_I422, "422": CSP_I422,
+             "i444": CSP_I444, "444": CSP_I444}
+        if v not in m:
+            raise ValueError(f"bad input-csp: {value}")
+        p.csp = m[v]
+        return
+    if name.startswith("svt"):
+        raise KeyError("SVT-HEVC passthrough is not built into this "
+                       "encoder (x265 without ENABLE_SVT_HEVC rejects "
+                       "these the same way)")
     if name not in _OPT_ALIASES or _OPT_ALIASES[name] is None:
         raise KeyError(f"unknown option: {name}")
     # rate-control selectors switch the RC mode, exactly like
@@ -429,7 +631,66 @@ COERCED_OPTIONS = {
     "wpp": ("WPP entry-point substreams not emitted (analysis is "
             "wave-free batched; use --slices for parallel entropy)"),
     "tiles": "tiles not implemented (use --slices for picture splitting)",
+    "weightb": "weighted B prediction not implemented",
+    "constrained_intra": "constrained intra prediction not implemented",
+    "cu_lossless": "per-CU lossless trial not implemented",
+    "ssim_rd": "SSIM-RD cost function not implemented",
+    "lowpass_dct": "lowpass DCT approximation not implemented",
+    "dynamic_rd": "dynamic RD levels not implemented",
+    "aq_motion": "motion-adaptive AQ not implemented",
+    "hevc_aq": "hevc-aq (qp-adaptation-range) mode not implemented",
+    "interlace": "interlace/field coding not implemented (progressive)",
+    "single_sei": "single-NAL SEI packing not implemented",
+    "opt_qp_pps": "PPS init-QP optimization not implemented",
+    "temporal_layers": "temporal scalability not implemented",
+    "uhd_bd": "UHD-BD constraint set not implemented",
+    "sao_non_deblock": "SAO on pre-deblock pixels not implemented",
+    "selective_sao": "selective SAO levels not implemented (full frame)",
+    "vbv_end": "end-of-stream VBV fullness target not implemented",
+    "refine_intra": "analysis-load refinement reuses decisions as-is",
+    "refine_inter": "analysis-load refinement reuses decisions as-is",
+    "refine_mv": "analysis-load refinement reuses decisions as-is",
+    "qg_size": "sub-CTU QP groups not implemented (QG == CTU)",
 }
+
+# serial-CPU scheduling/pruning knobs: the batched TPU analysis
+# evaluates all candidates in one dispatch and has no worker threads to
+# steer, so these have nothing to act on — parsed for CLI compatibility
+# and intentionally inert (the "re-imagined" class, SURVEY §2.4).
+NOOP_HINTS = (
+    "limit_refs", "limit_modes", "limit_tu", "limit_sao", "rskip",
+    "rskip_edge_threshold", "tskip_fast", "splitrd_skip", "rd_refine",
+    "rdpenalty", "hme", "hme_search", "hme_range", "pools",
+    "lookahead_slices", "lookahead_threads", "pmode", "pme", "asm_opt",
+    "force_flush", "copy_pic", "slow_firstpass", "analyze_src_pics",
+    "rc_grain", "qblur", "cplxblur", "qp_adaptation_range",
+    "gop_lookahead", "pic_struct", "chunk_start", "chunk_end",
+    "vbv_end_fr_adj", "radl", "multi_pass_opt_analysis",
+    "multi_pass_opt_distortion", "multi_pass_opt_rps",
+)
+
+# (field, is-unsupported predicate, forced value) for the simple rows
+_COERCE_SIMPLE = (
+    ("weightb", lambda v: bool(v), False),
+    ("constrained_intra", lambda v: bool(v), False),
+    ("cu_lossless", lambda v: bool(v), False),
+    ("ssim_rd", lambda v: bool(v), False),
+    ("lowpass_dct", lambda v: bool(v), False),
+    ("dynamic_rd", lambda v: v != 0.0, 0.0),
+    ("aq_motion", lambda v: bool(v), False),
+    ("hevc_aq", lambda v: bool(v), False),
+    ("interlace", lambda v: v != 0, 0),
+    ("single_sei", lambda v: bool(v), False),
+    ("opt_qp_pps", lambda v: bool(v), False),
+    ("temporal_layers", lambda v: v != 0, 0),
+    ("uhd_bd", lambda v: bool(v), False),
+    ("sao_non_deblock", lambda v: bool(v), False),
+    ("selective_sao", lambda v: v != 4, 4),
+    ("vbv_end", lambda v: v != 0.0, 0.0),
+    ("refine_intra", lambda v: v != 0, 0),
+    ("refine_inter", lambda v: v != 0, 0),
+    ("refine_mv", lambda v: v != 0, 0),
+)
 
 
 _warned = set()
@@ -469,6 +730,30 @@ def check_params(p: Param) -> Param:
     if p.tiles != (1, 1):
         _warn(p, COERCED_OPTIONS["tiles"] + " — forcing 1x1")
         p.tiles = (1, 1)
+    for (fld, bad, forced) in _COERCE_SIMPLE:
+        if bad(getattr(p, fld)):
+            _warn(p, COERCED_OPTIONS[fld] + f" — forcing {fld}={forced}")
+            setattr(p, fld, forced)
+    if p.qg_size not in (0, p.ctu_size):
+        _warn(p, COERCED_OPTIONS["qg_size"] + f" — forcing {p.ctu_size}")
+        p.qg_size = p.ctu_size
+    if p.analysis_reuse_level not in (0, 10):
+        _warn(p, "analysis reuse always stores/loads the full decision "
+              "tensors — treating reuse level as 10")
+        p.analysis_reuse_level = 10
+    # legacy --analysis-reuse-mode/file pair maps onto save/load
+    if p.analysis_reuse_mode:
+        m = p.analysis_reuse_mode.strip().lower()
+        fname = p.analysis_reuse_file or "x265_analysis.dat"
+        if m == "save" and not p.analysis_save:
+            p.analysis_save = fname
+        elif m == "load" and not p.analysis_load:
+            p.analysis_load = fname
+    # --scale-factor rides the analysis_io cross-resolution rescale on
+    # load; only 0/1/2 are meaningful (x265 supports 2 only)
+    if p.scale_factor not in (0, 1, 2):
+        _warn(p, "scale-factor supports 2 only — clamping")
+        p.scale_factor = 2 if p.scale_factor > 2 else 0
     # --scaling-list: "0"/"off" => flat (no lists); "default" => spec
     # default matrices (scalinglist.cpp:417 setDefaultScalingList).
     # Custom list files (HM-format cfg) are not parsed yet.

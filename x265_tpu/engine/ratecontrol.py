@@ -80,6 +80,16 @@ class RateControl:
         base_cplx = ncu * (120 if p.bframes else 80)
         self.crf_constant = (base_cplx ** (1 - self.qcompress) /
                             qp2qscale(p.crf))
+        # --crf-min/--crf-max: per-frame qscale clamps via the same
+        # constant construction (x265 rfConstantMin/Max)
+        crf_min = getattr(p, "crf_min", 0.0)
+        crf_max = getattr(p, "crf_max", 0.0)
+        self.crf_constant_min = (base_cplx ** (1 - self.qcompress) /
+                                 qp2qscale(crf_min)) if crf_min > 0 else 0.0
+        self.crf_constant_max = (base_cplx ** (1 - self.qcompress) /
+                                 qp2qscale(crf_max)) if crf_max > 0 else 0.0
+        self.qpstep = max(1, int(getattr(p, "qpstep", 4)))
+        self.strict_cbr = bool(getattr(p, "strict_cbr", False))
         # ABR state (x264 ratecontrol_init values)
         self.cplxr_sum = 0.01 * (7.0e5 ** self.qcompress) * (ncu ** 0.5)
         self.wanted_bits_window = max(1.0, self.bitrate / self.fps)
@@ -93,7 +103,11 @@ class RateControl:
         self.vbv_bufsize = p.vbv_bufsize * 1000.0
         self.vbv_maxrate = p.vbv_maxrate * 1000.0
         self.vbv = self.vbv_bufsize > 0 and self.vbv_maxrate > 0
-        self.buffer_fill = self.vbv_bufsize * 0.9
+        vbv_init = float(getattr(p, "vbv_init", 0.9))
+        if vbv_init > 1.0:       # absolute kbits form (x265 accepts both)
+            vbv_init = min(1.0, vbv_init * 1000.0 / max(1.0,
+                                                        self.vbv_bufsize))
+        self.buffer_fill = self.vbv_bufsize * max(0.0, vbv_init)
         self.buffer_rate = self.vbv_maxrate / self.fps if self.vbv else 0.0
         self.pred = {I_SLICE: _Predictor(coeff=0.3),
                      P_SLICE: _Predictor(coeff=0.2),
@@ -257,10 +271,16 @@ class RateControl:
         else:  # ABR
             rate_factor = self.wanted_bits_window / self.cplxr_sum
             qscale = rceq / rate_factor
-            # overflow compensation
+            # overflow compensation (--strict-cbr halves the tolerance
+            # window and forbids undershoot relief, x265
+            # rateEstimateQscale's bStrictCbr branch)
             wanted = (self.bitrate / self.fps) * (self.frames_coded + 1)
             abr_buffer = 2 * self.tolerance * self.bitrate
+            if self.strict_cbr:
+                abr_buffer *= 0.5
             overflow = 1.0 + (self.total_bits - wanted) / max(1.0, abr_buffer)
+            if self.strict_cbr:
+                overflow = max(overflow, 1.0)
             qscale *= min(2.0, max(0.5, overflow))
 
         if zone is not None and "b" in zone:
@@ -271,11 +291,22 @@ class RateControl:
         elif slice_type == B_SLICE:
             qscale *= self.pb_factor
 
-        # temporal smoothing: limit step vs last frame (x264 lstep-ish)
-        lstep = 2.0 ** (4 / 6.0)
+        # temporal smoothing: limit step vs last frame (x264 lstep;
+        # --qpstep)
+        lstep = 2.0 ** (self.qpstep / 6.0)
         if self.frames_coded > 0 and slice_type != I_SLICE:
             qscale = min(max(qscale, self.last_qscale / lstep),
                          self.last_qscale * lstep)
+
+        # --crf-min/--crf-max: rate-factor clamps applied after the
+        # type/step modifiers (x265 rfConstantMin/Max semantics — the
+        # band bounds how far modifiers may move qscale off the CRF
+        # curve at this frame's complexity)
+        if self.mode == RC_CRF:
+            if self.crf_constant_min > 0:
+                qscale = max(qscale, rceq / self.crf_constant_min)
+            if self.crf_constant_max > 0:
+                qscale = min(qscale, rceq / self.crf_constant_max)
 
         qscale = self._clip_vbv(slice_type, satd_cost, qscale)
         self.last_qscale = qscale

@@ -131,6 +131,18 @@ def content_light_level_sei(max_cll: int, max_fall: int) -> bytes:
     return make_nal(NAL_PREFIX_SEI, _sei_payload(SEI_CONTENT_LIGHT_LEVEL, pl))
 
 
+def user_data_unregistered_sei(text: str) -> bytes:
+    """user_data_unregistered prefix SEI carrying the encoder info tag
+    (x265 writes its build/options string this way by default,
+    frameencoder.cpp getStreamHeaders; disable with --no-info)."""
+    from x265_tpu.hevc.bitstream import NAL_PREFIX_SEI
+    # 16-byte UUID then the payload string (7.3.5 user_data_unregistered)
+    uuid = bytes.fromhex("2CA2DE09B51747DBBB55A4FE7FC2FC4E")
+    payload = uuid + text.encode()
+    return make_nal(NAL_PREFIX_SEI,
+                    _sei_payload(SEI_USER_DATA_UNREGISTERED, payload))
+
+
 def recovery_point_sei(recovery_poc_cnt: int, exact_match: bool = True,
                        broken_link: bool = False) -> bytes:
     """recovery_point SEI (D.3.8): emitted at the start of an

@@ -220,7 +220,10 @@ def rd_intra_promote32(frame, dec, qp, p, min_groups=1):
 
     Eligible: 32-aligned, fully inside the picture, all sixteen 8-cells
     at cu_log2_map == 4 and intra (inter8 None or False)."""
+    import os
     if p.ctb_log2 < 5 or p.lossless:
+        return 0
+    if os.environ.get("X265TPU_INTRA32", "1") == "0":   # debug A/B gate
         return 0
     h8, w8 = dec.cu_log2_map.shape
     h32, w32 = h8 // 4, w8 // 4
