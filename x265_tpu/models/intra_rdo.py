@@ -29,9 +29,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from x265_tpu.hevc.tables import RDOQ_LAM32
+from x265_tpu.hevc.tables import RDOQ_LAM32_FULL
 from x265_tpu.models.residual import _tq_chain
-from x265_tpu.models.rdo import (_chroma_qp_vec, _psy_cost, _rate_bins_j)
+from x265_tpu.models.rdo import (_chroma_qp_vec, _psy_cost,
+                                 _tb_rate_bits_j)
 from x265_tpu.ops.intra_matrix import intra_weight_matrices
 
 # static syntax estimates (bin-count scale, see models/rdo.py):
@@ -87,7 +88,7 @@ def _satd8(resid):
 
 @partial(jax.jit, static_argnames=("bd", "sdh", "do_rdoq", "scaling",
                                    "cb_off", "cr_off", "psy"))
-def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
+def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp, rk,
                    bd, sdh, do_rdoq, scaling, cb_off, cr_off, psy=0.0):
     """RD costs of G candidate 32x32 intra regions:
     ONE 32-CU (best of K_CANDS modes) vs FOUR 16-CUs at their analysed
@@ -107,16 +108,15 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
     crp = jnp.pad(cr.astype(jnp.float32), ((1, S), (1, S)), mode="edge")
 
     qpy = qp + 6 * (bd - 8)
-    lam = jnp.asarray(np.asarray(RDOQ_LAM32),
+    # estBit rates are real bits -> full lambda2 (rate_model.py)
+    lam = jnp.asarray(np.asarray(RDOQ_LAM32_FULL),
                       jnp.int64)[qpy].astype(jnp.float32)
-    psylam = jnp.sqrt(32.0 * jnp.asarray(np.asarray(RDOQ_LAM32),
-                                         jnp.int64)[qpy]
-                      .astype(jnp.float32)) * psy
+    psylam = jnp.sqrt(32.0 * lam) * psy
     qpc_cb = _chroma_qp_vec(qp, bd, cb_off) + 6 * (bd - 8)
     qpc_cr = _chroma_qp_vec(qp, bd, cr_off) + 6 * (bd - 8)
 
-    def tb_cost(src, pred, qvec, size, want_psy):
-        """(sse, rate_bins, psy) of TBs coded from float predictions."""
+    def tb_cost(src, pred, qvec, size, want_psy, krow):
+        """(sse, rate_bits, psy) of TBs coded from float predictions."""
         predi = jnp.clip(jnp.round(pred), 0, maxv).astype(jnp.int32)
         resi = src - predi
         lvl, rres, cbf = _tq_chain(
@@ -124,7 +124,7 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
             size, False, True, bd, sdh, do_rdoq, False, scaling)
         e = (resi - rres).astype(jnp.float32)
         sse = (e * e).sum(axis=(1, 2))
-        rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
+        rate = jnp.where(cbf, _tb_rate_bits_j(lvl, krow), 0.0)
         if want_psy:
             pc = _psy_cost(src, jnp.clip(predi + rres, 0, maxv))
         else:
@@ -153,7 +153,7 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
     pred1 = pred1.reshape(G * K, S, S)
     sse1, rate1, psy1 = tb_cost(
         jnp.repeat(src32, K, axis=0), pred1, jnp.repeat(qpy, K), S,
-        psy > 0)
+        psy > 0, rk[0])
 
     # chroma (DM = candidate luma mode): 16x16 TBs
     W16c = jnp.asarray(intra_weight_matrices(16, c_idx=1))
@@ -166,7 +166,7 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
         csrc = _blks(plane, xc, yc, 16)
         sc, rc, _pc = tb_cost(jnp.repeat(csrc, K, axis=0),
                               cpred.reshape(G * K, 16, 16),
-                              jnp.repeat(qv, K), 16, False)
+                              jnp.repeat(qv, K), 16, False, rk[1])
         sse1 = sse1 + sc
         rate1 = rate1 + rc
 
@@ -190,7 +190,7 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
     pred4 = jnp.take_along_axis(p35, m4f[:, None, None], 1)[:, 0]
     src16 = _blks(y, x4, y4, 16)
     sse4, rate4, psy4 = tb_cost(src16, pred4.reshape(-1, 16, 16),
-                                jnp.repeat(qpy, 4), 16, psy > 0)
+                                jnp.repeat(qpy, 4), 16, psy > 0, rk[0])
 
     W8c = jnp.asarray(intra_weight_matrices(8, c_idx=1))
     for (plane_p, plane, qv) in ((cbp, cb, qpc_cb), (crp, cr, qpc_cr)):
@@ -200,7 +200,7 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
         cpred = jnp.take_along_axis(cp35, m4f[:, None, None], 1)[:, 0]
         csrc = _blks(plane, x4 >> 1, y4 >> 1, 8)
         sc, rc, _pc = tb_cost(csrc, cpred.reshape(-1, 8, 8),
-                              jnp.repeat(qv, 4), 8, False)
+                              jnp.repeat(qv, 4), 8, False, rk[1])
         sse4 = sse4 + sc
         rate4 = rate4 + rc
 
@@ -213,7 +213,7 @@ def _intra32_costs(y, cb, cr, xy, m4, mbits4, qp,
     return cost_one, mode_one.astype(jnp.int32), cost_four
 
 
-def rd_intra_promote32(frame, dec, qp, p, min_groups=1):
+def rd_intra_promote32(frame, dec, qp, p, min_groups=1, init_type=0):
     """Promote eligible 2x2 groups of 16x16 intra CUs to one 32x32 intra
     CU where the recon-in-loop RD cost wins (mutates dec in place;
     returns the number of promoted groups).
@@ -265,6 +265,7 @@ def rd_intra_promote32(frame, dec, qp, p, min_groups=1):
 
     xy = np.stack([xs * 32, ys * 32], 1).astype(np.int32)
     from jax import enable_x64
+    from x265_tpu.hevc.rate_model import rdoq_rate_consts
     with enable_x64():
         c1, mode1, c4 = _intra32_costs(
             jnp.asarray(np.asarray(frame[0], np.int32)),
@@ -274,6 +275,7 @@ def rd_intra_promote32(frame, dec, qp, p, min_groups=1):
             jnp.asarray(padn(m4, 1)),
             jnp.asarray(padn(mbits4, 1.0)),
             jnp.asarray(padn(np.full(G, int(qp), np.int32), 26)),
+            jnp.asarray(rdoq_rate_consts(init_type, int(qp))),
             bd=p.bit_depth, sdh=bool(p.sign_hide),
             do_rdoq=p.rdoq_level > 0, scaling=bool(p.scaling_lists),
             cb_off=int(p.cb_qp_offset), cr_off=int(p.cr_qp_offset),

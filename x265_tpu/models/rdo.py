@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from x265_tpu.hevc.tables import CHROMA_QP_TABLE, RDOQ_LAM32
+from x265_tpu.hevc.tables import (CHROMA_QP_TABLE, RDOQ_LAM32,
+                                  RDOQ_LAM32_FULL)
 from x265_tpu.models.residual import _tq_chain
 from x265_tpu.models.inter_residual import (_mc_gather, _CHROMA_FILT,
                                             _LUMA_FILT)
@@ -51,6 +52,43 @@ def _rate_bins_j(l: jnp.ndarray) -> jnp.ndarray:
     for k in range(1, 16):
         lg = lg + (a >= (1 << k)).astype(jnp.int32)
     return r + jnp.where(a > 1, 2 + 2 * lg, 0)
+
+
+def _tb_rate_bits_j(lvl: jnp.ndarray, kk: jnp.ndarray) -> jnp.ndarray:
+    """TB rate in BITS under the estBit fractional-bit model
+    (hevc/rate_model.py) with coded_sub_block_flag structure — the
+    x265-entropy-shaped replacement for `sum(_rate_bins_j)`.
+
+    The static bin model charges >=1 bin for EVERY position of a TB
+    whose cbf is set, so a mostly-zero 32x32 TB pays ~1024 bins while
+    four all-zero 16x16 TBs pay 0 — systematically blocking quadtree
+    promotion to larger CUs/TBs (the real coder prices a zero 4x4 CG at
+    one csbf bin and skips CGs past the last significant one entirely,
+    entropy.cpp codeCoeffNxN).  Model per TB: significant CGs pay
+    csbf(1) + 16 estBit coefficient costs; zero CGs before the last
+    significant CG (raster approximation of the scan) pay csbf(0); CGs
+    after it pay nothing; plus a last-position prefix estimate.
+
+    lvl [N,S,S] int; kk [8] int32 consts row (rdoq_rate_consts).
+    Returns [N] float32 bits (caller still gates on cbf)."""
+    from x265_tpu.hevc.rate_model import CG0, CG1, rate_bits_j
+    S = lvl.shape[-1]
+    lastpos = 2.0 * (float(np.log2(S)) + 1.0)
+    if S == 4:
+        return rate_bits_j(lvl, kk).sum(axis=(1, 2)) + lastpos
+    nc = S // 4
+    cg = (lvl.reshape(-1, nc, 4, nc, 4).transpose(0, 1, 3, 2, 4)
+          .reshape(-1, nc * nc, 16))
+    per = rate_bits_j(cg, kk).sum(axis=2)                # [N, nCG]
+    nz = (cg != 0).any(axis=2)
+    idx = jnp.arange(nc * nc, dtype=jnp.int32)
+    last = jnp.max(jnp.where(nz, idx[None, :], -1), axis=1)
+    active = idx[None, :] <= last[:, None]
+    csbf0 = kk[CG0].astype(jnp.float32) / 32768.0
+    csbf1 = kk[CG1].astype(jnp.float32) / 32768.0
+    r = jnp.where(nz, csbf1 + per,
+                  jnp.where(active, csbf0, 0.0)).sum(axis=1)
+    return r + lastpos
 
 
 def _psy_energy8(blocks: jnp.ndarray) -> jnp.ndarray:
@@ -87,7 +125,7 @@ def _chroma_qp_vec(qp, bd, off):
                                    "pad", "cb_off", "cr_off", "psy"))
 def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
                  r1y, r1cb, r1cr, xy, mv4, mv1, dirm, ref_i, qp,
-                 oh_one, oh_four,
+                 oh_one, oh_four, rk,
                  n, bd, sdh, do_rdoq, scaling, pad, cb_off, cr_off,
                  psy=0.0):
     """RD costs of G candidate n x n regions:
@@ -141,17 +179,16 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
 
     src = blks(src_y, x0, y0, n)
     qpy = qp + 6 * (bd - 8)
-    lam = jnp.asarray(np.asarray(RDOQ_LAM32),
+    # estBit rates are real bits -> full lambda2 (rate_model.py)
+    lam = jnp.asarray(np.asarray(RDOQ_LAM32_FULL),
                       jnp.int64)[qpy].astype(jnp.float32)
 
     # psy-rd lambda: cost domain is 32*SSE, so the sqrt-lambda psy term
     # (rdcost.h calcPsyRdCost: dist + sqrt_lam*psyRd*energyDiff) scales
     # as 32*sqrt(lam/32) = sqrt(32*lam)
-    psylam = jnp.sqrt(32.0 * jnp.asarray(np.asarray(RDOQ_LAM32),
-                                         jnp.int64)[qpy]
-                      .astype(jnp.float32)) * psy
+    psylam = jnp.sqrt(32.0 * lam) * psy
 
-    def cfg_cost(r, pred, qvec, size, want_psy):
+    def cfg_cost(r, pred, qvec, size, want_psy, krow):
         # TBs larger than 32 ride the implicit RQT split (7.3.8.8):
         # transform in 32x32 quads, aggregate the costs back per region
         if size > 32:
@@ -162,7 +199,8 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
                 return (a.reshape(gq, 2, h, 2, h).transpose(0, 1, 3, 2, 4)
                         .reshape(gq * 4, h, h))
             sse, rate, pc = cfg_cost(quads(r), quads(pred),
-                                     jnp.repeat(qvec, 4), h, want_psy)
+                                     jnp.repeat(qvec, 4), h, want_psy,
+                                     krow)
             return (sse.reshape(gq, 4).sum(axis=1),
                     rate.reshape(gq, 4).sum(axis=1),
                     pc.reshape(gq, 4).sum(axis=1))
@@ -171,7 +209,7 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
             size, False, False, bd, sdh, do_rdoq, False, scaling)
         e = (r - rres).astype(jnp.float32)
         sse = (e * e).sum(axis=(1, 2))
-        rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
+        rate = jnp.where(cbf, _tb_rate_bits_j(lvl, krow), 0.0)
         if want_psy:
             maxv_ = (1 << bd) - 1
             pc = _psy_cost(pred + r, jnp.clip(pred + rres, 0, maxv_))
@@ -189,7 +227,8 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
         srcp = blks(sp, xs, ys, sz)
         pred = pred_at(xv, yv, mv, size, pl, use0, dirv, refv)
         # psy energy is a luma-plane cost (pixel.cpp psyCost_pp usage)
-        return cfg_cost(srcp - pred, pred, qv, sz, psy > 0 and pl == 0)
+        return cfg_cost(srcp - pred, pred, qv, sz, psy > 0 and pl == 0,
+                        rk[min(pl, 1)])
 
     # --- one n-CU at the unified motion ---
     sse1, rate1, psy1 = plane_cost(0, x0, y0, mv1, n, use0_g, dirm,
@@ -289,6 +328,7 @@ def rd_promote(src_yuv, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
             [a, np.full((pad_n,) + a.shape[1:], fill, a.dtype)]) \
             if pad_n else a
 
+    from x265_tpu.hevc.rate_model import rdoq_rate_consts
     xy = np.stack([cand_yx[:, 1] * n, cand_yx[:, 0] * n], 1)
     args = (jnp.asarray(padn(xy.astype(np.int32))),
             jnp.asarray(padn(mv4.astype(np.int32))),
@@ -297,7 +337,8 @@ def rd_promote(src_yuv, refs0_padded, refs1_padded, cand_yx, mv4, dirm,
             jnp.asarray(padn(ref_i.astype(np.int32))),
             jnp.asarray(padn(np.full(G, qp, np.int32), 26)),
             jnp.asarray(padn(oh_one)),
-            jnp.asarray(padn(oh_four, 1.0)))
+            jnp.asarray(padn(oh_four, 1.0)),
+            jnp.asarray(rdoq_rate_consts(2, int(qp))))
 
     pad = 80
     srcs, r0s, r1s = _plane_stacks(src_yuv, refs0_padded, refs1_padded,
@@ -323,7 +364,7 @@ def rd_promote32(*args, **kw):
                                    "pad", "k", "cb_off", "cr_off", "psy"))
 def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
                  r1y, r1cb, r1cr, xy, mv_all, dir_all, ref_all, qp,
-                 hdr_all, k, bd, sdh, do_rdoq, scaling, pad,
+                 hdr_all, rk, k, bd, sdh, do_rdoq, scaling, pad,
                  cb_off, cr_off, psy=0.0):
     """RD cost of coding every 16x16 block under each of k motion
     configurations (config 0 = the block's own refined motion, 1..k-1 =
@@ -378,7 +419,7 @@ def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
             sz, False, False, bd, sdh, do_rdoq, False, scaling)
         e = (resi - rres).astype(jnp.float32)
         sse = (e * e).sum(axis=(1, 2))
-        rate = jnp.where(cbf, _rate_bins_j(lvl).sum(axis=(1, 2)), 0)
+        rate = jnp.where(cbf, _tb_rate_bits_j(lvl, rk[min(pl, 1)]), 0.0)
         if psy > 0 and pl == 0:
             pc = _psy_cost(src, jnp.clip(pred + rres, 0, maxv))
         else:
@@ -390,7 +431,8 @@ def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
         sc, rc, _pc = plane_cost(pl, qv)
         sse = sse + sc
         rate = rate + rc
-    lam = jnp.asarray(np.asarray(RDOQ_LAM32),
+    # estBit rates are real bits -> full lambda2 (rate_model.py)
+    lam = jnp.asarray(np.asarray(RDOQ_LAM32_FULL),
                       jnp.int64)[qpy].astype(jnp.float32)
     hdr = jnp.repeat(jnp.asarray(hdr_all, jnp.float32), N)
     cost = (32.0 * sse + lam * (rate + hdr)
@@ -439,6 +481,7 @@ def rd_adopt16(src_yuv, refs0_padded, refs1_padded, inter_blk, mv_blk,
         ref_all.append(np.full(N, r0_, np.int32))
     hdr = np.array([OWN_HDR_BITS] + [CAND_HDR_BITS] * K, np.float32)
 
+    from x265_tpu.hevc.rate_model import rdoq_rate_consts
     pad = 80
     srcs, r0s, r1s = _plane_stacks(src_yuv, refs0_padded, refs1_padded,
                                    p, pad)
@@ -450,7 +493,9 @@ def rd_adopt16(src_yuv, refs0_padded, refs1_padded, inter_blk, mv_blk,
             jnp.asarray(np.concatenate(dir_all)),
             jnp.asarray(np.concatenate(ref_all)),
             jnp.asarray(np.full(N, qp, np.int32)),
-            jnp.asarray(hdr), k=K + 1, bd=p.bit_depth,
+            jnp.asarray(hdr),
+            jnp.asarray(rdoq_rate_consts(2, int(qp))), k=K + 1,
+            bd=p.bit_depth,
             sdh=bool(p.sign_hide), do_rdoq=p.rdoq_level > 0,
             scaling=bool(p.scaling_lists), pad=pad,
             cb_off=int(p.cb_qp_offset), cr_off=int(p.cr_qp_offset),
