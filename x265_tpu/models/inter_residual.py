@@ -226,6 +226,83 @@ def _inter_multi(src_y, src_cb, src_cr,
     return tuple(outs)
 
 
+@partial(jax.jit, static_argnames=("ns", "bd", "sdh", "do_rdoq", "lossless",
+                                   "pad", "wld", "wcd", "cb_off", "cr_off",
+                                   "scaling"))
+def _inter_multi_planes(src_y, src_cb, src_cr,
+                        r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                        per_class, wp, ns, bd, sdh, do_rdoq, lossless,
+                        pad, wld, wcd, cb_off, cr_off, scaling=False,
+                        consts=None):
+    """_inter_multi + ON-DEVICE scatter of every class's levels/recon
+    into full-frame planes.  The wire then carries ~frame-sized tensors
+    instead of worst-case padded per-lane batches — on the tunneled TPU
+    (~30 MB/s device->host) that is the difference between ~50 MB and
+    ~9 MB per 1080p frame.  Padding lanes carry an out-of-range xy
+    sentinel and are dropped by the scatter (mode='drop').
+
+    Returns (lvl_y, lvl_cb, lvl_cr [i16], cbf8, has8 [u8],
+    rec_y, rec_cb, rec_cr [u8 when bd==8 else i16])."""
+    h, w = src_y.shape
+    maxv = (1 << bd) - 1
+    rdt = jnp.uint8 if bd == 8 else jnp.int16
+    lvl_y = jnp.zeros((h, w), jnp.int16)
+    lvl_cb = jnp.zeros((h // 2, w // 2), jnp.int16)
+    lvl_cr = jnp.zeros((h // 2, w // 2), jnp.int16)
+    rec_y = jnp.clip(src_y, 0, maxv).astype(rdt)
+    rec_cb = jnp.clip(src_cb, 0, maxv).astype(rdt)
+    rec_cr = jnp.clip(src_cr, 0, maxv).astype(rdt)
+    cbf8 = jnp.zeros((h // 8, w // 8), jnp.uint8)
+    has8 = jnp.zeros((h // 8, w // 8), jnp.uint8)
+    for (n, args) in zip(ns, per_class):
+        xy, mv, dirm, ref_i, qp = args
+        ly, lcb, lcr, cbf, ry, rcb, rcr = _inter_class_body(
+            src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+            xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
+            pad, wld, wcd, cb_off, cr_off, scaling, consts)
+        x0 = xy[:, 0]
+        y0 = xy[:, 1]
+        ii = jnp.arange(n)
+        yy = y0[:, None, None] + ii[None, :, None]
+        xx = x0[:, None, None] + ii[None, None, :]
+        lvl_y = lvl_y.at[yy, xx].set(ly, mode="drop")
+        rec_y = rec_y.at[yy, xx].set(ry.astype(rdt), mode="drop")
+        hh = ii[:n // 2]
+        cyy = (y0 >> 1)[:, None, None] + hh[None, :, None]
+        cxx = (x0 >> 1)[:, None, None] + hh[None, None, :]
+        lvl_cb = lvl_cb.at[cyy, cxx].set(lcb, mode="drop")
+        lvl_cr = lvl_cr.at[cyy, cxx].set(lcr, mode="drop")
+        rec_cb = rec_cb.at[cyy, cxx].set(rcb.astype(rdt), mode="drop")
+        rec_cr = rec_cr.at[cyy, cxx].set(rcr.astype(rdt), mode="drop")
+        r = n >> 3
+        jj = jnp.arange(r)
+        byy = (y0 >> 3)[:, None, None] + jj[None, :, None]
+        bxx = (x0 >> 3)[:, None, None] + jj[None, None, :]
+        if n < 64:
+            bits = (cbf[:, 0].astype(jnp.uint8)
+                    | (cbf[:, 1].astype(jnp.uint8) << 1)
+                    | (cbf[:, 2].astype(jnp.uint8) << 2))
+            bmap = jnp.broadcast_to(bits[:, None, None],
+                                    (bits.shape[0], r, r))
+        else:
+            # cbf [N,4,3], z-order quadrants; each 32x32 quadrant's
+            # 8x8-block range carries its own bits
+            qbits = (cbf[:, :, 0].astype(jnp.uint8)
+                     | (cbf[:, :, 1].astype(jnp.uint8) << 1)
+                     | (cbf[:, :, 2].astype(jnp.uint8) << 2))    # [N,4]
+            half = r // 2
+            rows = []
+            for qy in range(2):
+                cols = [jnp.broadcast_to(
+                    qbits[:, qy * 2 + qx][:, None, None],
+                    (qbits.shape[0], half, half)) for qx in range(2)]
+                rows.append(jnp.concatenate(cols, axis=2))
+            bmap = jnp.concatenate(rows, axis=1)
+        cbf8 = cbf8.at[byy, bxx].set(bmap, mode="drop")
+        has8 = has8.at[byy, bxx].set(jnp.ones_like(bmap), mode="drop")
+    return (lvl_y, lvl_cb, lvl_cr, cbf8, has8, rec_y, rec_cb, rec_cr)
+
+
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     sdh, rdoq_level, mesh=None, slice_type=1):
     """Assemble the precomputed-residual dict for the native writer.
@@ -297,14 +374,16 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         wp_arr = repl(np.zeros((4, 3, 3), np.int32))
         wld = wcd = 0
 
-    lvl_y = np.zeros((h, w), np.int16)
-    lvl_cb = np.zeros((h // 2, w // 2), np.int16)
-    lvl_cr = np.zeros((h // 2, w // 2), np.int16)
-    cbf8 = np.zeros((h8, w8), np.uint8)
-    has8 = np.zeros((h8, w8), np.uint8)
-    rec_y = np.asarray(src[0], dtype=np.int16).copy()
-    rec_cb = np.asarray(src[1], dtype=np.int16).copy()
-    rec_cr = np.asarray(src[2], dtype=np.int16).copy()
+    # mesh=None rides the plane-scatter path: no host-side buffers needed
+    if mesh is not None:
+        lvl_y = np.zeros((h, w), np.int16)
+        lvl_cb = np.zeros((h // 2, w // 2), np.int16)
+        lvl_cr = np.zeros((h // 2, w // 2), np.int16)
+        cbf8 = np.zeros((h8, w8), np.uint8)
+        has8 = np.zeros((h8, w8), np.uint8)
+        rec_y = np.asarray(src[0], dtype=np.int16).copy()
+        rec_cb = np.asarray(src[1], dtype=np.int16).copy()
+        rec_cr = np.asarray(src[2], dtype=np.int16).copy()
 
     inter8 = decisions.inter8.astype(bool)
     ref8 = (decisions.ref8 if decisions.ref8 is not None
@@ -369,7 +448,10 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 return _jax.device_put(jnp.asarray(a), shl)
         else:
             put = jnp.asarray
-        args = (put(padn(np.stack([x0, y0], 1))),
+        # padding lanes carry an out-of-range xy sentinel: the device
+        # plane-scatter drops them (mode='drop'); the mesh path slices
+        # [:N] on the host so the fill never surfaces there either
+        args = (put(padn(np.stack([x0, y0], 1), 1 << 20)),
                 put(padn(mv)), put(padn(dirm, 1)),
                 put(padn(ref_i)), put(padn(qp_cu, 26)))
         classes.append((n, N, x0, y0, ys8, xs8, r, args))
@@ -381,6 +463,24 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             # the native and oracle derivations (hevc/rate_model.py)
             from x265_tpu.hevc.rate_model import slice_rate_consts
             kk = jnp.asarray(slice_rate_consts(slice_type, qp_slice))
+        if mesh is None:
+            # single-device: scatter to planes ON DEVICE; the wire
+            # carries frame-sized tensors (~4x fewer bytes than the
+            # padded per-lane batches)
+            with enable_x64():
+                pouts = _inter_multi_planes(
+                    sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
+                    tuple(c[7] for c in classes), wp_arr, ns, bd,
+                    bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
+                    wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
+                    bool(p.scaling_lists), kk)
+            (lvl_y, lvl_cb, lvl_cr, cbf8, has8,
+             rec_y, rec_cb, rec_cr) = jax.device_get(pouts)
+            return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
+                    "cbf8": cbf8, "has8": has8,
+                    "rec_y": rec_y.astype(np.int16),
+                    "rec_cb": rec_cb.astype(np.int16),
+                    "rec_cr": rec_cr.astype(np.int16)}
         with enable_x64():
             outs = _inter_multi(
                 sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
