@@ -364,9 +364,16 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     r1y = stack_refs(refs_padded[1], 0)
     r1cb = stack_refs(refs_padded[1], 1)
     r1cr = stack_refs(refs_padded[1], 2)
-    sy = repl(np.asarray(src[0], dtype=np.int32))
-    scb = repl(np.asarray(src[1], dtype=np.int32))
-    scr = repl(np.asarray(src[2], dtype=np.int32))
+    if mesh is None:
+        # cached thin-wire upload (shared with the SAO-stats dispatch);
+        # the jitted body gathers + upcasts to int32 where it computes
+        sy = devcache.src_plane(src[0], bd)
+        scb = devcache.src_plane(src[1], bd)
+        scr = devcache.src_plane(src[2], bd)
+    else:
+        sy = repl(np.asarray(src[0], dtype=np.int32))
+        scb = repl(np.asarray(src[1], dtype=np.int32))
+        scr = repl(np.asarray(src[2], dtype=np.int32))
     if wp_native is not None:
         wp_arr = repl(np.asarray(wp_native[0], np.int32))
         wld, wcd = int(wp_native[1]), int(wp_native[2])

@@ -187,6 +187,8 @@ def _deblock_body(y, cb, cr, bs_v, bs_h, qp4, bypass4, lut_cb, lut_cr,
 @partial(jax.jit, static_argnames=("beta_off", "tc_off", "bd"))
 def _deblock_jit(y, cb, cr, bs_v, bs_h, qp4, bypass4, lut_cb, lut_cr,
                  beta_off, tc_off, bd):
+    # int16/uint8 wire; the filter math runs int32
+    y, cb, cr = (p.astype(jnp.int32) for p in (y, cb, cr))
     y, cb, cr = _deblock_body(y, cb, cr, bs_v, bs_h, qp4, bypass4,
                               lut_cb, lut_cr, beta_off, tc_off, bd)
     return (y.astype(jnp.int16), cb.astype(jnp.int16),
@@ -200,6 +202,9 @@ def _deblock_sao_jit(y, cb, cr, src_y, src_cb, src_cr, bs_v, bs_h, qp4,
                      ctb, cy, cx):
     """Deblock + SAO statistics on the deblocked recon, one dispatch."""
     from x265_tpu.hevc.sao import _plane_stats_jax
+    y, cb, cr = (p.astype(jnp.int32) for p in (y, cb, cr))
+    src_y, src_cb, src_cr = (p.astype(jnp.int32)
+                             for p in (src_y, src_cb, src_cr))
     y, cb, cr = _deblock_body(y, cb, cr, bs_v, bs_h, qp4, bypass4,
                               lut_cb, lut_cr, beta_off, tc_off, bd)
     stats = (_plane_stats_jax(src_y, y, cy, cx, ctb, bd),
@@ -247,9 +252,10 @@ def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
     else:
         qp4 = np.asarray(qp, np.int32)
     lut_cb, lut_cr = _chroma_luts(cb_qp_off, cr_qp_off)
-    args = (jnp.asarray(np.asarray(y, np.int32)),
-            jnp.asarray(np.asarray(cb, np.int32)),
-            jnp.asarray(np.asarray(cr, np.int32)))
+    # int16 wire (halves the tunnel upload vs int32; filters upcast)
+    args = (jnp.asarray(np.asarray(y, np.int16)),
+            jnp.asarray(np.asarray(cb, np.int16)),
+            jnp.asarray(np.asarray(cr, np.int16)))
     if sao_src is None:
         out = _deblock_jit(*args, jnp.asarray(bs_v), jnp.asarray(bs_h),
                            jnp.asarray(qp4), jnp.asarray(st.bypass4),
@@ -266,11 +272,12 @@ def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
         ctb = 1 << ctb_log2
         H, W = np.asarray(y).shape
         cy, cx = -(-H // ctb), -(-W // ctb)
+        from x265_tpu.utils import devcache
         out = _deblock_sao_jit(
             *args,
-            jnp.asarray(np.asarray(sao_src[0], np.int32)),
-            jnp.asarray(np.asarray(sao_src[1], np.int32)),
-            jnp.asarray(np.asarray(sao_src[2], np.int32)),
+            devcache.src_plane(sao_src[0], bd),
+            devcache.src_plane(sao_src[1], bd),
+            devcache.src_plane(sao_src[2], bd),
             jnp.asarray(bs_v), jnp.asarray(bs_h), jnp.asarray(qp4),
             jnp.asarray(st.bypass4), jnp.asarray(lut_cb),
             jnp.asarray(lut_cr), int(beta_off), int(tc_off), int(bd),

@@ -27,5 +27,21 @@ def get_or(key: tuple, src, build):
     return val
 
 
+def src_plane(arr, bd: int):
+    """Cached device upload of a source plane on the thin wire dtype
+    (uint8 for 8-bit, int16 for 10/12-bit). Source planes are consumed
+    by several dispatches per frame (residual pre, SAO stats, RD);
+    caching by identity uploads each plane once per frame."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    wire = np.uint8 if bd == 8 else np.int16
+
+    def build(a=arr):
+        return jnp.asarray(np.asarray(a, wire))
+
+    return get_or(("src", id(arr), bd), arr, build)
+
+
 def clear() -> None:
     _cache.clear()
