@@ -238,6 +238,7 @@ class Encoder:
             beta_offset_div2=p.deblock_beta_offset,
             tc_offset_div2=p.deblock_tc_offset,
             loop_filter_across_slices=True,
+            entropy_coding_sync_enabled=bool(p.wpp),
         )
         self.poc = 0                 # POC of the next display-order frame
         self.frame_count = 0         # display-order intake counter
@@ -1090,6 +1091,21 @@ class Encoder:
                           len(au) * 8, poc, decisions)
         return au
 
+    @staticmethod
+    def _set_wpp_entry_points(sh, data, raw_sizes) -> None:
+        """entry_point_offset values for a WPP payload: per-substream
+        sizes measured in the escaped (EBSP) domain (spec 7.4.7.1; x265
+        serializeSubstreams analog, frameencoder.cpp:1033). raw_sizes
+        are the pre-escape substream byte sizes; the escaper's zero-run
+        state carries across boundaries exactly as make_nal will."""
+        from x265_tpu.hevc.bitstream import escaped_sizes
+        parts = []
+        pos = 0
+        for s in raw_sizes[:-1]:
+            parts.append(data[pos:pos + s])
+            pos += s
+        sh.entry_point_offsets = escaped_sizes(parts)
+
     def _assemble_slices(self, payload, sh, nal_type) -> bytes:
         """One or many slice NALs from _inter_slice_data's payload."""
         if isinstance(payload, (bytes, bytearray)):
@@ -1417,7 +1433,7 @@ class Encoder:
                     pre=state["pre"], ctb_begin=begin, ctb_count=count,
                     collect=collect_arg,
                     scaling_lists=bool(p.scaling_lists),
-                    tskip=p.tskip)
+                    tskip=p.tskip, wpp=bool(p.wpp))
 
             wc = p.pic_width_in_ctbs
             hc = p.pic_height_in_ctbs
@@ -1432,7 +1448,13 @@ class Encoder:
                     nr_arrs[1][:] = 0
                     nr_arrs[2][:] = 0
                 if n_slices == 1:
-                    return run_native_range(sp, 0, -1, collect_arg)
+                    r = run_native_range(sp, 0, -1, collect_arg)
+                    if r is not None and p.wpp:
+                        # raw per-row substream sizes (entry points are
+                        # set from the FINAL cabac pass's payload)
+                        state["ss_sizes"] = r[4]
+                        r = r[:4]
+                    return r
                 # multi-slice picture (x265 --slices,
                 # frameencoder.cpp:820-876): even CTU-row bands, each an
                 # independent slice segment with its own CABAC state —
@@ -1569,6 +1591,9 @@ class Encoder:
                 if nr_arrs is not None:
                     self._nr["sum"] += nr_arrs[1]
                     self._nr["cnt"] += nr_arrs[2]
+                if p.wpp and state.get("ss_sizes"):
+                    self._set_wpp_entry_points(sh, slice_data,
+                                               state["ss_sizes"])
                 return slice_data, recon
 
         def run_py(sp=None):
@@ -1583,6 +1608,9 @@ class Encoder:
             data = writer.encode_slice_data(
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions,
                 sao_params=sp)
+            if getattr(writer, "substream_parts", None):
+                raw = [len(b) for b in writer.substream_parts]
+                self._set_wpp_entry_points(sh, data, raw)
             writer.apply_loop_filters()
             return data, (writer.y, writer.cb, writer.cr)
 

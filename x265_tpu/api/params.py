@@ -188,8 +188,11 @@ class Param:
 
     # --- slices / parallelism (TPU: mesh axes) ---
     frame_parallelism: int = 2   # frames in flight (dispatch pipeline)
-    wpp: bool = False            # re-imagined: batched whole-frame
-    #   analysis needs no wavefront; explicit --wpp is coerced off loudly
+    wpp: bool = False            # emit WPP entry-point substreams
+    #   (entropy_coding_sync). Analysis stays wave-free batched; WPP
+    #   here is a bitstream/parallel-entropy feature: per-CTU-row
+    #   substreams with the col-2 context handoff + entry points
+    #   (entropy.cpp:724, frameencoder.cpp:1033 analog)
     slices: int = 1
     tiles: Tuple[int, int] = (1, 1)
     # thread-scheduling knobs from the reference's pool model: the TPU
@@ -628,8 +631,6 @@ COERCED_OPTIONS = {
     "amp": "asymmetric PUs not implemented",
     "tu_inter_depth": "RQT depth >1 not implemented (TU == CU)",
     "tu_intra_depth": "RQT depth >1 not implemented (TU == CU)",
-    "wpp": ("WPP entry-point substreams not emitted (analysis is "
-            "wave-free batched; use --slices for parallel entropy)"),
     "tiles": "tiles not implemented (use --slices for picture splitting)",
     "weightb": "weighted B prediction not implemented",
     "constrained_intra": "constrained intra prediction not implemented",
@@ -724,9 +725,13 @@ def check_params(p: Param) -> Param:
         _warn(p, COERCED_OPTIONS["tu_intra_depth"]
               + " — forcing --tu-intra-depth 1")
         p.tu_intra_depth = 1
-    if p.wpp:
-        _warn(p, COERCED_OPTIONS["wpp"] + " — forcing --no-wpp")
-        p.wpp = False
+    if p.wpp and p.slices > 1:
+        # WPP substreams and multi-slice entropy sharding are both
+        # emitted per picture in x265 but our finalizer picks one
+        # payload-splitting axis per stream; rows win when asked for
+        _warn(p, "--wpp replaces --slices as the entropy split "
+              "— forcing --slices 1")
+        p.slices = 1
     if p.tiles != (1, 1):
         _warn(p, COERCED_OPTIONS["tiles"] + " — forcing 1x1")
         p.tiles = (1, 1)

@@ -824,6 +824,20 @@ class HEVCDecoder:
                 sh, off = parse_slice_header(rbsp, nal_type, sps0, pps0)
                 pps = self.pps[sh.pps_id]
                 sps = self.sps[pps.sps_id]
+                if sh.entry_point_offsets:
+                    # entry points count escaped (EBSP) bytes (7.4.7.1);
+                    # SliceDecoder indexes the stripped payload
+                    from x265_tpu.hevc.bitstream import \
+                        ebsp_to_rbsp_offsets
+                    cum = []
+                    acc = 0
+                    for o in sh.entry_point_offsets:
+                        acc += o
+                        cum.append(acc)
+                    rb = ebsp_to_rbsp_offsets(rbsp[off:], cum)
+                    sh.entry_point_offsets = [
+                        rb[0]] + [rb[i] - rb[i - 1]
+                                  for i in range(1, len(rb))]
                 if sh.first_slice_in_pic:
                     flush_current()
                     poc = self._derive_poc(sh, sps, nal_type)

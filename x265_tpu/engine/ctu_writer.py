@@ -161,11 +161,32 @@ class FrameSyntaxWriter:
         self.qp4 = np.full((h4w, w4w), self.sh.qp, dtype=np.int32)
 
         ctb = sps.ctb_size
-        n_ctbs = sps.pic_width_in_ctbs * sps.pic_height_in_ctbs
+        wc = sps.pic_width_in_ctbs
+        n_ctbs = wc * sps.pic_height_in_ctbs
+        # WPP (entropy_coding_sync, 7.3.8.1 + 9.3.1): per-CTU-row
+        # byte-aligned substreams, contexts synced from the snapshot
+        # after the second CTU of the row above (x265 entropy.cpp:724,
+        # frameencoder.cpp:1033 serializeSubstreams analog)
+        wpp = bool(self.pps.entropy_coding_sync_enabled)
+        init_type = {SLICE_I: 0, SLICE_P: 1,
+                     SLICE_B: 2}[self.sh.slice_type]
+        wpp_snap = None
+        parts = []
+        self.substream_parts = None
         for addr in range(n_ctbs):
-            cx_i = addr % sps.pic_width_in_ctbs
-            cy_i = addr // sps.pic_width_in_ctbs
+            cx_i = addr % wc
+            cy_i = addr // wc
             x0, y0 = cx_i * ctb, cy_i * ctb
+            if wpp and cx_i == 0 and addr > 0:
+                # row start: fresh engine, ctx from the row-above snapshot
+                cab.reset_engine()
+                if wc > 1 and wpp_snap is not None:
+                    cab.ctx = wpp_snap.copy()
+                else:
+                    from x265_tpu.hevc.cabac import init_contexts
+                    cab.ctx = init_contexts(init_type, self.sh.qp)
+                # 8.6.1: qPY_PREV resets to SliceQpY each CTB row
+                self.qp_prev = self.sh.qp
             if self.dqp_on:
                 self.qg_wanted = int(dec.qp_map[cy_i, cx_i])
                 self.qg_coded = False
@@ -180,8 +201,17 @@ class FrameSyntaxWriter:
                 # qPY_PREV for the next QG = QP of the last CU of this one
                 self.qp_prev = (self.qg_wanted if self.qg_coded
                                 else self.qp_prev)
+            if wpp and cx_i == 1:
+                wpp_snap = cab.ctx.copy()
             cab.encode_bin_trm(1 if addr == n_ctbs - 1 else 0)
-        return cab.finish()
+            if wpp and cx_i == wc - 1 and addr != n_ctbs - 1:
+                # end of substream: end_of_subset_one_bit + flush/align
+                cab.encode_bin_trm(1)
+                parts.append(cab.finish())
+        parts.append(cab.finish())
+        if wpp:
+            self.substream_parts = parts
+        return b"".join(parts)
 
     # ---- quadtree ----
 

@@ -116,6 +116,50 @@ def add_emulation_prevention(rbsp: bytes) -> bytes:
     return bytes(out)
 
 
+def escaped_sizes(parts) -> list:
+    """Post-emulation-prevention byte size of each part when the parts
+    are concatenated into one RBSP region (the zero-run state carries
+    across boundaries, matching add_emulation_prevention over the
+    concatenation). Used for WPP entry_point_offset values, which the
+    spec counts in the escaped (EBSP) domain (7.4.7.1)."""
+    zeros = 0
+    sizes = []
+    for part in parts:
+        add = 0
+        for b in part:
+            if zeros >= 2 and b <= 3:
+                add += 1
+                zeros = 0
+            zeros = zeros + 1 if b == 0 else 0
+        sizes.append(len(part) + add)
+    return sizes
+
+
+def ebsp_to_rbsp_offsets(data_rbsp: bytes, ebsp_offsets) -> list:
+    """Map cumulative byte offsets in the escaped (EBSP) domain to
+    offsets in `data_rbsp` (the stripped region they index into), by
+    simulating where emulation bytes would sit. WPP entry points are
+    spec'd in the escaped domain (7.4.7.1) but our slice decoder indexes
+    the stripped payload. `ebsp_offsets` must be ascending."""
+    targets = list(ebsp_offsets)
+    res = [len(data_rbsp)] * len(targets)
+    ti = 0
+    eb = 0
+    zeros = 0
+    for r, b in enumerate(data_rbsp):
+        if zeros >= 2 and b <= 3:
+            eb += 1                        # implied escape byte here
+            zeros = 0
+        while ti < len(targets) and eb >= targets[ti]:
+            res[ti] = r
+            ti += 1
+        if ti == len(targets):
+            break
+        eb += 1
+        zeros = zeros + 1 if b == 0 else 0
+    return res
+
+
 def strip_emulation_prevention(data: bytes) -> bytes:
     """Remove emulation_prevention_three_byte from a NAL payload."""
     out = bytearray()

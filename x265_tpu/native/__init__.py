@@ -107,6 +107,8 @@ def get_lib():
             ctypes.c_int,                                        # scaling_lists
             ctypes.c_int,                                        # tskip
             ctypes.c_void_p,                                     # rate consts
+            ctypes.c_int,                                        # wpp
+            ctypes.c_void_p, ctypes.c_int,                       # ss sizes out, cap
         ]
         _lib = lib
         return _lib
@@ -166,7 +168,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     qp_map=None, bit_depth=8, ref8=None, rdoq_level=0,
                     weights=None, col=None, col_from_l0=1, nr=None,
                     pre=None, ctb_begin=0, ctb_count=-1,
-                    collect=None, scaling_lists=False, tskip=False):
+                    collect=None, scaling_lists=False, tskip=False,
+                    wpp=False):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -282,6 +285,10 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         rc = np.ascontiguousarray(slice_rate_consts(slice_type, qp))
         keep.append(rc)
         rc_ptr = rc.ctypes.data
+    ss_sizes = None
+    if wpp:
+        hc = -(-h // (1 << ctb_log2))
+        ss_sizes = np.zeros(hc, dtype=np.int32)
     collect_only = 0
     exp_ptrs = [None] * 5
     if collect is not None:
@@ -315,9 +322,14 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         cd_ptr, cm_ptr, cp_ptr, col_poc, int(col_from_l0),
         nro_p, nrs_p, nrc_p, int(ctb_begin), int(ctb_count), *pre_ptrs,
         collect_only, *exp_ptrs, int(scaling_lists), int(tskip),
-        rc_ptr)
+        rc_ptr, int(wpp),
+        ss_sizes.ctypes.data if ss_sizes is not None else None,
+        len(ss_sizes) if ss_sizes is not None else 0)
     if n < 0:
         return None
-    return (out[:n].tobytes(),
-            (ry.astype(np.int32), rcb.astype(np.int32), rcr.astype(np.int32)),
-            cbf4.astype(bool), qp_actual.reshape(h4, w4))
+    res = (out[:n].tobytes(),
+           (ry.astype(np.int32), rcb.astype(np.int32), rcr.astype(np.int32)),
+           cbf4.astype(bool), qp_actual.reshape(h4, w4))
+    if wpp:
+        return res + (ss_sizes.tolist(),)
+    return res

@@ -1092,6 +1092,10 @@ struct Writer {
   // treat other slices as unavailable (spec slice isolation)
   int ctb_begin = 0;
   int ctb_count = -1;          // -1 = whole picture
+  int wpp = 0;                 // emit WPP per-row substreams
+  int32_t* ss_sizes = nullptr;  // raw substream byte sizes out
+  int ss_cap = 0;
+  int n_ss = 0;
   // state
   std::vector<uint8_t> avail4, isintra4;
   std::vector<int16_t> mode4;
@@ -1199,8 +1203,28 @@ struct Writer {
     qp_prev = qp;
     qp_actual.assign(w4 * h4, qp);
     int slice_qp = qp;
+    // WPP (entropy_coding_sync, 7.3.8.1 + 9.3.1): per-CTU-row byte-
+    // aligned substreams; each row's contexts sync from the snapshot
+    // taken after the second CTU of the row above (x265
+    // entropy.cpp:724 / frameencoder.cpp:1033 serializeSubstreams)
+    uint8_t wpp_snap[NUM_CONTEXTS];
+    uint8_t wpp_init[NUM_CONTEXTS];
+    bool have_snap = false;
+    bool do_wpp = wpp && begin == 0;
+    if (do_wpp) memcpy(wpp_init, cab.ctx, NUM_CONTEXTS);
+    size_t ss_prev = 0;
+    n_ss = 0;
     for (int addr = begin; addr < end; addr++) {
-      int x0 = (addr % wc) * ctb, y0 = (addr / wc) * ctb;
+      int col = addr % wc;
+      int x0 = col * ctb, y0 = (addr / wc) * ctb;
+      if (do_wpp && col == 0 && addr != begin) {
+        // row start: fresh arithmetic engine + context handoff
+        cab.low = 0; cab.range = 510; cab.bits_left = 23;
+        cab.num_buffered = 0; cab.buffered_byte = 0xFF;
+        memcpy(cab.ctx, (wc > 1 && have_snap) ? wpp_snap : wpp_init,
+               NUM_CONTEXTS);
+        qp_prev = slice_qp;     // 8.6.1: qPY_PREV resets per CTB row
+      }
       if (qp_map) {
         qg_wanted = qp_map[addr];
         qg_coded = false;
@@ -1208,12 +1232,29 @@ struct Writer {
       }
       if (sao_on) write_sao(addr / wc, addr % wc, addr - begin < wc);
       quadtree(x0, y0, ctb_log2, 0);
+      if (do_wpp && col == 1) {
+        memcpy(wpp_snap, cab.ctx, NUM_CONTEXTS);
+        have_snap = true;
+      }
       if (qp_map)   // qPY_PREV for the next QG = last CU's QpY
         qp_prev = qg_coded ? qg_wanted : qp_prev;
       cab.trm(addr == end - 1 ? 1 : 0);
+      if (do_wpp && col == wc - 1 && addr != end - 1) {
+        cab.trm(1);               // end_of_subset_one_bit
+        cab.finish();             // flush + byte alignment
+        if (ss_sizes && n_ss < ss_cap)
+          ss_sizes[n_ss] = (int32_t)(cab.out.size() - ss_prev);
+        n_ss++;
+        ss_prev = cab.out.size();
+      }
     }
     qp = slice_qp;
     cab.finish();
+    if (do_wpp) {
+      if (ss_sizes && n_ss < ss_cap)
+        ss_sizes[n_ss] = (int32_t)(cab.out.size() - ss_prev);
+      n_ss++;
+    }
   }
 
   void quadtree(int x0, int y0, int log2_cb, int depth) {
@@ -2132,7 +2173,9 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     int16_t* exp_lvl_cb, int16_t* exp_lvl_cr,
                     uint8_t* exp_cbf8, uint8_t* exp_has8,
                     int scaling_lists, int tskip_enabled,
-                    const int32_t* rate_consts) {
+                    const int32_t* rate_consts,
+                    int wpp, int32_t* substream_sizes_out,
+                    int substream_cap) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -2176,6 +2219,9 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.ctb_count = ctb_count;
   w.scaling = scaling_lists;
   w.tskip = tskip_enabled;
+  w.wpp = wpp;
+  w.ss_sizes = substream_sizes_out;
+  w.ss_cap = substream_cap;
   if (collect_only) w.cab.enabled = false;
   if (exp_lvl_y) {
     w.exp_lvl_y = exp_lvl_y; w.exp_lvl_cb = exp_lvl_cb;
