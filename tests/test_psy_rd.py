@@ -109,3 +109,31 @@ def test_psy_rd_default_stream_conforms():
         ext = de265.decode(bs)
         for o, e in zip(ours, ext):
             assert np.array_equal(o.y, e[0].astype(np.int32))
+
+
+def test_psy_rd_flips_intra_mode_toward_energy():
+    """Intra mode choice (frame_intra_analysis): a striped texture whose
+    top reference row continues the stripes OUT OF PHASE. Pure SATD
+    prefers the flat DC/planar prediction (the in-phase residual is
+    smaller than the doubled antiphase one); psy-rd penalizes the
+    energy-killing flat prediction and flips to the vertical mode that
+    keeps the texture (x265 calcPsyRdCost applied in every intra mode
+    comparison, rdcost.h:48)."""
+    import jax.numpy as jnp
+    from x265_tpu.models.intra_frame import frame_intra_analysis
+
+    S = 16
+    y = np.full((2 * S, 2 * S), 128, np.int32)
+    xx = np.arange(2 * S)
+    stripes = np.where((xx // 2) % 2 == 0, 168, 88)
+    # block (1,1): striped texture; its top neighbor row (last row of
+    # block (0,1)) carries the OPPOSITE phase
+    y[S:, S:] = stripes[S:][None, :]
+    y[S - 1, S:] = np.where((xx[S:] // 2) % 2 == 0, 88, 168)
+    m0, _ = frame_intra_analysis(jnp.asarray(y), S=S, psy=0.0)
+    m4, _ = frame_intra_analysis(jnp.asarray(y), S=S, psy=4.0)
+    b = 3                        # block (1,1) of the 2x2 grid
+    mode0, mode4 = int(np.asarray(m0)[b]), int(np.asarray(m4)[b])
+    assert mode0 != mode4
+    # the psy choice must be the texture-preserving vertical-ish mode
+    assert 22 <= mode4 <= 30 or mode4 in (0,), (mode0, mode4)

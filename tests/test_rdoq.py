@@ -71,3 +71,48 @@ def test_rdoq_native_matches_oracle_and_conforms():
         ext = de265.decode(s_n)
         for i, (o, e) in enumerate(zip(ours, ext)):
             assert np.array_equal(o.y, e[0].astype(np.int32)), i
+
+
+def test_psy_rdoq_three_way_agreement_and_energy():
+    """psy-rdoq (--psy-rdoq; quant.cpp:610 usePsyMask analog): the Q8
+    energy credit must (a) keep the oracle and the batched device RDOQ
+    bit-identical, (b) never DECREASE total level energy vs psy off,
+    and (c) actually change decisions somewhere at a realistic QP."""
+    import jax.numpy as jnp
+    from x265_tpu.models.residual import rdoq_b
+    rng = np.random.default_rng(9)
+    psy_fx = int(round(10.0 * 256))
+    changed = 0
+    for qp in (30, 36):
+        for trial in range(4):
+            resi = rng.integers(-28, 28, (16, 16)).astype(np.int32)
+            c = forward_transform(resi, False, 8)
+            l = quantize(c, qp, 4, False, 8)
+            l_plain = rdoq(c, l, qp, 4, None, 8)
+            l_psy = rdoq(c, l, qp, 4, None, 8, psy_fx=psy_fx)
+            dev = np.asarray(rdoq_b(
+                jnp.asarray(c[None]), jnp.asarray(l[None]),
+                jnp.asarray([qp]), 16, 8, psy_fx=psy_fx))[0]
+            assert np.array_equal(dev, l_psy)
+            assert np.abs(l_psy).sum() >= np.abs(l_plain).sum()
+            changed += int(not np.array_equal(l_psy, l_plain))
+    assert changed > 0
+
+
+def test_psy_rdoq_stream_conforms():
+    """--rdoq-level 2 --psy-rdoq 1.0 end-to-end: the native finalizer
+    carries the same credit; streams stay conformant."""
+    frames = _clip(3)
+    p = param_default_preset("slow")
+    p.width, p.height = 176, 144
+    p.rc_mode = RC_CQP
+    p.qp = 32
+    p.psy_rdoq = 1.0
+    p.bframes = 2
+    stream = Encoder(p).encode(frames)
+    pics = HEVCDecoder().decode(stream)
+    assert len(pics) == len(frames)
+    if de265.available():
+        d = de265.decode(stream)
+        for a, b in zip(pics, d):
+            assert np.array_equal(a.y, b[0])

@@ -1195,7 +1195,7 @@ class Encoder:
             from x265_tpu.models.intra_frame import decide_intra_frame_tpu
             return decide_intra_frame_tpu(
                 np.asarray(y), p.width, p.height, cu_log2=cu_log2,
-                fast=p.fast_intra)
+                fast=p.fast_intra, psy=float(p.psy_rd))
         return decide_intra_frame(
             np.asarray(y), p.width, p.height, p.ctb_log2, cu_log2=cu_log2,
             strong_smoothing=p.intra_smoothing, bit_depth=p.bit_depth)
@@ -1433,7 +1433,9 @@ class Encoder:
                     pre=state["pre"], ctb_begin=begin, ctb_count=count,
                     collect=collect_arg,
                     scaling_lists=bool(p.scaling_lists),
-                    tskip=p.tskip, wpp=bool(p.wpp))
+                    tskip=p.tskip, wpp=bool(p.wpp),
+                    psy_rdoq_fx=(int(round(p.psy_rdoq * 256))
+                                 if p.rdoq_level >= 2 else 0))
 
             wc = p.pic_width_in_ctbs
             hc = p.pic_height_in_ctbs
@@ -1605,6 +1607,8 @@ class Encoder:
                                        cur_poc=poc, col=col)
             writer.nr = nr_arrs
             writer.rdoq_level = 0 if p.lossless else p.rdoq_level
+            writer.psy_fx = (int(round(p.psy_rdoq * 256))
+                             if writer.rdoq_level >= 2 else 0)
             data = writer.encode_slice_data(
                 np.asarray(y), np.asarray(cb), np.asarray(cr), decisions,
                 sao_params=sp)
@@ -2028,7 +2032,7 @@ class Encoder:
                 decide_intra_frame_tpu_with_cost)
             return decide_intra_frame_tpu_with_cost(
                 np.asarray(y), p.width, p.height, cu_log2=cu_log2,
-                fast=p.fast_intra)
+                fast=p.fast_intra, psy=float(p.psy_rd))
         return self._intra_decisions(y), self._intra_cost_grid(y)
 
     def _p_decisions(self, y, refs, qp=None, frame=None) -> FrameDecisions:
@@ -2241,7 +2245,8 @@ class Encoder:
         qp_est = max(0, min(51, qp_est + 3))
         lam = float(np.sqrt(0.85 * 2.0 ** ((qp_est - 12) / 3.0)))
         handles = submit_intra_analysis_batch(ys, p.width, p.height,
-                                              cu_log2, fast=p.fast_intra)
+                                              cu_log2, fast=p.fast_intra,
+                                              psy=float(p.psy_rd))
         res = motion_fused_frames(
             ys, [np.asarray(rec0[0]), np.asarray(rec1[0])],
             p.width, p.height, R=p.me_range, qps=[qp_est] * len(ys),
@@ -2299,7 +2304,7 @@ class Encoder:
                 chunk = frames[idx:idx + BATCH]
                 pending.append((chunk, submit_intra_analysis_batch(
                     [f[0] for f in chunk], p.width, p.height, cu_log2,
-                    fast=p.fast_intra)))
+                    fast=p.fast_intra, psy=float(p.psy_rd))))
                 idx += len(chunk)
             chunk, handles = pending.popleft()
             for f, h in zip(chunk, handles):

@@ -97,6 +97,7 @@ class FrameSyntaxWriter:
         self.sps, self.pps, self.sh = sps, pps, sh
         self.lossless = lossless
         self.rdoq_level = 0          # set by the encoder (x265 --rdoq-level)
+        self.psy_fx = 0              # Q8 psy-rdoq strength (luma RDOQ)
         # scaling lists (--scaling-list; 7.4.5): per-(size, intra, plane)
         # m matrices for quant/dequant, None = flat 16
         self._sm_cache = {}
@@ -806,7 +807,8 @@ class FrameSyntaxWriter:
         lvl_s = quantize(cf_s, qp, 2, is_intra, self.bd, m)
         if self.rdoq_level > 0 and np.any(lvl_s):
             lvl_s = rdoq(cf_s, lvl_s, qp, 2, None, self.bd, m,
-                         consts=self._rk(c_idx))
+                         consts=self._rk(c_idx),
+                         psy_fx=self.psy_fx if c_idx == 0 else 0)
         if self.pps.sign_data_hiding and np.any(lvl_s):
             lvl_s = sign_bit_hiding_adjust(lvl_s, scan)
         if np.any(lvl_s):
@@ -868,7 +870,8 @@ class FrameSyntaxWriter:
         level = quantize(coeff, qp, log2, is_intra_tb, self.bd, m)
         if self.rdoq_level > 0 and np.any(level):
             level = rdoq(coeff, level, qp, log2, None, self.bd, m,
-                         consts=self._rk(c_idx))
+                         consts=self._rk(c_idx),
+                         psy_fx=self.psy_fx if c_idx == 0 else 0)
         if self.pps.sign_data_hiding and np.any(level):
             level = sign_bit_hiding_adjust(level, SCANS[(log2, 0)])
         if np.any(level):
@@ -934,7 +937,8 @@ class FrameSyntaxWriter:
         level = quantize(coeff, qp, log2, True, self.bd, m)
         if self.rdoq_level > 0 and np.any(level):
             level = rdoq(coeff, level, qp, log2, None, self.bd, m,
-                         consts=self._rk(c_idx))
+                         consts=self._rk(c_idx),
+                         psy_fx=self.psy_fx if c_idx == 0 else 0)
         if self.pps.sign_data_hiding and np.any(level):
             scan = SCANS[(log2, coeff_scan_index(log2, c_idx, mode, True))]
             level = sign_bit_hiding_adjust(level, scan)

@@ -72,7 +72,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  xy, mv, dirm, ref_i, qp, wp,
                  n, bd, sdh, do_rdoq, lossless, pad, wld, wcd,
-                 cb_off, cr_off, scaling=False, consts=None):
+                 cb_off, cr_off, scaling=False, consts=None, psy_fx=0):
     """One CU-size class of inter CUs: MC + residual chain, all planes.
 
     xy [N,2] luma top-left; mv [N,2,2] (list, x/y) qpel; dirm [N] 1/2/3;
@@ -157,7 +157,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
     if n <= 32:
         lvl_y, rres_y, cbf_y = _tq_chain(sy - pred_y, qpy, zsel, n, False,
                                          False, bd, sdh, do_rdoq, lossless,
-                                         scaling, kl)
+                                         scaling, kl, psy_fx)
         lvl_cb, rres_cb, cbf_cb = _tq_chain(scb - pred_cb, cqp(cb_off),
                                             zsel, hs, False, False, bd,
                                             sdh, do_rdoq, lossless, scaling,
@@ -171,7 +171,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
         # 64x64 CU: the transform tree splits implicitly into 4 32x32
         # luma (+16x16 chroma) TUs — transform/quant run per quadrant,
         # cbf is per quadrant (z-order) for the writer's tree emission
-        def tq_quads(res, qvec, m, kk=None):
+        def tq_quads(res, qvec, m, kk=None, pfx=0):
             """res [N,2m,2m] -> per-quadrant chain at m; returns
             (lvl [N,2m,2m], rres [N,2m,2m], cbf [N,4])."""
             q = res.reshape(N, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
@@ -179,13 +179,14 @@ def _inter_class_body(src_y, src_cb, src_cr,
             lv, rr, cb_ = _tq_chain(q, jnp.repeat(qvec, 4),
                                     jnp.zeros((N * 4,), jnp.int32), m,
                                     False, False, bd, sdh, do_rdoq,
-                                    lossless, scaling, kk)
+                                    lossless, scaling, kk, pfx)
             def back(a):
                 return (a.reshape(N, 2, 2, m, m).transpose(0, 1, 3, 2, 4)
                         .reshape(N, 2 * m, 2 * m))
             return back(lv), back(rr), cb_.reshape(N, 4)
 
-        lvl_y, rres_y, qcbf_y = tq_quads(sy - pred_y, qpy, n // 2, kl)
+        lvl_y, rres_y, qcbf_y = tq_quads(sy - pred_y, qpy, n // 2, kl,
+                                         psy_fx)
         lvl_cb, rres_cb, qcbf_cb = tq_quads(scb - pred_cb, cqp(cb_off),
                                             hs // 2, kc)
         lvl_cr, rres_cr, qcbf_cr = tq_quads(scr - pred_cr, cqp(cr_off),
@@ -203,16 +204,17 @@ def _inter_class_body(src_y, src_cb, src_cr,
 
 _inter_class = partial(jax.jit, static_argnames=(
     "n", "bd", "sdh", "do_rdoq", "lossless", "pad", "wld", "wcd",
-    "cb_off", "cr_off", "scaling"))(_inter_class_body)
+    "cb_off", "cr_off", "scaling", "psy_fx"))(_inter_class_body)
 
 
 @partial(jax.jit, static_argnames=("ns", "bd", "sdh", "do_rdoq", "lossless",
                                    "pad", "wld", "wcd", "cb_off", "cr_off",
-                                   "scaling"))
+                                   "scaling", "psy_fx"))
 def _inter_multi(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  per_class, wp, ns, bd, sdh, do_rdoq, lossless, pad,
-                 wld, wcd, cb_off, cr_off, scaling=False, consts=None):
+                 wld, wcd, cb_off, cr_off, scaling=False, consts=None,
+                 psy_fx=0):
     """Several CU-size classes in ONE dispatch (one tunnel round trip
     instead of one per class). per_class: tuple of (xy, mv, dirm, ref_i,
     qp) batches matching `ns`."""
@@ -222,18 +224,18 @@ def _inter_multi(src_y, src_cb, src_cr,
         outs.append(_inter_class_body(
             src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
-            pad, wld, wcd, cb_off, cr_off, scaling, consts))
+            pad, wld, wcd, cb_off, cr_off, scaling, consts, psy_fx))
     return tuple(outs)
 
 
 @partial(jax.jit, static_argnames=("ns", "bd", "sdh", "do_rdoq", "lossless",
                                    "pad", "wld", "wcd", "cb_off", "cr_off",
-                                   "scaling"))
+                                   "scaling", "psy_fx"))
 def _inter_multi_planes(src_y, src_cb, src_cr,
                         r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                         per_class, wp, ns, bd, sdh, do_rdoq, lossless,
                         pad, wld, wcd, cb_off, cr_off, scaling=False,
-                        consts=None):
+                        consts=None, psy_fx=0):
     """_inter_multi + ON-DEVICE scatter of every class's levels/recon
     into full-frame planes.  The wire then carries ~frame-sized tensors
     instead of worst-case padded per-lane batches — on the tunneled TPU
@@ -259,7 +261,7 @@ def _inter_multi_planes(src_y, src_cb, src_cr,
         ly, lcb, lcr, cbf, ry, rcb, rcr = _inter_class_body(
             src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
-            pad, wld, wcd, cb_off, cr_off, scaling, consts)
+            pad, wld, wcd, cb_off, cr_off, scaling, consts, psy_fx)
         x0 = xy[:, 0]
         y0 = xy[:, 1]
         ii = jnp.arange(n)
@@ -465,11 +467,14 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
     if any_pre:
         ns = tuple(c[0] for c in classes)
         kk = None
+        psy_fx = 0
         if rdoq_level > 0 and not p.lossless:
             # estBit RDOQ consts from the SLICE qp/type — identical to
             # the native and oracle derivations (hevc/rate_model.py)
             from x265_tpu.hevc.rate_model import slice_rate_consts
             kk = jnp.asarray(slice_rate_consts(slice_type, qp_slice))
+            if rdoq_level >= 2:
+                psy_fx = int(round(p.psy_rdoq * 256))
         if mesh is None:
             # single-device: scatter to planes ON DEVICE; the wire
             # carries frame-sized tensors (~4x fewer bytes than the
@@ -480,7 +485,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     tuple(c[7] for c in classes), wp_arr, ns, bd,
                     bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
                     wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
-                    bool(p.scaling_lists), kk)
+                    bool(p.scaling_lists), kk, psy_fx)
             (lvl_y, lvl_cb, lvl_cr, cbf8, has8,
              rec_y, rec_cb, rec_cr) = jax.device_get(pouts)
             return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
@@ -494,7 +499,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 tuple(c[7] for c in classes), wp_arr, ns, bd,
                 bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
                 wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
-                bool(p.scaling_lists), kk)
+                bool(p.scaling_lists), kk, psy_fx)
         outs = jax.device_get(outs)
         for (n, N, x0, y0, ys8, xs8, r, _a), out in zip(classes, outs):
             ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N]

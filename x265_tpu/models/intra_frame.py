@@ -63,11 +63,18 @@ def extract_block_refs(y: jnp.ndarray, S: int) -> jnp.ndarray:
 _FAST_MODES = np.array([0, 1, 2, 6, 10, 14, 18, 22, 26, 30, 34], np.int32)
 
 
-@partial(jax.jit, static_argnames=("S", "lambda_bits", "fast"))
+@partial(jax.jit, static_argnames=("S", "lambda_bits", "fast", "psy"))
 def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
                          lambda_bits: float = 2.0,
-                         fast: bool = False) -> jnp.ndarray:
-    """y: [H, W] (multiples of S) uint8/int32 -> best mode per block [nB]."""
+                         fast: bool = False,
+                         psy: float = 0.0) -> jnp.ndarray:
+    """y: [H, W] (multiples of S) uint8/int32 -> best mode per block [nB].
+
+    psy > 0 adds the psychovisual energy term to every candidate: the
+    AC-energy difference |E(source) - E(prediction)| weighted by psy-rd
+    (x265 applies calcPsyRdCost in every intra mode comparison,
+    rdcost.h:48 / search.cpp:2112; energy model = pixel.cpp:727
+    psyCost_pp sa8d-minus-DC, shared with models/rdo._psy_energy8)."""
     H, W = y.shape
     yf = y.astype(jnp.float32)
     refs = extract_block_refs(yf, S)                         # [nB, R]
@@ -87,17 +94,30 @@ def frame_intra_analysis(y: jnp.ndarray, S: int = 16,
     # SATD over 8x8 tiles via Hadamard matmuls
     k = 8 if S >= 8 else 4
     h = jnp.asarray(_hadamard(k), dtype=jnp.float32)
-    r = resid.reshape(-1, Wm.shape[0], S // k, k, S // k, k)
-    r = r.transpose(0, 1, 2, 4, 3, 5)                        # [..., k, k]
-    t = jnp.einsum("ij,...jk,kl->...il", h, r, h,
-                   preferred_element_type=jnp.float32)
-    satd = jnp.sum(jnp.abs(t), axis=(-1, -2, -3, -4)) / (4.0 if k == 8 else 2.0)
+    nm = Wm.shape[0]
+
+    def had(x, lead):
+        r = x.reshape((-1,) + lead + (S // k, k, S // k, k))
+        r = jnp.moveaxis(r, -3, -2)                          # [..., k, k]
+        return jnp.einsum("ij,...jk,kl->...il", h, r, h,
+                          preferred_element_type=jnp.float32)
+
+    t = had(resid, (nm,))
+    norm = 4.0 if k == 8 else 2.0
+    satd = jnp.sum(jnp.abs(t), axis=(-1, -2, -3, -4)) / norm
 
     # rough mode-bit bias: non-MPM modes cost ~4 extra bins
-    nm = Wm.shape[0]
     bias = jnp.full((nm,), 4.0 * lambda_bits, dtype=jnp.float32)
     bias = bias.at[0].set(0.0).at[1].set(2.0 * lambda_bits)
     cost = satd + bias[None, :]
+    if psy > 0:
+        def ac_energy(x, lead):
+            tt = had(x, lead)
+            dc = jnp.abs(tt[..., 0, 0]).sum(axis=(-1, -2))
+            return (jnp.abs(tt).sum(axis=(-1, -2, -3, -4)) - dc) / norm
+        e_src = ac_energy(blocks, ())                        # [nB]
+        e_pred = ac_energy(preds, (nm,))                     # [nB, nm]
+        cost = cost + psy * jnp.abs(e_src[:, None] - e_pred)
     best = jnp.argmin(cost, axis=1).astype(jnp.int32)        # [nB]
     if fast:
         best = jnp.asarray(_FAST_MODES)[best]
@@ -108,13 +128,14 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=8)
-def _batched_analysis(S: int, fast: bool = False):
+def _batched_analysis(S: int, fast: bool = False, psy: float = 0.0):
     return jax.jit(jax.vmap(
-        lambda y: frame_intra_analysis(y, S=S, fast=fast)))
+        lambda y: frame_intra_analysis(y, S=S, fast=fast, psy=psy)))
 
 
 def submit_intra_analysis_batch(srcs, width: int, height: int,
-                                cu_log2: int = 4, fast: bool = False):
+                                cu_log2: int = 4, fast: bool = False,
+                                psy: float = 0.0):
     """One dispatch for a whole batch of frames (vmapped analysis): on a
     tunneled TPU the per-RPC latency dominates, so N frames per round
     trip beats N round trips (the frame-pipeline P2 batching form)."""
@@ -126,13 +147,15 @@ def submit_intra_analysis_batch(srcs, width: int, height: int,
     yp = np.stack([np.pad(np.asarray(s, dtype=wire),
                           ((0, ph - height), (0, pw - width)), mode="edge")
                    for s in srcs])
-    modes_dev, cost_dev = _batched_analysis(S, fast)(jnp.asarray(yp))
+    modes_dev, cost_dev = _batched_analysis(S, fast, float(psy))(
+        jnp.asarray(yp))
     return [(modes_dev[i], cost_dev[i], cu_log2, width, height)
             for i in range(len(srcs))]
 
 
 def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
-                          cu_log2: int = 4, fast: bool = False):
+                          cu_log2: int = 4, fast: bool = False,
+                          psy: float = 0.0):
     """Dispatch the batched analysis; returns an opaque handle whose device
     buffers materialize asynchronously (frame-pipeline building block: the
     TPU computes frame N+1 while the CPU finalizer writes frame N — the
@@ -145,8 +168,9 @@ def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
     wire = np.uint8 if np.asarray(src_y).max(initial=0) < 256 else np.int16
     y = np.asarray(src_y, dtype=wire)
     yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
-    modes_dev, cost_dev = frame_intra_analysis(jnp.asarray(yp), S=S,
-                                               fast=fast)
+    modes_dev, cost_dev = _batched_analysis(S, fast, float(psy))(
+        jnp.asarray(yp)[None])
+    modes_dev, cost_dev = modes_dev[0], cost_dev[0]
     return (modes_dev, cost_dev, cu_log2, width, height)
 
 
@@ -162,20 +186,22 @@ def finish_intra_analysis(handle) -> "FrameDecisions":
 
 def decide_intra_frame_tpu(src_y: np.ndarray, width: int, height: int,
                            cu_log2: int = 4,
-                           fast: bool = False) -> "FrameDecisions":
+                           fast: bool = False,
+                           psy: float = 0.0) -> "FrameDecisions":
     """Drop-in replacement for engine.mode_decision.decide_intra_frame:
     batched TPU analysis at S=2^cu_log2 with 8x8 boundary fallback."""
     return finish_intra_analysis(
-        submit_intra_analysis(src_y, width, height, cu_log2, fast))
+        submit_intra_analysis(src_y, width, height, cu_log2, fast, psy))
 
 
 def decide_intra_frame_tpu_with_cost(src_y: np.ndarray, width: int,
                                      height: int, cu_log2: int = 4,
-                                     fast: bool = False):
+                                     fast: bool = False, psy: float = 0.0):
     """Like decide_intra_frame_tpu but also returns the per-block intra
     cost grid [ph/S, pw/S] — one dispatch serves both the mode decisions
     and the inter/intra comparator (the analysis already computed it)."""
-    h = submit_intra_analysis(src_y, width, height, cu_log2, fast)
+    h = submit_intra_analysis(src_y, width, height, cu_log2, fast,
+                              psy)
     dec = finish_intra_analysis(h)
     S = 1 << cu_log2
     ph = -(-height // S) * S

@@ -175,14 +175,19 @@ def _ilog2(l: jnp.ndarray) -> jnp.ndarray:
     return lg
 
 
-@partial(jax.jit, static_argnames=("n", "bd", "scaling", "is_intra"))
+@partial(jax.jit, static_argnames=("n", "bd", "scaling", "is_intra",
+                                   "psy_fx"))
 def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
-              is_intra: bool = False, consts=None):
+              is_intra: bool = False, consts=None, psy_fx: int = 0):
     """int64 body of rdoq_b — must be traced with x64 enabled.
 
     consts: optional [8] int32 Q15 fractional-bit constants
     (hevc.rate_model estBit analog) for the batch's plane; None keeps
-    the static bin-count model."""
+    the static bin-count model.
+
+    psy_fx: Q8 psy-rdoq strength — AC coefficients earn an energy
+    credit (psy_fx * 32 * |dequant(l)|) >> 8 (quant.cpp:610 psy path,
+    luma only; matches ops/ref/transform.rdoq bit-exactly)."""
     log2 = n.bit_length() - 1
     qp = qp.astype(jnp.int32)
     per = qp // 6
@@ -227,9 +232,19 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
             lg = _ilog2(jnp.maximum(l, 1))
             return lam_fx * (r + jnp.where(l > 1, 2 + 2 * lg, 0))
 
+    if psy_fx:
+        ac = jnp.ones((n, n), bool).at[0, 0].set(False)[None]
+
+        def credit(l):
+            return jnp.where(ac, (psy_fx * 32
+                                  * deq(l.astype(jnp.int32))) >> 8, 0)
+    else:
+        def credit(l):
+            return 0
+
     def cost(l):
         e = c - sgn * deq(l.astype(jnp.int32))
-        return 32 * e * e + rcost(l)
+        return 32 * e * e + rcost(l) - credit(l)
 
     best_l = l0
     best = cost(l0)
@@ -251,6 +266,8 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
     d_zero = cg_sum(c * c)
     d_now = cg_sum(e_now * e_now)
     r_now = cg_sum(rcost(l_abs))
+    if psy_fx:
+        r_now = r_now - cg_sum(credit(l_abs))
     any_nz = cg_sum(l_abs) > 0
     # lam_fx is [N,1,1], broadcasting over the [N,ncg,ncg] CG grid
     if consts is not None:
@@ -265,12 +282,13 @@ def _rdoq_x64(coeff, lvl, qp, n, bd, scaling: bool = False,
 
 
 def rdoq_b(coeff, lvl, qp, n: int, bd: int, scaling: bool = False,
-           is_intra: bool = False, consts=None):
+           is_intra: bool = False, consts=None, psy_fx: int = 0):
     """Batched integer RDOQ (bit-exact vs rdoq_adjust / oracle rdoq)."""
     from jax import enable_x64
     with enable_x64():
         return _rdoq_x64(coeff, lvl, qp, n, bd, scaling, is_intra,
-                         None if consts is None else jnp.asarray(consts))
+                         None if consts is None else jnp.asarray(consts),
+                         psy_fx)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -317,18 +335,20 @@ def sbh_b(lvl: jnp.ndarray, scan_sel: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("n", "dst", "is_intra", "bd", "sdh",
-                                   "do_rdoq", "lossless", "scaling"))
+                                   "do_rdoq", "lossless", "scaling",
+                                   "psy_fx"))
 def _tq_chain(resi: jnp.ndarray, qp: jnp.ndarray, scan_sel: jnp.ndarray,
               n: int, dst: bool, is_intra: bool, bd: int, sdh: bool,
               do_rdoq: bool, lossless: bool, scaling: bool = False,
-              consts=None):
+              consts=None, psy_fx: int = 0):
     if lossless:
         cbf = jnp.any(resi != 0, axis=(1, 2))
         return resi, resi, cbf
     cf = fwd_transform_b(resi, n, dst, bd)
     lvl = quantize_b(cf, qp, n, is_intra, bd, scaling)
     if do_rdoq:
-        lvl = _rdoq_x64(cf, lvl, qp, n, bd, scaling, is_intra, consts)
+        lvl = _rdoq_x64(cf, lvl, qp, n, bd, scaling, is_intra, consts,
+                        psy_fx)
     if sdh:
         lvl = jnp.where(jnp.any(lvl != 0, axis=(1, 2))[:, None, None],
                         sbh_b(lvl, scan_sel, n), lvl)
@@ -341,7 +361,7 @@ def _tq_chain(resi: jnp.ndarray, qp: jnp.ndarray, scan_sel: jnp.ndarray,
 
 def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
              bd: int, sdh: bool, do_rdoq: bool, lossless: bool,
-             scaling: bool = False, consts=None):
+             scaling: bool = False, consts=None, psy_fx: int = 0):
     """The full coeffs_from_pred / tb_process transform chain for a batch
     of same-size TUs: residual -> (levels, recon-residual, cbf).
 
@@ -358,4 +378,4 @@ def tq_chain(resi, qp, scan_sel, n: int, dst: bool, is_intra: bool,
     from jax import enable_x64
     with enable_x64():
         return _tq_chain(resi, qp, scan_sel, n, dst, is_intra, bd, sdh,
-                         do_rdoq, lossless, scaling, consts)
+                         do_rdoq, lossless, scaling, consts, psy_fx)

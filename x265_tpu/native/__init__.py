@@ -109,6 +109,7 @@ def get_lib():
             ctypes.c_void_p,                                     # rate consts
             ctypes.c_int,                                        # wpp
             ctypes.c_void_p, ctypes.c_int,                       # ss sizes out, cap
+            ctypes.c_int,                                        # psy_rdoq_fx
         ]
         _lib = lib
         return _lib
@@ -169,7 +170,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     weights=None, col=None, col_from_l0=1, nr=None,
                     pre=None, ctb_begin=0, ctb_count=-1,
                     collect=None, scaling_lists=False, tskip=False,
-                    wpp=False):
+                    wpp=False, psy_rdoq_fx=0):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -324,7 +325,8 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         collect_only, *exp_ptrs, int(scaling_lists), int(tskip),
         rc_ptr, int(wpp),
         ss_sizes.ctypes.data if ss_sizes is not None else None,
-        len(ss_sizes) if ss_sizes is not None else 0)
+        len(ss_sizes) if ss_sizes is not None else 0,
+        int(psy_rdoq_fx))
     if n < 0:
         return None
     res = (out[:n].tobytes(),

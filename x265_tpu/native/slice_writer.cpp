@@ -437,9 +437,12 @@ static void dequantize(const int32_t* lvl, int n, int qp, int bd, int32_t* out,
 // K: optional [8] Q15 fractional-bit constants (the estBit analog;
 // hevc/rate_model.py derives them from the slice-initial context
 // states and the python/device paths use the same shared formula).
+// psy_fx: Q8 psy-rdoq strength (quant.cpp:610 usePsyMask analog, the
+// caller gates it to luma): AC coefficients earn an energy credit
+// (psy_fx * 32 * |dequant(l)|) >> 8 favouring the larger level.
 static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
                         int bd, const int32_t* m = nullptr,
-                        const int32_t* K = nullptr) {
+                        const int32_t* K = nullptr, int psy_fx = 0) {
   int log2 = 0; while ((1 << log2) < n) log2++;
   int per = qp / 6, rem = qp % 6;
   int bd_shift = bd + log2 - 5;
@@ -494,6 +497,7 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
     for (int64_t l : cands) {
       int64_t e = c - s * deq(l, i);
       int64_t cost = 32 * e * e + rcost(l);
+      if (psy_fx && i) cost -= ((int64_t)psy_fx * 32 * deq(l, i)) >> 8;
       if (cost < best) { best = cost; bl = l; }
     }
     lvl[i] = (int32_t)(s * bl);
@@ -514,6 +518,8 @@ static void rdoq_adjust(const int32_t* coeff, int32_t* lvl, int n, int qp,
           d_now += e * e;
           d_zero += c * c;
           r_now += rcost(l);
+          if (psy_fx && idx) r_now -= ((int64_t)psy_fx * 32
+                                       * deq(l, idx)) >> 8;
           if (l) any = true;
         }
       int64_t save = K ? r_now + ((lam_fx * (int64_t)(K[7] - K[6])) >> 15)
@@ -872,6 +878,7 @@ struct Writer {
   int width, height, ctb_log2, min_cb_log2;
   int qp, bd;
   int rdoq_level = 0;
+  int psy_fx = 0;              // Q8 psy-rdoq strength (luma RDOQ only)
   // estBit fractional-bit RDOQ constants ([16]: luma row then chroma
   // row; null = static bin-count model). See hevc/rate_model.py.
   const int32_t* rate_consts = nullptr;
@@ -997,7 +1004,8 @@ struct Writer {
   // Returns the flag (0/1) and overwrites lvl/rres when skip wins.
   int try_tskip(const int32_t* resi, int qpc, bool is_intra,
                 const int32_t* mtx, const uint16_t* scan,
-                int32_t* lvl, int32_t* rres, const int32_t* K = nullptr) {
+                int32_t* lvl, int32_t* rres, const int32_t* K = nullptr,
+                int psy = 0) {
     int32_t cfs[16], lvs[16], rrs[16];
     int tsh = 13 - bd;
     for (int i = 0; i < 16; i++) cfs[i] = resi[i] << tsh;
@@ -1005,7 +1013,7 @@ struct Writer {
     bool nz = false;
     for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
     if (rdoq_level > 0 && nz) {
-      rdoq_adjust(cfs, lvs, 4, qpc, bd, mtx, K);
+      rdoq_adjust(cfs, lvs, 4, qpc, bd, mtx, K, psy);
       nz = false;
       for (int i = 0; i < 16; i++) if (lvs[i]) { nz = true; break; }
     }
@@ -1620,7 +1628,8 @@ struct Writer {
     const int32_t* mtx = sm(n, false);
     quantize(cf.data(), n, qpc, bd, lvl, /*is_intra=*/false, mtx);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl, n, qpc, bd, mtx, rk(pl));
+      rdoq_adjust(cf.data(), lvl, n, qpc, bd, mtx, rk(pl),
+                  pl == 0 ? psy_fx : 0);
     bool nz = false;
     for (int i = 0; i < n * n; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -1638,7 +1647,8 @@ struct Writer {
     ts_flag[pl] = -1;
     if (n == 4 && tskip && !lossless) {
       ts_flag[pl] = try_tskip(resi.data(), qpc, false, mtx,
-                              scan_tab(2, 0), lvl, rres, rk(pl));
+                              scan_tab(2, 0), lvl, rres, rk(pl),
+                              pl == 0 ? psy_fx : 0);
       nz = false;
       for (int i = 0; i < 16; i++) if (lvl[i]) { nz = true; break; }
     }
@@ -2021,7 +2031,8 @@ struct Writer {
     const int32_t* mtx = sm(nt, true);
     quantize(cf.data(), nt, qpc, bd, lvl.data(), true, mtx);
     if (rdoq_level > 0)
-      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd, mtx, rk(plane));
+      rdoq_adjust(cf.data(), lvl.data(), nt, qpc, bd, mtx, rk(plane),
+                  plane == 0 ? psy_fx : 0);
     bool nz = false;
     for (int i = 0; i < nt * nt; i++) if (lvl[i]) { nz = true; break; }
     if (nz && sign_hiding) {
@@ -2041,7 +2052,7 @@ struct Writer {
       int si = scan_index(2, plane == 0 ? 0 : 1, mode, true);
       ts_flag[plane] = try_tskip(resi.data(), qpc, true, mtx,
                                  scan_tab(2, si), lvl.data(), rres.data(),
-                                 rk(plane));
+                                 rk(plane), plane == 0 ? psy_fx : 0);
       nz = false;
       for (int i = 0; i < 16; i++) if (lvl.data()[i]) { nz = true; break; }
     }
@@ -2175,7 +2186,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     int scaling_lists, int tskip_enabled,
                     const int32_t* rate_consts,
                     int wpp, int32_t* substream_sizes_out,
-                    int substream_cap) {
+                    int substream_cap, int psy_rdoq_fx) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -2222,6 +2233,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.wpp = wpp;
   w.ss_sizes = substream_sizes_out;
   w.ss_cap = substream_cap;
+  w.psy_fx = psy_rdoq_fx;
   if (collect_only) w.cab.enabled = false;
   if (exp_lvl_y) {
     w.exp_lvl_y = exp_lvl_y; w.exp_lvl_cb = exp_lvl_cb;

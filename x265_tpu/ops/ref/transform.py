@@ -203,7 +203,8 @@ def forward_transform_skip(resi: np.ndarray, bit_depth: int = 8) -> np.ndarray:
 
 def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
          lam: float = None, bit_depth: int = 8,
-         m: np.ndarray = None, consts: np.ndarray = None) -> np.ndarray:
+         m: np.ndarray = None, consts: np.ndarray = None,
+         psy_fx: int = 0) -> np.ndarray:
     """Rate-distortion optimized quantization, simplified (x265 analog:
     Quant::rdoQuant, quant.cpp:610; this keeps the two decisions that
     carry most of the gain — per-coefficient level choice among
@@ -212,6 +213,12 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
     consts: [8] Q15 fractional-bit constants (hevc.rate_model, the
     estBit analog) for the TB's plane; None falls back to the static
     bin-count model.
+
+    psy_fx: Q8 psy-rdoq strength (int(psy_rdoq * 256)); when nonzero,
+    every AC coefficient earns an energy credit favouring the larger
+    level — the simplified analog of x265's rdoQuant psy path
+    (quant.cpp:610 usePsyMask, luma only; caller gates the plane):
+        credit(l) = (psy_fx * 32 * |dequant(l)|) >> 8
 
     All-integer cost arithmetic with the shared fixed-point lambda table
     (tables.RDOQ_LAM32), so the native finalizer, this oracle and the TPU
@@ -264,10 +271,20 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
             r += np.where(m_, 2 + 2 * lg, 0)
             return lam_fx * r
 
+    if psy_fx:
+        ac = np.ones((n, n), bool)
+        ac[0, 0] = False          # DC keeps the plain RD cost
+
+        def credit(l, s_=None):
+            return np.where(ac, (psy_fx * 32 * deq(l, s_)) >> 8, 0)
+    else:
+        def credit(l, s_=None):
+            return 0
+
     best_l = l0.copy()
-    best_cost = dist32(l0) + rcost(l0)
+    best_cost = dist32(l0) + rcost(l0) - credit(l0)
     for cand in (np.maximum(l0 - 1, 0), np.zeros_like(l0)):
-        cost = dist32(cand) + rcost(cand)
+        cost = dist32(cand) + rcost(cand) - credit(cand)
         take = cost < best_cost
         best_cost = np.where(take, cost, best_cost)
         best_l = np.where(take, cand, best_l)
@@ -285,6 +302,11 @@ def rdoq(coeff: np.ndarray, level: np.ndarray, qp: int, log2: int,
     r_now = rcost(cg_l)
     dd = (d_zero - d_now).sum(axis=(1, 3))
     rr = r_now.sum(axis=(1, 3))
+    if psy_fx:
+        # cg_l is the (n//4,4,n//4,4) view of |out|; restore (n,n)
+        # positions so the DC mask and per-position scale line up
+        cr = credit(cg_l.reshape(n, n)).reshape(n // 4, 4, n // 4, 4)
+        rr = rr - cr.sum(axis=(1, 3))
     if consts is not None:
         save = rr + ((lam_fx * cg_gain) >> 15)
     else:
