@@ -493,10 +493,8 @@ class Encoder:
                   if qp_forced is not None
                   else self.rc.start(SLICE_I, cost))
             au = self._encode_intra_frame(*frame, decisions, qp=qp)
-            rq = self.rc.reencode_qp(len(au) * 8)
-            if rq is not None:        # VBV emergency re-encode (see P path)
-                self.frame_stats.pop()
-                au = self._encode_intra_frame(*frame, decisions, qp=rq)
+            au = self._vbv_reencode(au, lambda rq: self._encode_intra_frame(
+                *frame, decisions, qp=rq))
             self.rc.end(len(au) * 8)
             out += au
             self.anchor = (0, self._last_recon)
@@ -616,6 +614,11 @@ class Encoder:
             au = self._encode_intra_frame(*cra_frame, qp=qp, poc=cra_poc,
                                           nal_type=NAL_CRA,
                                           keep_pocs=keep)
+            # VBV emergency re-encode: scene-cut CRAs are exactly the
+            # pictures that blow a tight buffer (see the IDR/P paths)
+            au = self._vbv_reencode(au, lambda rq: self._encode_intra_frame(
+                *cra_frame, qp=rq, poc=cra_poc, nal_type=NAL_CRA,
+                keep_pocs=keep))
             self.rc.end(len(au) * 8)
             out = au
             new_anchor = (cra_poc, self._last_recon)
@@ -688,14 +691,11 @@ class Encoder:
                 self._cutree[anchor_poc] = ct2
         out = self._encode_p_frame(anchor_frame, anchor_poc,
                                    list(self.anchors), qp)
-        # VBV emergency: one conservative re-encode when the coded frame
+        # VBV emergency: band-graded re-encode(s) when the coded frame
         # would underflow the CPB (the whole-frame analog of x265's row
         # re-encode, ratecontrol.cpp:2526)
-        rq = self.rc.reencode_qp(len(out) * 8)
-        if rq is not None:
-            self.frame_stats.pop()
-            out = self._encode_p_frame(anchor_frame, anchor_poc,
-                                       list(self.anchors), rq)
+        out = self._vbv_reencode(out, lambda rq: self._encode_p_frame(
+            anchor_frame, anchor_poc, list(self.anchors), rq))
         self.rc.end(len(out) * 8)
         new_anchor = (anchor_poc, self._last_recon)
         self.anchors.insert(0, new_anchor)
@@ -799,6 +799,20 @@ class Encoder:
         while pipe:
             drain_one()
         return b"".join(out)
+
+    def _vbv_reencode(self, au, rebuild):
+        """Bounded VBV emergency loop: while the coded picture would
+        underflow the CPB, re-encode at the RC's escalated QP (up to 3
+        passes — one step rarely suffices on a scene-cut keyframe under
+        a sub-second buffer). x265 analog: rowVbvRateControl's
+        continuous mid-frame escalation, ratecontrol.cpp:2526."""
+        for _ in range(3):
+            rq = self.rc.reencode_qp(len(au) * 8)
+            if rq is None:
+                return au
+            self.frame_stats.pop()
+            au = rebuild(rq)
+        return au
 
     def _slice_qp(self, slice_type: int) -> int:
         """CQP per-type QP ladder (x265 ip/pb factor 1.4/1.3 analog,
@@ -1370,6 +1384,18 @@ class Encoder:
             ci = self._ctu_info.pop(self._gop_base + poc, None)
             if ci is not None and np.shape(ci) == off.shape:
                 off = off + np.asarray(ci, dtype=np.int32)
+            grad = getattr(self.rc, "band_grad_pending", 0)
+            if grad:
+                # band-graded VBV emergency re-encode (rowVbvRateControl
+                # shape, ratecontrol.cpp:2526): sh.qp already carries the
+                # uniform +grad emergency; re-spread it so early CTB rows
+                # keep ~half the delta and late rows absorb ~1.5x
+                self.rc.band_grad_pending = 0
+                rows = off.shape[0]
+                ramp = (np.round(np.linspace(-grad / 2.0, grad / 2.0,
+                                             max(rows, 2)))
+                        .astype(np.int32)[:rows])
+                off = off + ramp[:, None]
             decisions.qp_map = np.clip(sh.qp + off, 0, 51).astype(np.int32)
         self._last_analysis = decisions
         if self._awriter is not None:
@@ -2095,9 +2121,10 @@ class Encoder:
             from x265_tpu.models.rdo import rd_adopt16
             cands = dominant_tuples(dir_blk, mv2, best_ref, inter_blk)
             if cands:
-                dir_blk, mv2, best_ref, _ad = rd_adopt16(
-                    frame, rd_refs, [], inter_blk, mv2, dir_blk,
-                    best_ref, cands, qpv, p, mesh=self.mesh)
+                with scope("rd_adopt"):
+                    dir_blk, mv2, best_ref, _ad = rd_adopt16(
+                        frame, rd_refs, [], inter_blk, mv2, dir_blk,
+                        best_ref, cands, qpv, p, mesh=self.mesh)
         elif p.rd_level >= 2:
             bits_now = ((best_cost - satd16) / max(lam, 1e-3) + 4.0)
             dir_blk, mv2, best_ref, satd16 = self._adopt_coherent(
@@ -2110,8 +2137,9 @@ class Encoder:
         if p.rd_level >= 2:      # the quadtree dial (x265 --rd)
             rd_ctx = (None if rd_refs is None
                       else (frame, rd_refs, []))
-            self._merge_cu32(dec, satd16, qpv, rd_ctx)
-            self._merge_cu64(dec, satd16, qpv, rd_ctx)
+            with scope("rd_promote"):
+                self._merge_cu32(dec, satd16, qpv, rd_ctx)
+                self._merge_cu64(dec, satd16, qpv, rd_ctx)
         self._apply_intra_refresh(dec)
         return dec
 
@@ -2199,10 +2227,12 @@ class Encoder:
             pads = ([self._pad_ref(ref_tuples[0])],
                     [self._pad_ref(ref_tuples[1])])
             if cands:
-                dir_blk, mv2, _rb, _ad = rd_adopt16(
-                    frame, pads[0], pads[1], inter_blk, mv2, dir_blk,
-                    ref_blk, cands, qp if qp is not None else 32, p,
-                    mesh=self.mesh)
+                from x265_tpu.utils.profiling import scope as _sc
+                with _sc("rd_adopt"):
+                    dir_blk, mv2, _rb, _ad = rd_adopt16(
+                        frame, pads[0], pads[1], inter_blk, mv2, dir_blk,
+                        ref_blk, cands, qp if qp is not None else 32, p,
+                        mesh=self.mesh)
         elif (p.rd_level >= 2 and satd is not None and y is not None
                 and refs is not None):
             satd_now = np.where(
@@ -2225,8 +2255,10 @@ class Encoder:
             rd_ctx = None
             if pads is not None and frame is not None:
                 rd_ctx = (frame, pads[0], pads[1])
-            self._merge_cu32(dec, satd16, qp, rd_ctx)
-            self._merge_cu64(dec, satd16, qp, rd_ctx)
+            from x265_tpu.utils.profiling import scope as _sc
+            with _sc("rd_promote"):
+                self._merge_cu32(dec, satd16, qp, rd_ctx)
+                self._merge_cu64(dec, satd16, qp, rd_ctx)
         return dec
 
     def _precompute_b_batch(self, items, rec0, rec1):

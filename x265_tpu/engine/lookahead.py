@@ -52,18 +52,27 @@ def _lowres_costs_body(low, prev, R):
     prev_pad = jnp.pad(prev, R, mode="edge")
     n = 2 * R + 1
 
-    def body(carry, d):
+    # scan over dy only; the dx row is evaluated as one fused stack —
+    # 17 big well-utilized steps instead of 289 tiny serial ones (the
+    # d-order first-minimum tie-break is preserved: argmin picks the
+    # first dx within a row, strict < keeps earlier rows)
+    def body(carry, dy):
         best, bidx = carry
-        dy = d // n
-        dx = d % n
-        sh = jax.lax.dynamic_slice(prev_pad, (dy, dx), (H, W))
-        sad = jnp.abs(low - sh).reshape(nby, 8, nbx, 8).sum(axis=(1, 3))
-        upd = sad < best
-        return (jnp.where(upd, sad, best), jnp.where(upd, d, bidx)), None
+        rows = jax.lax.dynamic_slice(prev_pad, (dy, 0), (H, W + 2 * R))
+        sads = jnp.stack([
+            (jnp.abs(low - jax.lax.slice(rows, (0, dx), (H, dx + W)))
+             .reshape(nby, 8, nbx, 8).sum(axis=(1, 3)))
+            for dx in range(n)])                       # [n, nby, nbx]
+        k = jnp.argmin(sads, axis=0)
+        smin = jnp.min(sads, axis=0)
+        didx = dy * n + k
+        upd = smin < best
+        return (jnp.where(upd, smin, best),
+                jnp.where(upd, didx, bidx)), None
 
     init = (jnp.full((nby, nbx), 1 << 30, jnp.int32),
             jnp.zeros((nby, nbx), jnp.int32))
-    (mcost, midx), _ = jax.lax.scan(body, init, jnp.arange(n * n))
+    (mcost, midx), _ = jax.lax.scan(body, init, jnp.arange(n))
     mvx = (midx % n) - R
     mvy = (midx // n) - R
     return (icost.astype(jnp.int32), mcost.astype(jnp.int32),
@@ -79,32 +88,7 @@ def _lowres_costs(low: jnp.ndarray, prev: jnp.ndarray, R: int = 4):
     (estimateCUCost's hex search collapsed to a dense sweep); best_mv is
     the winning displacement (cuTree propagation needs it).
     """
-    H, W = low.shape
-    nby, nbx = H // 8, W // 8
-    blocks = low.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
-    dc = blocks.mean(axis=(2, 3), keepdims=True).astype(jnp.int32)
-    flat = (blocks - dc).reshape(-1, 8, 8)
-    icost = satd8_batched(flat, jnp.zeros_like(flat)).reshape(nby, nbx)
-
-    prev_pad = jnp.pad(prev, R, mode="edge")
-    n = 2 * R + 1
-
-    def body(carry, d):
-        best, bidx = carry
-        dy = d // n
-        dx = d % n
-        sh = jax.lax.dynamic_slice(prev_pad, (dy, dx), (H, W))
-        sad = jnp.abs(low - sh).reshape(nby, 8, nbx, 8).sum(axis=(1, 3))
-        upd = sad < best
-        return (jnp.where(upd, sad, best), jnp.where(upd, d, bidx)), None
-
-    init = (jnp.full((nby, nbx), 1 << 30, jnp.int32),
-            jnp.zeros((nby, nbx), jnp.int32))
-    (mcost, midx), _ = jax.lax.scan(body, init, jnp.arange(n * n))
-    mvx = (midx % n) - R
-    mvy = (midx // n) - R
-    return (icost.astype(jnp.int32), mcost.astype(jnp.int32),
-            jnp.stack([mvx, mvy], axis=-1).astype(jnp.int32))
+    return _lowres_costs_body(low, prev, R)
 
 
 class Lookahead:
@@ -220,27 +204,52 @@ def _batched_pair_fn(n_pairs: int):
     return jax.jit(jax.vmap(one))
 
 
+from collections import OrderedDict
+
+# pair-cost memo across slicetype_split calls: the b-adapt window
+# SLIDES one mini-GOP at a time, so ~3/4 of each window's (cur, ref)
+# pairs were already costed last call. Keyed by plane identity with the
+# arrays pinned (a recycled id cannot alias a dead frame).
+_PAIR_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_PAIR_CACHE_MAX = 512
+
+
 def batched_pair_costs(pairs):
     """pairs: list of (cur_low, ref_low) numpy planes (same shape).
-    Returns list of (pcost, icost) floats. The batch is padded to a
-    power-of-2 bucket so XLA compiles a handful of shapes, not one per
-    window size."""
+    Returns the per-pair min(icost, 2*mcost) block maps. Only pairs not
+    in the sliding-window memo dispatch; the batch pads to a power-of-2
+    bucket so XLA compiles a handful of shapes, not one per window."""
     if not pairs:
         return []
-    n = len(pairs)
-    # floor at 128: a steady-state b-adapt window needs ~90-100 pairs,
-    # and the shrinking windows at flush would otherwise walk through
-    # several pow-2 buckets — each a fresh 20-40s compile on the
-    # tunneled TPU (the round-3 bench showed this INSIDE the timed run)
-    bucket = 128
-    while bucket < n:
-        bucket <<= 1
-    pad = bucket - n
-    curs = np.stack([p[0] for p in pairs] + [pairs[0][0]] * pad)
-    refs = np.stack([p[1] for p in pairs] + [pairs[0][1]] * pad)
-    blk = np.asarray(_batched_pair_fn(bucket)(jnp.asarray(curs),
-                                              jnp.asarray(refs)))
-    return [blk[i] for i in range(n)]
+    out = [None] * len(pairs)
+    todo = []
+    for i, (cur, ref) in enumerate(pairs):
+        key = (id(cur), id(ref))
+        ent = _PAIR_CACHE.get(key)
+        if ent is not None and ent[0] is cur and ent[1] is ref:
+            _PAIR_CACHE.move_to_end(key)
+            out[i] = ent[2]
+        else:
+            todo.append(i)
+    if todo:
+        n = len(todo)
+        bucket = 16
+        while bucket < n:
+            bucket <<= 1
+        pad = bucket - n
+        curs = np.stack([pairs[i][0] for i in todo]
+                        + [pairs[todo[0]][0]] * pad)
+        refs = np.stack([pairs[i][1] for i in todo]
+                        + [pairs[todo[0]][1]] * pad)
+        blk = np.asarray(_batched_pair_fn(bucket)(jnp.asarray(curs),
+                                                  jnp.asarray(refs)))
+        for k, i in enumerate(todo):
+            out[i] = blk[k]
+            cur, ref = pairs[i]
+            _PAIR_CACHE[(id(cur), id(ref))] = (cur, ref, blk[k])
+        while len(_PAIR_CACHE) > _PAIR_CACHE_MAX:
+            _PAIR_CACHE.popitem(last=False)
+    return out
 
 
 def slicetype_split(anchor_low, queue_lows, max_bs=4,

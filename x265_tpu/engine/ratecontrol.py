@@ -113,6 +113,7 @@ class RateControl:
                      P_SLICE: _Predictor(coeff=0.2),
                      B_SLICE: _Predictor(coeff=0.15)}
         self._pending = None
+        self.band_grad_pending = 0
         # --- two-pass (x265 --pass; initPass2 ratecontrol.cpp:994) ---
         self.pass_num = p.pass_num
         self.stats_file = p.stats_file
@@ -229,6 +230,7 @@ class RateControl:
     def start(self, slice_type: int, satd_cost: float,
               frame_idx=None) -> int:
         """Pick the slice QP for the next frame in encode order."""
+        self.band_grad_pending = 0    # any unconsumed emergency gradient
         zone = self.zone_for(frame_idx)
         if zone is not None and "q" in zone:
             qp = max(0, min(51, zone["q"]))
@@ -239,6 +241,15 @@ class RateControl:
             idx = self.pass2_idx
             self.pass2_idx += 1
             qscale = self.pass2_qs[idx]
+            # systematic-model-bias correction: the linear bits model
+            # (bits ~ cplx/q) under-predicts by a roughly constant
+            # factor; measure actual/planned over the coded prefix and
+            # scale the remaining plan immediately (x264's 2-pass
+            # rate_factor retuning) — the additive overflow term below
+            # only catches up late in short encodes
+            if idx >= 4 and self.pass2_cum[idx] > 0:
+                bias = self.total_bits / self.pass2_cum[idx]
+                qscale *= min(1.5, max(0.67, bias))
             # closed-loop overflow compensation: compare actual coded
             # bits against the plan's cumulative total and correct the
             # remaining frames (x264 2-pass abr buffer; bounded step)
@@ -401,6 +412,13 @@ class RateControl:
         cur = int(round(qscale2qp(qscale)))
         if qp <= cur:
             return None
+        # band-graded emergency (the x265 rowVbvRateControl shape,
+        # ratecontrol.cpp:2526: QP climbs as the buffer deteriorates
+        # through the frame): the re-encode's CTB rows ramp from about
+        # half the delta at the top to ~1.5x at the bottom, averaging
+        # the uniform emergency QP — early rows keep quality, late rows
+        # absorb the emergency. Consumed by the encoder's qp_map build.
+        self.band_grad_pending = qp - cur
         # keep the model pointed at the re-encode operating point
         self._pending = (self._pending[0], self._pending[1],
                          qp2qscale(qp)) + tuple(self._pending[3:])
