@@ -211,6 +211,7 @@ from collections import OrderedDict
 # pairs were already costed last call. Keyed by plane identity with the
 # arrays pinned (a recycled id cannot alias a dead frame).
 _PAIR_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_BCOST_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 _PAIR_CACHE_MAX = 512
 
 
@@ -286,14 +287,32 @@ def slicetype_split(anchor_low, queue_lows, max_bs=4,
     def blk(cur, ref):
         return costs[idx[(cur, ref)]]
 
+    sums = {}
+
+    def psum(cur, ref):
+        key = (cur, ref)
+        if key not in sums:
+            sums[key] = float(blk(cur, ref).sum())
+        return sums[key]
+
     def bcost(m, a, j):
         """Per-block B estimate: best of fwd, bwd and the bi average
         (averaging two decent predictions beats either — the
         0.72 factor is the noise-variance gain of the mean)."""
-        f = blk(m, a).astype(np.float64)
-        b = blk(m, j).astype(np.float64)
-        return float(np.minimum(np.minimum(f, b),
-                                0.36 * (f + b)).sum())
+        f = blk(m, a)
+        b = blk(m, j)
+        key = (id(f), id(b))
+        ent = _BCOST_CACHE.get(key)
+        if ent is not None and ent[0] is f and ent[1] is b:
+            _BCOST_CACHE.move_to_end(key)
+            return ent[2]
+        ff = f.astype(np.float64)
+        bb = b.astype(np.float64)
+        v = float(np.minimum(np.minimum(ff, bb), 0.36 * (ff + bb)).sum())
+        _BCOST_CACHE[key] = (f, b, v)
+        while len(_BCOST_CACHE) > _PAIR_CACHE_MAX:
+            _BCOST_CACHE.popitem(last=False)
+        return v
 
     INF = float("inf")
     dp = [INF] * (n + 1)
@@ -303,7 +322,7 @@ def slicetype_split(anchor_low, queue_lows, max_bs=4,
         for a in range(max(0, j - maxlen), j):
             if dp[a] == INF:
                 continue
-            total = dp[a] + float(blk(j, a).sum())   # the anchor's P cost
+            total = dp[a] + psum(j, a)               # the anchor's P cost
             for m in range(a + 1, j):                # its B frames
                 total += b_discount * bcost(m, a, j)
             if total < dp[j]:

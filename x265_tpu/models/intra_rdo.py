@@ -267,10 +267,11 @@ def rd_intra_promote32(frame, dec, qp, p, min_groups=1, init_type=0):
     from jax import enable_x64
     from x265_tpu.hevc.rate_model import rdoq_rate_consts
     with enable_x64():
+        from x265_tpu.utils import devcache
         c1, mode1, c4 = _intra32_costs(
-            jnp.asarray(np.asarray(frame[0], np.int32)),
-            jnp.asarray(np.asarray(frame[1], np.int32)),
-            jnp.asarray(np.asarray(frame[2], np.int32)),
+            devcache.src_plane(np.asarray(frame[0]), p.bit_depth),
+            devcache.src_plane(np.asarray(frame[1]), p.bit_depth),
+            devcache.src_plane(np.asarray(frame[2]), p.bit_depth),
             jnp.asarray(padn(xy)),
             jnp.asarray(padn(m4, 1)),
             jnp.asarray(padn(mbits4, 1.0)),

@@ -268,14 +268,24 @@ def _plane_stacks(src_yuv, refs0_padded, refs1_padded, p, pad):
     """Device stacks for the RD dispatches: (src_y, src_cb, src_cr) and
     [r, Hp, Wp] per-plane reference stacks for each list. refs*_padded:
     lists of (y, cb, cr) edge-padded planes (pad luma, pad/2 chroma)."""
+    from x265_tpu.utils import devcache
+
     def stack(lst, pl):
         if not lst:
             sh_ = ((p.height + 2 * pad, p.width + 2 * pad) if pl == 0
                    else (p.height // 2 + pad, p.width // 2 + pad))
-            return jnp.zeros((1,) + sh_, jnp.int16)
-        return jnp.stack([jnp.asarray(r[pl]) for r in lst])
+            return devcache.get_or(("rdz", pl, sh_), _plane_stacks,
+                                   lambda: jnp.zeros((1,) + sh_,
+                                                     jnp.int16))
+        # identity-keyed: anchors serve several frames and the three RD
+        # dispatches per frame reuse one upload instead of three
+        key = ("rdstack", pl) + tuple(id(r[pl]) for r in lst)
+        return devcache.get_or(
+            key, lst[0][pl],
+            lambda: jnp.stack([jnp.asarray(r[pl]) for r in lst]))
 
-    srcs = tuple(jnp.asarray(np.asarray(pl_arr, np.int32))
+    # thin-wire cached source planes (the jitted bodies gather + upcast)
+    srcs = tuple(devcache.src_plane(np.asarray(pl_arr), p.bit_depth)
                  for pl_arr in src_yuv)
     r0s = tuple(stack(refs0_padded, pl) for pl in range(3))
     r1s = tuple(stack(refs1_padded, pl) for pl in range(3))
