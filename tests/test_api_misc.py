@@ -143,14 +143,14 @@ def test_option_surface_honored_or_coerced():
     p = check_params(p)
     assert not p.rect and not p.amp
     assert p.tu_inter_depth == 1 and p.tu_intra_depth == 1
-    assert not p.wpp and p.tiles == (1, 1)
+    assert p.wpp and p.tiles == (1, 1)   # wpp honored since r4 (b6a8a87)
     # psy-rd is honored now (models/rdo.py), not coerced
     p2 = check_params(Param(width=64, height=64, psy_rd=3.0))
     assert p2.psy_rd == 3.0
     # the documented coerce list matches what check_params forces
     assert set(COERCED_OPTIONS) == {
         "rect", "amp", "tu_inter_depth", "tu_intra_depth",
-        "wpp", "tiles", "weightb", "constrained_intra", "cu_lossless",
+        "tiles", "weightb", "constrained_intra", "cu_lossless",
         "ssim_rd", "lowpass_dct", "dynamic_rd", "aq_motion", "hevc_aq",
         "interlace", "single_sei", "opt_qp_pps", "temporal_layers",
         "uhd_bd", "sao_non_deblock", "selective_sao", "vbv_end",

@@ -1204,7 +1204,8 @@ class Encoder:
         if self.mesh is not None:
             from x265_tpu.parallel.tiles import mesh_intra_decisions
             return mesh_intra_decisions(self.mesh, y, p.width, p.height,
-                                        cu_log2, p.fast_intra)[0]
+                                        cu_log2, p.fast_intra,
+                                        psy=float(p.psy_rd))[0]
         if self.use_tpu_analysis:
             from x265_tpu.models.intra_frame import decide_intra_frame_tpu
             return decide_intra_frame_tpu(
@@ -2052,7 +2053,8 @@ class Encoder:
         if self.mesh is not None:
             from x265_tpu.parallel.tiles import mesh_intra_decisions
             return mesh_intra_decisions(self.mesh, y, p.width, p.height,
-                                        cu_log2, p.fast_intra)
+                                        cu_log2, p.fast_intra,
+                                        psy=float(p.psy_rd))
         if self.use_tpu_analysis:
             from x265_tpu.models.intra_frame import (
                 decide_intra_frame_tpu_with_cost)
@@ -2160,6 +2162,12 @@ class Encoder:
         x0 = col * p.ctu_size
         x1 = min(p.width, x0 + p.ctu_size)
         dec.inter8[:, x0 >> 3:x1 >> 3] = False
+        # a CU forced intra cannot stay 64x64: the intra transform tree
+        # is TU==CU (max TB 32, ctu_writer._transform_tree_leaf), so
+        # demote promoted 64-CUs in the refresh column to four 32s (the
+        # column is whole CTUs wide, so the demotion never splits a CU)
+        colmap = dec.cu_log2_map[:, x0 >> 3:x1 >> 3]
+        colmap[colmap == 6] = 5
 
     def _b_decisions(self, y, ref0_y, ref1_y, qp=None, frame=None,
                      ref_tuples=None) -> FrameDecisions:

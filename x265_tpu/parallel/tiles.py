@@ -108,14 +108,17 @@ def sharded_frame_analysis(mesh: Mesh, y: np.ndarray, ref: np.ndarray,
 
 
 def mesh_intra_decisions(mesh: Mesh, y: np.ndarray, width: int, height: int,
-                         cu_log2: int = 4, fast: bool = False):
+                         cu_log2: int = 4, fast: bool = False,
+                         psy: float = 0.0):
     """Whole-frame intra analysis with the input sharded in CTU-row bands
     over the mesh — XLA GSPMD partitions the SAME jitted graph the
     single-chip path runs, so the decisions are identical by construction
     (blocks are neighbor-free; SURVEY §7.1 "batch over CTUs").
 
     Returns (FrameDecisions, icost grid) like
-    models.intra_frame.decide_intra_frame_tpu_with_cost.
+    models.intra_frame.decide_intra_frame_tpu_with_cost. `psy`/`fast` must
+    match the single-device call exactly — a mesh must never change the
+    stream (dryrun_multichip byte-equality gate).
     """
     from x265_tpu.models.intra_frame import (
         _build_decisions, frame_intra_analysis)
@@ -127,8 +130,11 @@ def mesh_intra_decisions(mesh: Mesh, y: np.ndarray, width: int, height: int,
                 ((0, ph - height), (0, pw - width)), mode="edge")
     sharding = NamedSharding(mesh, P("tile", None))
     y_dev = jax.device_put(jnp.asarray(yp), sharding)
-    modes, cost = frame_intra_analysis(y_dev, S=S, fast=fast)
+    modes, cost = frame_intra_analysis(y_dev, S=S, fast=fast,
+                                       psy=float(psy))
     modes = np.asarray(modes)
     dec = _build_decisions(modes, cu_log2, width, height, ph, pw)
-    icost = np.asarray(cost).reshape(ph // S, pw // S)
+    # crop to the single-device grid shape (band padding may add rows)
+    ph1 = -(-height // S) * S
+    icost = np.asarray(cost).reshape(ph // S, pw // S)[:ph1 // S]
     return dec, icost
