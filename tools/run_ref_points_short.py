@@ -27,7 +27,7 @@ CRFS = [22, 27, 32, 37]
 FPS = 25.0
 # (clip, prefix length) pairs the time-boxed bench encodes
 BD_PREFIX = [("pan720", 16)]
-PRIMARY_PREFIX = [("crowd1080", 12)]
+PRIMARY_PREFIX = [("crowd1080", 32)]   # full clip (VERDICT r4 weak #5)
 
 
 def write_prefix(name: str, n: int, path: str):

@@ -14,6 +14,7 @@ import numpy as np
 from x265_tpu.api.params import Param, check_params
 from x265_tpu.engine.ctu_writer import FrameDecisions, FrameSyntaxWriter
 from x265_tpu.engine.mode_decision import decide_intra_frame
+from x265_tpu.engine.planes import FramePlanes, MELuma, is_planes
 from x265_tpu.hevc.bitstream import (
     annexb, make_nal, NAL_IDR_W_RADL, NAL_TRAIL_N, NAL_TRAIL_R,
     NAL_VPS, NAL_SPS, NAL_PPS,
@@ -1132,7 +1133,7 @@ class Encoder:
         return out
 
     def _deblock_intra_recon(self, recon, decisions, qp, sao_src=None,
-                             sync=True):
+                             sync=True, keep_device=False):
         """Deblock the recon returned by the native intra finalizer.
 
         All-intra ⇒ bS=2 at every CU(==TU/PU) boundary on the 8-grid
@@ -1158,13 +1159,16 @@ class Encoder:
         mv4 = np.zeros((h4, w4, 2, 2), dtype=np.int32)
         refpoc4 = np.full((h4, w4, 2), NOPOC, dtype=np.int64)
         return self._run_loopfilter(recon, st, is_intra4, mv4, refpoc4,
-                                    qp, sao_src, sync=sync)
+                                    qp, sao_src, sync=sync,
+                                    keep_device=keep_device)
 
     def _run_loopfilter(self, recon, st, is_intra4, mv4, refpoc4, qp,
-                        sao_src, sync=True):
+                        sao_src, sync=True, keep_device=False):
         """Dispatch the deblock (+fused SAO stats) on the device, or the
         numpy reference when use_tpu_loopfilter is off (differential
-        testing). sync=False returns a finisher (frame pipeline)."""
+        testing). sync=False returns a finisher (frame pipeline).
+        keep_device: the filtered planes stay on device (only SAO stats
+        cross the wire); the caller wraps them in FramePlanes."""
         p = self.param
         if getattr(self, "use_tpu_loopfilter", True):
             from x265_tpu.models.loopfilter import deblock_frame_device
@@ -1175,12 +1179,15 @@ class Encoder:
                     recon, st, is_intra4, mv4, refpoc4, qp,
                     p.deblock_beta_offset, p.deblock_tc_offset,
                     p.cb_qp_offset, p.cr_qp_offset, p.bit_depth,
-                    sao_src=sao_src, ctb_log2=p.ctb_log2, sync=False)
+                    sao_src=sao_src, ctb_log2=p.ctb_log2, sync=False,
+                    keep_device=keep_device)
 
             def finish():
                 with scope("loopfilter"):
                     out = fin()
-                if sao_src is None:
+                if sao_src is None or keep_device:
+                    # keep_device already returns ((y,cb,cr), stats) or
+                    # the bare device planes
                     return out
                 return out[:3], out[3]
             return finish if not sync else finish()
@@ -1244,16 +1251,15 @@ class Encoder:
             # fade analysis vs the nearest ref (weightAnalyse analog,
             # weightPrediction.cpp:480); weights ride the slice header
             from x265_tpu.engine.weightp import (
-                DENOM, analyze_slice_weights, weight_plane)
+                DENOM, analyze_slice_weights, weight_luma_me_handle)
             wl, wc = analyze_slice_weights((y, cb, cr), refs_l0[0],
                                            p.bit_depth)
             n0 = len(anchors)
             if wl is not None:
                 sh.luma_log2_weight_denom = DENOM
                 sh.luma_weights_l0 = [wl] + [None] * (n0 - 1)
-                r0 = refs_l0[0]
-                me_refs = ([(weight_plane(np.asarray(r0[0]), wl[0], wl[1],
-                                          p.bit_depth), r0[1], r0[2])]
+                me_refs = ([weight_luma_me_handle(refs_l0[0], wl[0],
+                                                  wl[1], p.bit_depth)]
                            + list(refs_l0[1:]))
             if wc is not None:
                 sh.chroma_log2_weight_denom = DENOM
@@ -1441,13 +1447,30 @@ class Encoder:
 
             state = {"pre": pre, "nr_reset": True}
 
+            # the native walk reads reference PIXELS only for inter CUs
+            # not covered by the device residual tensors (has8 == 0);
+            # when coverage is total the host never materializes the
+            # padded references at all (no recon download)
+            need_host_refs = slice_type != SLICE_I and (
+                pre is None
+                or (decisions.inter8 is not None
+                    and bool((decisions.inter8.astype(bool)
+                              & (pre["has8"] == 0)).any())))
+            if need_host_refs:
+                refs_native = tuple(
+                    [self._host_padded_ref(r, pad) for r in lst]
+                    for lst in refs_padded)
+            else:
+                zp = self._zero_padded_ref(pad)
+                refs_native = tuple([zp] * len(lst) for lst in refs_padded)
+
             def run_native_range(sp, begin, count, collect_arg=None):
                 return native.encode_slice_px(
                     np.asarray(y), np.asarray(cb), np.asarray(cr),
                     decisions.cu_log2_map, decisions.luma_mode8,
                     decisions.chroma_mode8, decisions.inter8, decisions.dir8,
                     decisions.mv8, slice_type, sh.max_num_merge_cand,
-                    refs_padded, ref_poc, poc, pad,
+                    refs_native, ref_poc, poc, pad,
                     p.ctb_log2, p.min_cb_log2, sh.qp, p.lossless,
                     self.pps.sign_data_hiding, p.intra_smoothing,
                     p.cb_qp_offset, p.cr_qp_offset,
@@ -1577,19 +1600,26 @@ class Encoder:
                 from x265_tpu.utils.profiling import scope as _sc
                 # deblock on device; with SAO on, the EO/BO statistics of
                 # the deblocked recon ride the SAME dispatch (one round
-                # trip for the whole loop-filter analysis)
+                # trip for the whole loop-filter analysis). The filtered
+                # planes STAY on device (keep_device): they are the next
+                # frames' references — downloading them only to re-upload
+                # padded cost ~12 MB/frame on the ~10 MB/s tunnel
+                # (VERDICT r4 next #2).
+                keep_dev = bool(getattr(self, "use_tpu_loopfilter", True)
+                                and p.deblock and not p.lossless)
                 sao_src = (y, cb, cr) if sao_on else None
                 if slice_type == SLICE_I:
                     fin_lf = self._deblock_intra_recon(recon, decisions,
                                                        qp_arg,
                                                        sao_src=sao_src,
-                                                       sync=False)
+                                                       sync=False,
+                                                       keep_device=keep_dev)
                 else:
                     fin_lf = self._deblock_inter_recon(
                         recon, decisions, cbf4, ref_poc, qp_arg,
-                        sao_src=sao_src, sync=False)
+                        sao_src=sao_src, sync=False, keep_device=keep_dev)
                 # device filter in flight: let the caller overlap another
-                # frame's CPU entropy before collecting
+                # frame's CPU entropy before resuming
                 yield
                 out_lf = fin_lf()
                 stats = None
@@ -1615,8 +1645,19 @@ class Encoder:
                     with _sc("finalize"):
                         slice_data = run_native(sp)[0]
                     with _sc("loopfilter"):
-                        recon = sao_mod.apply_frame(recon, sp, p.ctb_log2,
-                                                    p.bit_depth)
+                        if keep_dev:
+                            from x265_tpu.models.loopfilter import (
+                                sao_apply_device)
+                            recon = FramePlanes(
+                                dev=sao_apply_device(recon, sp,
+                                                     p.ctb_log2,
+                                                     p.bit_depth),
+                                bd=p.bit_depth)
+                        else:
+                            recon = sao_mod.apply_frame(
+                                recon, sp, p.ctb_log2, p.bit_depth)
+                elif keep_dev:
+                    recon = FramePlanes(dev=recon, bd=p.bit_depth)
                 if nr_arrs is not None:
                     self._nr["sum"] += nr_arrs[1]
                     self._nr["cnt"] += nr_arrs[2]
@@ -1659,7 +1700,7 @@ class Encoder:
         return slice_data, recon
 
     def _deblock_inter_recon(self, recon, decisions, cbf4, ref_poc, qp,
-                             sao_src=None, sync=True):
+                             sao_src=None, sync=True, keep_device=False):
         """Deblock a native-finalizer recon using the decision maps (CU ==
         TU == PU boundaries) + the native cbf map. Device dispatch; with
         sao_src the SAO stats are fused in and (recon, stats) returns."""
@@ -1704,7 +1745,8 @@ class Encoder:
             refpoc4[..., 1] = np.where(inter4 & ((dir4 & 2) > 0),
                                        ref_poc[1][0], NOPOC)
         return self._run_loopfilter(recon, st, is_intra4, mv4, refpoc4,
-                                    qp, sao_src, sync=sync)
+                                    qp, sao_src, sync=sync,
+                                    keep_device=keep_device)
 
     def _encode_b_frame(self, frame, poc, anchor0, anchor1, qp=None,
                         as_ref=False, extra_keep=(),
@@ -1758,7 +1800,7 @@ class Encoder:
         )
         decisions = (self._areader.get() if self._areader
                      else getattr(self, "_bdec_cache", {}).pop(poc, None)
-                     or self._b_decisions(y, rec0[0], rec1[0], qp,
+                     or self._b_decisions(y, rec0, rec1, qp,
                                           frame=(y, cb, cr),
                                           ref_tuples=(rec0, rec1)))
         slice_data, recon = yield from self._inter_slice_gen(
@@ -1819,6 +1861,17 @@ class Encoder:
         mv_out[adopt, 1, 1] = ck[adopt, 5]
         satd_out = np.where(adopt, s_c, satd_now).astype(np.float32)
         return dir_out, mv_out, ref_out, satd_out
+
+    @staticmethod
+    def _me_entry(r):
+        """Normalize a reference entry for the motion search: device
+        handles (FramePlanes/MELuma) pass through (padded on device);
+        host pictures reduce to their luma plane."""
+        if isinstance(r, (FramePlanes, MELuma)):
+            return r
+        if isinstance(r, (tuple, list)) and len(r) == 3:
+            return np.asarray(r[0])
+        return np.asarray(r)
 
     @staticmethod
     def _dominant_mv(dec):
@@ -2032,7 +2085,13 @@ class Encoder:
     def _pad_ref(self, planes, pad=80):
         """Edge-padded int16 reference planes, cached per recon identity:
         anchors serve several frames and padding + re-uploading them every
-        frame dominated the tunnel traffic."""
+        frame dominated the tunnel traffic. A device-resident FramePlanes
+        passes through untouched — device consumers derive the padded
+        layout ON DEVICE (FramePlanes.dev_padded) and the host layout is
+        materialized lazily only when the native fallback MC needs it
+        (_host_padded_ref)."""
+        if isinstance(planes, FramePlanes):
+            return planes
         key = id(planes[0])
         ent = self._padref_cache.get(key)
         if ent is not None and ent[0] is planes[0]:
@@ -2046,6 +2105,36 @@ class Encoder:
                     :len(self._padref_cache) - 16]:
                 del self._padref_cache[k]
         return padded
+
+    def _host_padded_ref(self, r, pad=80):
+        """Host int16 padded planes from a _pad_ref result (identity for
+        host tuples; a cached download+pad for FramePlanes)."""
+        if not isinstance(r, FramePlanes):
+            return r
+        key = ("fp", id(r))
+        ent = self._padref_cache.get(key)
+        if ent is not None and ent[0] is r:
+            return ent[1]
+        padded = tuple(np.pad(np.asarray(pl).astype(np.int16),
+                              pad >> (0 if i == 0 else 1), mode="edge")
+                       for i, pl in enumerate(r.host()))
+        self._padref_cache[key] = (r, padded)
+        return padded
+
+    def _zero_padded_ref(self, pad=80):
+        """Shared all-zero padded planes: stand-in for references the
+        native walk provably never reads (every inter CU is covered by
+        the device-precomputed residual tensors, has8 == 1)."""
+        p = self.param
+        key = ("zref", p.width, p.height, pad)
+        ent = self._padref_cache.get(key)
+        if ent is not None:
+            return ent[1]
+        z = (np.zeros((p.height + 2 * pad, p.width + 2 * pad), np.int16),
+             np.zeros((p.height // 2 + pad, p.width // 2 + pad), np.int16),
+             np.zeros((p.height // 2 + pad, p.width // 2 + pad), np.int16))
+        self._padref_cache[key] = (None, z)
+        return z
 
     def _intra_analysis_with_cost(self, y):
         p = self.param
@@ -2079,8 +2168,7 @@ class Encoder:
         from x265_tpu.utils.profiling import scope
         with scope("analysis"):
             dec, icost = self._intra_analysis_with_cost(y)
-        ref_ys = [np.asarray(r[0] if isinstance(r, tuple) else r)
-                  for r in refs]
+        ref_ys = [self._me_entry(r) for r in refs]
         with scope("motion"):
             mv, cost, satd, _ = motion_fused(
                 np.asarray(y), ref_ys, p.width, p.height, S=S,
@@ -2112,8 +2200,7 @@ class Encoder:
         # costing measurably over-adopted unified motion)
         rd_refs = None
         if (p.rd_level >= 3 and frame is not None
-                and all(isinstance(r, tuple) and len(r) == 3
-                        for r in refs)):
+                and all(is_planes(r) for r in refs)):
             rd_refs = [self._pad_ref(r) for r in refs]
         if rd_refs is not None:
             # recon-in-the-loop merge adoption (rdo.rd_adopt16): every
@@ -2184,16 +2271,17 @@ class Encoder:
         from x265_tpu.utils.profiling import scope
         with scope("analysis"):
             dec, icost = self._intra_analysis_with_cost(y)
+        r0e, r1e = self._me_entry(ref0_y), self._me_entry(ref1_y)
         with scope("motion"):
             mv, cost, satd, bi_satd = motion_fused(
-                np.asarray(y), [np.asarray(ref0_y), np.asarray(ref1_y)],
+                np.asarray(y), [r0e, r1e],
                 p.width, p.height, S=S, R=R, qp=qpv, subme=max(1, p.sub_me),
                 bit_depth=p.bit_depth, do_bi=True,
                 slack=48.0 if p.early_skip else 24.0,
                 force_dense=p.me_method in ("full", "star", "sea"), mesh=self.mesh)
         return self._b_select(dec, icost, mv, cost, bi_satd, lam,
                               satd=satd, y=np.asarray(y),
-                              refs=(np.asarray(ref0_y), np.asarray(ref1_y)),
+                              refs=(r0e, r1e),
                               qp=qpv, frame=frame, ref_tuples=ref_tuples)
 
     def _b_select(self, dec, icost, mv, cost, bi_satd, lam, satd=None,
@@ -2287,8 +2375,9 @@ class Encoder:
         handles = submit_intra_analysis_batch(ys, p.width, p.height,
                                               cu_log2, fast=p.fast_intra,
                                               psy=float(p.psy_rd))
+        r0e, r1e = self._me_entry(rec0), self._me_entry(rec1)
         res = motion_fused_frames(
-            ys, [np.asarray(rec0[0]), np.asarray(rec1[0])],
+            ys, [r0e, r1e],
             p.width, p.height, R=p.me_range, qps=[qp_est] * len(ys),
             subme=max(1, p.sub_me), bit_depth=p.bit_depth, do_bi=True,
             slack=48.0 if p.early_skip else 24.0,
@@ -2302,7 +2391,7 @@ class Encoder:
             self._bdec_cache[it[0]] = self._b_select(
                 dec, icost, mv, cost, bi, lam, satd=satd,
                 y=np.asarray(it[1][0]),
-                refs=(np.asarray(rec0[0]), np.asarray(rec1[0])),
+                refs=(r0e, r1e),
                 qp=qp_est, frame=tuple(np.asarray(x) for x in it[1]),
                 ref_tuples=(rec0, rec1))
 

@@ -676,17 +676,8 @@ def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
     cur = np.pad(np.asarray(cur_y).astype(wire),
                  ((0, ph - height), (0, pw - width)), mode="edge")
     P = R + 6
-    from x265_tpu.utils import devcache
-
-    def upload_ref(r):
-        def build():
-            rp = np.pad(np.pad(np.asarray(r).astype(wire),
-                               ((0, ph - height), (0, pw - width)),
-                               mode="edge"), P, mode="edge")
-            return jnp.asarray(rp)
-        return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
-
-    refs = jnp.stack([upload_ref(r) for r in ref_ys])
+    refs = jnp.stack([_me_ref_upload(r, wire, P, ph, pw, height, width)
+                      for r in ref_ys])
     if mesh is not None:
         refs = _mesh_put(np.asarray(refs), mesh)   # replicated refs
     lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
@@ -696,6 +687,22 @@ def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
         bool(force_dense))
     return (np.asarray(mv), np.asarray(cost), np.asarray(satd),
             np.asarray(bi))
+
+
+def _me_ref_upload(r, wire, P, ph, pw, height, width):
+    """Search-layout reference: a device-resident handle pads ON DEVICE
+    (FramePlanes/MELuma.dev_luma_me — zero wire bytes); a host plane pads
+    on the host and uploads once per anchor (identity-keyed cache)."""
+    if hasattr(r, "dev_luma_me"):
+        return r.dev_luma_me(P, ph, pw)
+    from x265_tpu.utils import devcache
+
+    def build():
+        rp = np.pad(np.pad(np.asarray(r).astype(wire),
+                           ((0, ph - height), (0, pw - width)),
+                           mode="edge"), P, mode="edge")
+        return jnp.asarray(rp)
+    return devcache.get_or(("me_ref", id(r), P, ph, pw), r, build)
 
 
 @lru_cache(maxsize=16)
@@ -727,17 +734,8 @@ def motion_fused_frames(cur_list, ref_ys, width, height, S=16, R=57,
                ((0, ph - height), (0, pw - width)), mode="edge")
         for c in cur_list])
     P = R + 6
-    from x265_tpu.utils import devcache
-
-    def upload_ref(r):
-        def build():
-            rp = np.pad(np.pad(np.asarray(r).astype(wire),
-                               ((0, ph - height), (0, pw - width)),
-                               mode="edge"), P, mode="edge")
-            return jnp.asarray(rp)
-        return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
-
-    refs = jnp.stack([upload_ref(r) for r in ref_ys])
+    refs = jnp.stack([_me_ref_upload(r, wire, P, ph, pw, height, width)
+                      for r in ref_ys])
     if qps is None:
         qps = [32] * K
     lams = jnp.asarray(np.sqrt(
@@ -822,18 +820,10 @@ def tuple_satd(cur_y, ref0_ys, ref1_ys, cands, width, height, S=16,
     cur = np.pad(np.asarray(cur_y).astype(wire),
                  ((0, ph - height), (0, pw - width)), mode="edge")
     P = R + 6
-    from x265_tpu.utils import devcache
-
-    def upload(r):
-        def build():
-            rp = np.pad(np.pad(np.asarray(r).astype(wire),
-                               ((0, ph - height), (0, pw - width)),
-                               mode="edge"), P, mode="edge")
-            return jnp.asarray(rp)
-        return devcache.get_or(("me_ref", id(r), R, ph, pw), r, build)
-
-    refs0 = jnp.stack([upload(r) for r in ref0_ys])
-    refs1 = (jnp.stack([upload(r) for r in ref1_ys]) if ref1_ys
+    refs0 = jnp.stack([_me_ref_upload(r, wire, P, ph, pw, height, width)
+                       for r in ref0_ys])
+    refs1 = (jnp.stack([_me_ref_upload(r, wire, P, ph, pw, height, width)
+                        for r in ref1_ys]) if ref1_ys
              else refs0[:1])
     if mesh is not None:
         refs0 = _mesh_put(np.asarray(refs0), mesh)

@@ -274,15 +274,21 @@ def analyze_frame(src_planes, rec_planes, ctb_log2: int, qp: int,
             jnp.asarray(np.asarray(rec_planes[2], np.int32)),
             cy, cx, ctb, bd)
         stats = jax.device_get(stats)
+    # with stats, analyze_plane never reads pixels — don't materialize
+    # them (rec may be a device-resident FramePlanes; a host conversion
+    # here would re-download the whole frame over the tunnel)
+    def _pl(planes, i):
+        return None if stats is not None else np.asarray(planes[i],
+                                                         np.int64)
     ty, cly, offy, _ = analyze_plane(
-        np.asarray(src_planes[0], np.int64), np.asarray(rec_planes[0]),
+        _pl(src_planes, 0), _pl(rec_planes, 0),
         ctb, cy, cx, lam, bd, stats=stats[0])
     ctbc = ctb >> 1
     tcb, clcb, offcb, gcb = analyze_plane(
-        np.asarray(src_planes[1], np.int64), np.asarray(rec_planes[1]),
+        _pl(src_planes, 1), _pl(rec_planes, 1),
         ctbc, cy, cx, lam, bd, stats=stats[1])
     tcr, clcr, offcr, gcr = analyze_plane(
-        np.asarray(src_planes[2], np.int64), np.asarray(rec_planes[2]),
+        _pl(src_planes, 2), _pl(rec_planes, 2),
         ctbc, cy, cx, lam, bd, stats=stats[2])
     # chroma: one type + eo class shared by cb/cr — take cb's choice when
     # it has the larger gain, else cr's; the other component re-fits

@@ -346,6 +346,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         repl = jnp.asarray
 
     def stack_refs(lst, plane):
+        from x265_tpu.engine.planes import FramePlanes
         if not lst:
             # dummy full-size plane (never selected; dir excludes the list)
             sh_ = ((h + 2 * pad, w + 2 * pad) if plane == 0
@@ -353,12 +354,19 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             z = np.zeros((1,) + sh_, np.int16)
             return repl(z) if mesh is not None else jnp.asarray(z)
         if mesh is not None:     # replicated upload (no cache reuse)
-            return repl(np.stack([np.asarray(r[plane]) for r in lst]))
-        # per-plane cached uploads (anchors serve many frames)
-        devs = [devcache.get_or(("ref80", id(r[plane])), r[plane],
-                                lambda rr=r[plane]: jnp.asarray(rr))
-                for r in lst]
-        return jnp.stack(devs)
+            return repl(np.stack([np.asarray(
+                r.dev_padded(pad)[plane] if isinstance(r, FramePlanes)
+                else r[plane]) for r in lst]))
+
+        def one(r):
+            if isinstance(r, FramePlanes):
+                # device-resident anchor: padded ON DEVICE, never wired
+                return r.dev_padded(pad)[plane]
+            # host planes: per-plane cached uploads (anchors serve many
+            # frames)
+            return devcache.get_or(("ref80", id(r[plane])), r[plane],
+                                   lambda rr=r[plane]: jnp.asarray(rr))
+        return jnp.stack([one(r) for r in lst])
 
     r0y = stack_refs(refs_padded[0], 0)
     r0cb = stack_refs(refs_padded[0], 1)

@@ -214,6 +214,82 @@ def _deblock_sao_jit(y, cb, cr, src_y, src_cb, src_cr, bs_v, bs_h, qp4,
             cr.astype(jnp.int16), stats)
 
 
+def _sao_apply_plane(rec, typ, cls, offs, ctb, bd):
+    """Device SAO apply for one plane — bit-exact vs hevc.sao.apply_plane
+    (spec 8.7.3; x265 applyPixelOffsets, sao.cpp:274)."""
+    from x265_tpu.hevc.sao import EO_DIRS, SAO_BO, SAO_EO
+    H, W = rec.shape
+    cy, cx = typ.shape
+    maxv = (1 << bd) - 1
+    iy = jnp.minimum(jnp.arange(H) // ctb, cy - 1)
+    ix = jnp.minimum(jnp.arange(W) // ctb, cx - 1)
+    ptyp = typ[iy][:, ix]
+    pcls = cls[iy][:, ix]
+    poffs = offs[iy][:, ix]                        # [H, W, 4]
+
+    big = 1 << 20
+
+    def shifted(day, dax):
+        a = jnp.full((H, W), big, jnp.int32)
+        ys = slice(max(0, day), H + min(0, day))
+        xs = slice(max(0, dax), W + min(0, dax))
+        ys_s = slice(max(0, -day), H + min(0, -day))
+        xs_s = slice(max(0, -dax), W + min(0, -dax))
+        return a.at[ys_s, xs_s].set(rec[ys, xs])
+
+    add = jnp.zeros((H, W), jnp.int32)
+    for eo in range(4):
+        day, dax = EO_DIRS[eo]
+        a = shifted(day, dax)
+        b = shifted(-day, -dax)
+        valid = (a != big) & (b != big)
+        s = jnp.sign(rec - a) + jnp.sign(rec - b)
+        cat = jnp.where(s == -2, 1,
+                        jnp.where(s == -1, 2,
+                                  jnp.where(s == 1, 3,
+                                            jnp.where(s == 2, 4, 0))))
+        cat = jnp.where(valid, cat, 0)
+        sel = (ptyp == SAO_EO) & (pcls == eo)
+        for c in range(1, 5):
+            add = add + jnp.where(sel & (cat == c), poffs[..., c - 1], 0)
+    band = rec >> (bd - 5)
+    selb = ptyp == SAO_BO
+    for i in range(4):
+        add = add + jnp.where(selb & (band == ((pcls + i) % 32)),
+                              poffs[..., i], 0)
+    return jnp.clip(rec + add, 0, maxv)
+
+
+@partial(jax.jit, static_argnames=("ctb", "bd"))
+def _sao_apply_jit(y, cb, cr, ty, cly, offy, tc, clcb, clcr, offcb,
+                   offcr, ctb, bd):
+    y, cb, cr = (p.astype(jnp.int32) for p in (y, cb, cr))
+    y = _sao_apply_plane(y, ty, cly, offy, ctb, bd)
+    cb = _sao_apply_plane(cb, tc, clcb, offcb, ctb >> 1, bd)
+    cr = _sao_apply_plane(cr, tc, clcr, offcr, ctb >> 1, bd)
+    return (y.astype(jnp.int16), cb.astype(jnp.int16),
+            cr.astype(jnp.int16))
+
+
+def sao_apply_device(rec_dev, sp, ctb_log2: int, bd: int = 8):
+    """Apply SAO to device-resident recon planes from a SaoParams; the
+    parameter maps (a few KB) are the only upload and the result stays on
+    device (the post-SAO recon is the next frames' reference — VERDICT r4
+    next #2: no recon round trips)."""
+    ctb = 1 << ctb_log2
+    return _sao_apply_jit(
+        rec_dev[0], rec_dev[1], rec_dev[2],
+        jnp.asarray(np.asarray(sp.type_y, np.int32)),
+        jnp.asarray(np.asarray(sp.class_y, np.int32)),
+        jnp.asarray(np.asarray(sp.off_y, np.int32)),
+        jnp.asarray(np.asarray(sp.type_c, np.int32)),
+        jnp.asarray(np.asarray(sp.class_cb, np.int32)),
+        jnp.asarray(np.asarray(sp.class_cr, np.int32)),
+        jnp.asarray(np.asarray(sp.off_cb, np.int32)),
+        jnp.asarray(np.asarray(sp.off_cr, np.int32)),
+        ctb, int(bd))
+
+
 def _chroma_luts(cb_qp_off, cr_qp_off):
     from x265_tpu.hevc.tables import CHROMA_QP_TABLE
 
@@ -227,7 +303,8 @@ def _chroma_luts(cb_qp_off, cr_qp_off):
 
 def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
                          beta_off=0, tc_off=0, cb_qp_off=0, cr_qp_off=0,
-                         bd=8, sao_src=None, ctb_log2=6, sync=True):
+                         bd=8, sao_src=None, ctb_log2=6, sync=True,
+                         keep_device=False):
     """Device counterpart of hevc.deblock.deblock_frame (bit-exact).
 
     qp: scalar or per-4x4 luma QP map. When sao_src (the source planes)
@@ -252,10 +329,16 @@ def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
     else:
         qp4 = np.asarray(qp, np.int32)
     lut_cb, lut_cr = _chroma_luts(cb_qp_off, cr_qp_off)
-    # int16 wire (halves the tunnel upload vs int32; filters upcast)
-    args = (jnp.asarray(np.asarray(y, np.int16)),
-            jnp.asarray(np.asarray(cb, np.int16)),
-            jnp.asarray(np.asarray(cr, np.int16)))
+    # narrow wire: recon fits uint8 at 8-bit depth (halves the upload vs
+    # int16 on the ~10 MB/s tunnel); device arrays pass through untouched
+    wire = np.uint8 if bd == 8 else np.int16
+
+    def up(p):
+        if hasattr(p, "devices"):          # already a device array
+            return p
+        return jnp.asarray(np.asarray(p, wire))
+
+    args = (up(y), up(cb), up(cr))
     if sao_src is None:
         out = _deblock_jit(*args, jnp.asarray(bs_v), jnp.asarray(bs_h),
                            jnp.asarray(qp4), jnp.asarray(st.bypass4),
@@ -263,6 +346,8 @@ def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
                            int(beta_off), int(tc_off), int(bd))
 
         def finish():
+            if keep_device:
+                return out                 # (y, cb, cr) device int16
             # int16 on the wire; int32 to the caller (SAO/metrics code
             # uses a 1<<20 out-of-picture sentinel that int16 would wrap)
             yy, cbb, crr = (np.asarray(o, np.int32)
@@ -284,6 +369,11 @@ def deblock_frame_device(recon, st, is_intra4, mv4, refpoc4, qp,
             ctb, cy, cx)
 
         def finish():
+            if keep_device:
+                # recon stays on device; only the (small) SAO statistics
+                # cross the wire — the host RDO needs them, the pixels
+                # it does not
+                return out[:3], jax.device_get(out[3])
             o = jax.device_get(out)
             yy, cbb, crr = (np.asarray(x, np.int32) for x in o[:3])
             return yy, cbb, crr, o[3]

@@ -271,18 +271,26 @@ def _plane_stacks(src_yuv, refs0_padded, refs1_padded, p, pad):
     from x265_tpu.utils import devcache
 
     def stack(lst, pl):
+        from x265_tpu.engine.planes import FramePlanes
         if not lst:
             sh_ = ((p.height + 2 * pad, p.width + 2 * pad) if pl == 0
                    else (p.height // 2 + pad, p.width // 2 + pad))
             return devcache.get_or(("rdz", pl, sh_), _plane_stacks,
                                    lambda: jnp.zeros((1,) + sh_,
                                                      jnp.int16))
+
+        def dev_plane(r):
+            if isinstance(r, FramePlanes):
+                # device-resident anchor: padded on device, no wire
+                return r.dev_padded(pad)[pl]
+            return jnp.asarray(r[pl])
+
         # identity-keyed: anchors serve several frames and the three RD
         # dispatches per frame reuse one upload instead of three
-        key = ("rdstack", pl) + tuple(id(r[pl]) for r in lst)
+        key = ("rdstack", pl) + tuple(id(r) for r in lst)
         return devcache.get_or(
-            key, lst[0][pl],
-            lambda: jnp.stack([jnp.asarray(r[pl]) for r in lst]))
+            key, lst[0],
+            lambda: jnp.stack([dev_plane(r) for r in lst]))
 
     # thin-wire cached source planes (the jitted bodies gather + upcast)
     srcs = tuple(devcache.src_plane(np.asarray(pl_arr), p.bit_depth)
