@@ -302,7 +302,7 @@ class Encoder:
         from x265_tpu.engine.lookahead import Lookahead
         from x265_tpu.engine.ratecontrol import RateControl
         self.rc = RateControl(p)
-        self.la = Lookahead(p.width, p.height)
+        self.la = Lookahead(p.width, p.height, p.bit_depth)
         # analysis backend: batched TPU graph by default; numpy reference
         # path retained for differential testing (engine.mode_decision)
         self.use_tpu_analysis = True

@@ -94,42 +94,52 @@ def _lowres_costs(low: jnp.ndarray, prev: jnp.ndarray, R: int = 4):
 class Lookahead:
     """Per-frame complexity costs in display order."""
 
-    def __init__(self, width: int, height: int):
+    def __init__(self, width: int, height: int, bit_depth: int = 8):
         # pad lowres to multiples of 8
         self.lw = (width // 2 + 7) // 8 * 8
         self.lh = (height // 2 + 7) // 8 * 8
+        self.bd = bit_depth
         self.prev_low = None
 
     def frame_cost(self, y: np.ndarray, is_intra: bool) -> float:
         """SATD-domain complexity of one frame (x265 m_currentSatd)."""
         return self.frame_costs(y, is_intra)[0]
 
+    def _src_dev(self, y):
+        """Shared-upload device source plane (one wire crossing per frame
+        across lookahead/analysis/ME/residual)."""
+        from x265_tpu.utils import devcache
+        yw = np.asarray(y)
+        if yw.dtype not in (np.uint8, np.int16, np.uint16):
+            yw = yw.astype(np.int16)
+        return devcache.src_plane(yw, self.bd)
+
     def frame_costs(self, y: np.ndarray, is_intra: bool):
         """(cost, intra_cost, inter_cost) of one display-order frame; the
         inter cost is vs the previous frame (the slicetype/scenecut
         signal, slicetype.cpp:2186). Per-block tensors are kept in
-        self.last_blocks for cuTree propagation."""
-        yw = np.asarray(y)
-        if yw.dtype not in (np.uint8, np.int16, np.uint16):
-            yw = yw.astype(np.int16)
+        self.last_blocks for cuTree propagation. Lowres planes stay ON
+        DEVICE (slicetype pair costs consume them there; a 1080p lowres
+        was 2 MB/frame of pointless tunnel readback)."""
+        ydev = self._src_dev(y)
         first = self.prev_low is None
         if first:
-            low0 = np.asarray(lowres_downscale(jnp.asarray(yw)))
-            low0 = np.pad(low0, ((0, self.lh - low0.shape[0]),
-                                 (0, self.lw - low0.shape[1])), mode="edge")
-            self._prev_dev = jnp.asarray(low0)
+            low0 = lowres_downscale(ydev)
+            lh0, lw0 = low0.shape
+            from x265_tpu.engine.planes import pad_dev
+            self._prev_dev = pad_dev(low0, (0, self.lh - lh0,
+                                            0, self.lw - lw0))
         low_dev, icost, mcost, mv = _downscale_and_costs(
-            jnp.asarray(yw), self._prev_dev, self.lh, self.lw)
-        low = np.asarray(low_dev)
+            ydev, self._prev_dev, self.lh, self.lw)
         self._prev_dev = low_dev
         icost = np.asarray(icost)
         mcost2 = np.asarray(mcost) * 2
         self.last_blocks = {"icost": icost, "mcost": mcost2,
                             "mv": np.asarray(mv)}
-        self.last_low = low          # kept for slicetype pair costs
+        self.last_low = low_dev      # device; slicetype pair costs
         icost_sum = float(icost.sum())
         pcost_sum = float(np.minimum(icost, mcost2).sum())
-        self.prev_low = low
+        self.prev_low = low_dev
         if first or is_intra:
             cost = icost_sum
         else:
@@ -238,12 +248,13 @@ def batched_pair_costs(pairs):
         while bucket < n:
             bucket <<= 1
         pad = bucket - n
-        curs = np.stack([pairs[i][0] for i in todo]
-                        + [pairs[todo[0]][0]] * pad)
-        refs = np.stack([pairs[i][1] for i in todo]
-                        + [pairs[todo[0]][1]] * pad)
-        blk = np.asarray(_batched_pair_fn(bucket)(jnp.asarray(curs),
-                                                  jnp.asarray(refs)))
+        # planes may be device-resident (Lookahead keeps lows on device);
+        # jnp.stack keeps the batch assembly on device in that case
+        curs = jnp.stack([jnp.asarray(pairs[i][0]) for i in todo]
+                         + [jnp.asarray(pairs[todo[0]][0])] * pad)
+        refs = jnp.stack([jnp.asarray(pairs[i][1]) for i in todo]
+                         + [jnp.asarray(pairs[todo[0]][1])] * pad)
+        blk = np.asarray(_batched_pair_fn(bucket)(curs, refs))
         for k, i in enumerate(todo):
             out[i] = blk[k]
             cur, ref = pairs[i]

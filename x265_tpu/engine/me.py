@@ -673,16 +673,26 @@ def motion_fused(cur_y, ref_ys, width, height, S=16, R=57, qp=32,
     ph = -(-height // S) * S
     pw = -(-width // S) * S
     wire = np.int16 if bit_depth > 8 else np.uint8
-    cur = np.pad(np.asarray(cur_y).astype(wire),
-                 ((0, ph - height), (0, pw - width)), mode="edge")
     P = R + 6
     refs = jnp.stack([_me_ref_upload(r, wire, P, ph, pw, height, width)
                       for r in ref_ys])
-    if mesh is not None:
+    if mesh is None:
+        # shared source upload (devcache) + device-side padding: the
+        # same plane feeds analysis/residual/SAO — one wire crossing
+        from x265_tpu.engine.planes import pad_dev
+        from x265_tpu.utils import devcache
+        H, W = np.asarray(cur_y).shape
+        cur = pad_dev(devcache.src_plane(np.asarray(cur_y), bit_depth),
+                      (0, ph - H, 0, pw - W), wire)
+    else:
+        cur = _mesh_put(
+            np.pad(np.asarray(cur_y).astype(wire),
+                   ((0, ph - height), (0, pw - width)), mode="edge"),
+            mesh, rows_divisor=S)
         refs = _mesh_put(np.asarray(refs), mesh)   # replicated refs
     lam = np.float32(np.sqrt(0.85 * 2.0 ** ((qp - 12) / 3.0)))
     mv, cost, satd, bi = _motion_fused(
-        _mesh_put(cur, mesh, rows_divisor=S), refs, jnp.float32(lam),
+        cur, refs, jnp.float32(lam),
         S, R, max(1, subme), bit_depth, do_bi, float(slack),
         bool(force_dense))
     return (np.asarray(mv), np.asarray(cost), np.asarray(satd),
@@ -817,8 +827,15 @@ def tuple_satd(cur_y, ref0_ys, ref1_ys, cands, width, height, S=16,
     ph = -(-height // S) * S
     pw = -(-width // S) * S
     wire = np.int16 if bit_depth > 8 else np.uint8
-    cur = np.pad(np.asarray(cur_y).astype(wire),
-                 ((0, ph - height), (0, pw - width)), mode="edge")
+    if mesh is None:
+        from x265_tpu.engine.planes import pad_dev
+        from x265_tpu.utils import devcache
+        H, W = np.asarray(cur_y).shape
+        cur = pad_dev(devcache.src_plane(np.asarray(cur_y), bit_depth),
+                      (0, ph - H, 0, pw - W), wire)
+    else:
+        cur = np.pad(np.asarray(cur_y).astype(wire),
+                     ((0, ph - height), (0, pw - width)), mode="edge")
     P = R + 6
     refs0 = jnp.stack([_me_ref_upload(r, wire, P, ph, pw, height, width)
                        for r in ref0_ys])

@@ -305,6 +305,46 @@ def _inter_multi_planes(src_y, src_cb, src_cr,
     return (lvl_y, lvl_cb, lvl_cr, cbf8, has8, rec_y, rec_cb, rec_cr)
 
 
+@partial(jax.jit, static_argnames=("B", "ts", "ntx"))
+def _gather_tiles_jit(plane, idx, B, ts, ntx):
+    """Gather B ts-x-ts tiles (row-major tile indices) from a plane —
+    the sparse-readback primitive: quantized levels are zero outside
+    coded TBs, so only cbf tiles cross the ~10 MB/s tunnel."""
+    ty = idx // ntx
+    tx = idx % ntx
+
+    def one(i):
+        return jax.lax.dynamic_slice(plane, (ty[i] * ts, tx[i] * ts),
+                                     (ts, ts))
+    return jax.vmap(one)(jnp.arange(B))
+
+
+def _sparse_plane_download(plane_dev, mask, ts):
+    """Materialize a host int16 plane from a device level plane, moving
+    only the tiles where `mask` (tile grid, row-major) is set. Falls
+    back to a full download when occupancy makes it cheaper."""
+    nty, ntx = mask.shape
+    ys, xs = np.nonzero(mask)
+    count = len(ys)
+    out = np.zeros(plane_dev.shape, np.int16)
+    if count == 0:
+        return out
+    if count > 0.5 * mask.size:
+        return np.asarray(jax.device_get(plane_dev))
+    B = 32
+    while B < count:
+        B <<= 1
+    idx = np.zeros(B, np.int32)
+    idx[:count] = (ys * ntx + xs).astype(np.int32)
+    tiles = np.asarray(jax.device_get(
+        _gather_tiles_jit(plane_dev, jnp.asarray(idx), B, ts, ntx)))
+    ii = np.arange(ts)
+    yy = (ys * ts)[:, None, None] + ii[None, :, None]
+    xx = (xs * ts)[:, None, None] + ii[None, None, :]
+    out[yy, xx] = tiles[:count]
+    return out
+
+
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     sdh, rdoq_level, mesh=None, slice_type=1):
     """Assemble the precomputed-residual dict for the native writer.
@@ -486,7 +526,9 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
         if mesh is None:
             # single-device: scatter to planes ON DEVICE; the wire
             # carries frame-sized tensors (~4x fewer bytes than the
-            # padded per-lane batches)
+            # padded per-lane batches), and the level planes come back
+            # SPARSELY — only tiles under coded TBs (cbf set) download
+            # (levels are zero everywhere else by construction)
             with enable_x64():
                 pouts = _inter_multi_planes(
                     sy, scb, scr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
@@ -494,8 +536,11 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
                     wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
                     bool(p.scaling_lists), kk, psy_fx)
-            (lvl_y, lvl_cb, lvl_cr, cbf8, has8,
-             rec_y, rec_cb, rec_cr) = jax.device_get(pouts)
+            (cbf8, has8, rec_y, rec_cb, rec_cr) = jax.device_get(
+                pouts[3:])
+            lvl_y = _sparse_plane_download(pouts[0], (cbf8 & 1) > 0, 8)
+            lvl_cb = _sparse_plane_download(pouts[1], (cbf8 & 2) > 0, 4)
+            lvl_cr = _sparse_plane_download(pouts[2], (cbf8 & 4) > 0, 4)
             return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
                     "cbf8": cbf8, "has8": has8,
                     "rec_y": rec_y.astype(np.int16),

@@ -163,13 +163,18 @@ def submit_intra_analysis(src_y: np.ndarray, width: int, height: int,
     S = 1 << cu_log2
     ph = -(-height // S) * S
     pw = -(-width // S) * S
-    # narrow wire dtype: the host->device link is the bottleneck on this
-    # box; the graph upcasts on device (uint8 compiles fine on current jax)
-    wire = np.uint8 if np.asarray(src_y).max(initial=0) < 256 else np.int16
-    y = np.asarray(src_y, dtype=wire)
-    yp = np.pad(y, ((0, ph - height), (0, pw - width)), mode="edge")
-    modes_dev, cost_dev = _batched_analysis(S, fast, float(psy))(
-        jnp.asarray(yp)[None])
+    # narrow wire + shared upload: the source plane is consumed by the
+    # lookahead, the motion search and the residual pipeline too — the
+    # identity-keyed device cache uploads it ONCE per frame, and the
+    # S-padding happens on device (the host->device link is the
+    # bottleneck on this box)
+    from x265_tpu.engine.planes import pad_dev
+    from x265_tpu.utils import devcache
+    arr = np.asarray(src_y)
+    bd = 8 if arr.dtype == np.uint8 else 10
+    ydev = devcache.src_plane(arr, bd)
+    yp = pad_dev(ydev, (0, ph - height, 0, pw - width))
+    modes_dev, cost_dev = _batched_analysis(S, fast, float(psy))(yp[None])
     modes_dev, cost_dev = modes_dev[0], cost_dev[0]
     return (modes_dev, cost_dev, cu_log2, width, height)
 
