@@ -82,3 +82,35 @@ def test_aq_improves_smooth_region_quality():
     mse_on = float(np.mean((d_on.y[smooth] - src[smooth]) ** 2))
     mse_off = float(np.mean((d_off.y[smooth] - src[smooth]) ** 2))
     assert mse_on <= mse_off
+
+
+def test_aq_mode3_biased_darkens_flat_blocks():
+    """AQ_AUTO_VARIANCE_BIASED (x265 slicetype.cpp:589): the bias term
+    strength*(1 - 11/act^2) LOWERS qp for very flat (low-activity)
+    blocks relative to plain auto-variance."""
+    frames = _mixed_texture_clip(n=1)
+    y, cb, cr = frames[0]
+    off2 = aq_qp_offsets(y, 6, 2, 1.0, cb=cb, cr=cr)
+    off3 = aq_qp_offsets(y, 6, 3, 1.0, cb=cb, cr=cr)
+    assert off2.shape == off3.shape
+    assert off2.dtype.kind == "f"          # float offsets now
+    # the flat (left) half must be biased DOWN vs mode 2
+    assert float(off3[:, 0].mean()) < float(off2[:, 0].mean()) + 1e-9
+
+
+def test_aq_mode4_edge_runs_and_encodes():
+    """AQ_EDGE (x265 slicetype.cpp:596): edge-density activity."""
+    frames = _mixed_texture_clip()
+    y, cb, cr = frames[0]
+    off4 = aq_qp_offsets(y, 6, 4, 1.0, cb=cb, cr=cr)
+    assert np.isfinite(off4).all()
+    p = param_default_preset("medium")
+    p.width, p.height = 176, 144
+    p.qp, p.rc_mode, p.aq_mode = 32, RC_CQP, 4
+    stream = Encoder(p).encode(frames[:3])
+    ours = HEVCDecoder().decode(stream)
+    assert len(ours) == 3
+    if de265.available():
+        ext = de265.decode(stream)
+        for i, (o, e) in enumerate(zip(ours, ext)):
+            assert np.array_equal(o.y, e[0].astype(np.int32)), i

@@ -1378,11 +1378,17 @@ class Encoder:
         if self.pps.cu_qp_delta_enabled and decisions.qp_map is None:
             from x265_tpu.engine.aq import aq_qp_offsets
             if p.aq_mode > 0:
-                off = aq_qp_offsets(y, p.ctb_log2, p.aq_mode, p.aq_strength)
+                # float offsets, chroma-inclusive energies (acEnergyCu);
+                # rounded ONCE after cuTree/ROI floats are added (x265
+                # keeps qpAqOffset as double until calcQpForCu)
+                off = aq_qp_offsets(y, p.ctb_log2, p.aq_mode,
+                                    p.aq_strength, cb=cb, cr=cr,
+                                    bit_depth=p.bit_depth,
+                                    hdr10_opt=bool(p.hdr10_opt))
             else:
                 cy = -(-p.height // p.ctu_size)
                 cx = -(-p.width // p.ctu_size)
-                off = np.zeros((cy, cx), dtype=np.int32)
+                off = np.zeros((cy, cx), dtype=np.float64)
             ct = getattr(self, "_cutree", {}).pop(poc, None)
             if ct is not None and ct.shape == off.shape:
                 off = off + ct
@@ -1390,7 +1396,7 @@ class Encoder:
             # QP offsets (ROI maps) for this display picture
             ci = self._ctu_info.pop(self._gop_base + poc, None)
             if ci is not None and np.shape(ci) == off.shape:
-                off = off + np.asarray(ci, dtype=np.int32)
+                off = off + np.asarray(ci, dtype=np.float64)
             grad = getattr(self.rc, "band_grad_pending", 0)
             if grad:
                 # band-graded VBV emergency re-encode (rowVbvRateControl
@@ -1403,6 +1409,9 @@ class Encoder:
                                              max(rows, 2)))
                         .astype(np.int32)[:rows])
                 off = off + ramp[:, None]
+            # one rounding at the end; ±12 keeps cu_qp_delta well inside
+            # the spec's ±(26+QpBdOffsetY/2) coding range (7.4.9.10)
+            off = np.clip(np.rint(off), -12, 12)
             decisions.qp_map = np.clip(sh.qp + off, 0, 51).astype(np.int32)
         self._last_analysis = decisions
         if self._awriter is not None:

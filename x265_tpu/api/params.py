@@ -69,6 +69,7 @@ class Param:
     video_full_range: bool = False
     chromaloc: int = -1
     hdr10: bool = False          # force-signal BT.2020/PQ even if unset
+    hdr10_opt: bool = False      # luma-banded AQ bias for PQ content
     dhdr10_info: str = ""        # HDR10+ per-frame JSON (--dhdr10-info)
     dhdr10_opt: bool = False     # emit HDR10+ SEI only on IDR/changes
     dolby_vision_rpu: str = ""   # per-frame RPU file (--dolby-vision-rpu)
@@ -524,8 +525,8 @@ _OPT_ALIASES = {
     "sao-non-deblock": "sao_non_deblock",
     "selective-sao": "selective_sao",
     "cll": "max_cll",
-    "hdr-opt": "hdr10",
-    "hdr10-opt": "hdr10",
+    "hdr-opt": "hdr10_opt",
+    "hdr10-opt": "hdr10_opt",
     "vui-hrd-info": "hrd",
     # --- analysis reuse surface ---
     "analysis-save-reuse-level": "analysis_reuse_level",

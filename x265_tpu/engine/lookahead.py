@@ -194,7 +194,9 @@ def cutree_propagate(records, ctb_log2: int, qcompress: float = 0.6,
     offp = np.pad(off, ((0, pad_y), (0, pad_x)), mode="edge")
     ctb_off = offp.reshape(cy, blocks_per_ctb, cx,
                            blocks_per_ctb).mean(axis=(1, 3))
-    return np.clip(np.rint(ctb_off), -max_off, 0).astype(np.int32)
+    # FLOAT offsets: the encoder sums AQ + cuTree + ROI as doubles and
+    # rounds once (x265 qpCuTreeOffset stays double, slicetype.cpp:712)
+    return np.clip(ctb_off, -float(max_off), 0.0)
 
 
 from functools import lru_cache

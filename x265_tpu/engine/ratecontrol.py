@@ -388,7 +388,7 @@ class RateControl:
         idx = self.pass2_idx - 1          # start() already advanced it
         if 0 <= idx < len(self.pass2_cutree):
             ct = self.pass2_cutree[idx]
-            return None if ct is None else np.asarray(ct, np.int32)
+            return None if ct is None else np.asarray(ct, np.float64)
         return None
 
     def reencode_qp(self, bits: int):
