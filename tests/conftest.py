@@ -14,7 +14,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# X265TPU_TEST_TPU=1 keeps the real device visible for the on-device
+# differential tests (tests/test_pallas_tpu.py); default is the CPU
+# 8-virtual-device mesh
+if os.environ.get("X265TPU_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -94,4 +94,6 @@ def test_cutree_credits_referenced_blocks():
               "mcost": np.full(shape, 2000, np.int64),
               "mv": np.zeros((*shape, 2), np.int32)} for _ in range(4)]
     off2 = cutree_propagate(noise, ctb_log2=6)
-    assert (off2 == 0).all()          # nothing propagates
+    # float offsets now (rounded once by the encoder); unpredictable
+    # content must stay under half a QP step of credit
+    assert np.abs(off2).max() < 0.5   # nothing meaningful propagates

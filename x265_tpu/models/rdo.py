@@ -172,10 +172,8 @@ def _promo_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
         return jnp.where((dirv == 3)[:, None, None], bi, uni)
 
     def blks(plane, xv, yv, size):
-        def one(i):
-            return jax.lax.dynamic_slice(plane, (yv[i], xv[i]),
-                                         (size, size))
-        return jax.vmap(one)(jnp.arange(xv.shape[0])).astype(jnp.int32)
+        from x265_tpu.models.inter_residual import gather_src_blocks
+        return gather_src_blocks(plane, yv, xv, size)
 
     src = blks(src_y, x0, y0, n)
     qpy = qp + 6 * (bd - 8)
@@ -427,10 +425,8 @@ def _adopt_costs(src_y, src_cb, src_cr, r0y, r0cb, r0cr,
         uni = jnp.clip((p14 + (1 << (sh_u - 1))) >> sh_u, 0, maxv)
         pred = jnp.where((dir_all == 3)[:, None, None], bi, uni)
 
-        def blk(i):
-            return jax.lax.dynamic_slice(sp, (ys[i], xs[i]), (sz, sz))
-
-        src = jax.vmap(blk)(jnp.arange(k * N)).astype(jnp.int32)
+        from x265_tpu.models.inter_residual import gather_src_blocks
+        src = gather_src_blocks(sp, ys, xs, sz)
         resi = src - pred
         lvl, rres, cbf = _tq_chain(
             resi, qv, jnp.zeros((k * N,), jnp.int32),
