@@ -105,13 +105,12 @@ def _local_search(cur_blocks, ref_pad, centers, bxy, lam, S, W_r, pad):
     ref_pad = ref_pad.astype(jnp.int32)
     side = S + 2 * W_r
 
-    def patch(i):
-        # top-left of the search patch in padded coords
-        y0 = bxy[i, 1] * S + centers[i, 1] + pad - W_r
-        x0 = bxy[i, 0] * S + centers[i, 0] + pad - W_r
-        return jax.lax.dynamic_slice(ref_pad, (y0, x0), (side, side))
-
-    patches = jax.vmap(patch)(jnp.arange(N))      # [N, side, side]
+    # top-left of every search patch in padded coords; fetched as one
+    # batched tile gather (Pallas DMA on TPU)
+    from x265_tpu.models.inter_residual import gather_src_blocks
+    y0s = bxy[:, 1] * S + centers[:, 1] + pad - W_r
+    x0s = bxy[:, 0] * S + centers[:, 0] + pad - W_r
+    patches = gather_src_blocks(ref_pad, y0s, x0s, side)  # [N, side, side]
     n = 2 * W_r + 1
 
     def body(carry, d):
@@ -157,6 +156,45 @@ def _phase_planes(ref_pad: jnp.ndarray, maxv: int = 255) -> jnp.ndarray:
     return jnp.clip(out, 0, maxv).astype(jnp.int16)
 
 
+def _gather_phase_blocks(planes, fy, fx, iy, ix, S):
+    """[N, S, S] i32 blocks from [4,4,Hm,Wm] phase planes at per-lane
+    (phase, position) — dynamic_slice clamp semantics. Pallas tile DMA
+    on TPU (the vmapped 4D dynamic_slice is a serial gather there);
+    jnp twin elsewhere."""
+    from x265_tpu.models.inter_residual import _use_pallas_mc
+    N = fy.shape[0]
+    if _use_pallas_mc():
+        from x265_tpu.ops.pallas_mc import (tile_gather_planes, COLS,
+                                            _rows_for)
+        P1, P2, Hm, Wm = planes.shape
+        flat = planes.reshape(P1 * P2, Hm, Wm)
+        H2 = max(-(-(Hm + 16) // 8) * 8, _rows_for(S))
+        W2 = max(-(-(Wm + COLS - S) // 128) * 128, COLS)
+        pp = jnp.pad(flat.astype(jnp.int16),
+                     ((0, 0), (0, H2 - Hm), (0, W2 - Wm)))
+        ridx = (jnp.clip(fy, 0, P1 - 1) * P2
+                + jnp.clip(fx, 0, P2 - 1)).astype(jnp.int32)
+        oy = jnp.clip(iy, 0, Hm - S).astype(jnp.int32)
+        ox = jnp.clip(ix, 0, Wm - S).astype(jnp.int32)
+        pad_n = (-N) % 8
+        if pad_n:
+            z = jnp.zeros((pad_n,), jnp.int32)
+            ridx = jnp.concatenate([ridx, z])
+            oy = jnp.concatenate([oy, z])
+            ox = jnp.concatenate([ox, z])
+        from jax import enable_x64
+        with enable_x64(False):
+            out = tile_gather_planes(pp, ridx, oy, ox, S)
+        return out[:N] if pad_n else out
+
+    def one(i):
+        blk = jax.lax.dynamic_slice(
+            planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
+        return blk[0, 0]
+
+    return jax.vmap(one)(jnp.arange(N)).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("S", "margin"))
 def _refine(cur_blocks, planes, mv_q, offsets, lam, mvp_q, S, margin):
     """One subpel refinement round.
@@ -172,26 +210,23 @@ def _refine(cur_blocks, planes, mv_q, offsets, lam, mvp_q, S, margin):
     nbx_arr = mv_q[:, 2]  # packed block x index
     nby_arr = mv_q[:, 3]
     base = mv_q[:, :2]
+    K = offsets.shape[0]
 
-    def eval_cand(off):
-        cand = base + off[None, :]
-        fx = cand[:, 0] & 3
-        fy = cand[:, 1] & 3
-        ix = (cand[:, 0] >> 2) + nbx_arr * S + margin
-        iy = (cand[:, 1] >> 2) + nby_arr * S + margin
-
-        def one(i):
-            blk = jax.lax.dynamic_slice(
-                planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
-            return blk[0, 0]
-
-        pred = jax.vmap(one)(jnp.arange(N))
-        satd = satd8_batched(cur_blocks, pred).astype(jnp.float32)
-        mvd = jnp.abs(cand - mvp_q).astype(jnp.float32)
-        bits = (2 * jnp.floor(jnp.log2(2 * mvd + 1)) + 1).sum(axis=1)
-        return satd + lam * bits, cand
-
-    costs, cands = jax.vmap(eval_cand)(offsets)    # [K,N], [K,N,2]
+    # all K offsets as ONE flattened lane batch (one Pallas launch /
+    # one fused gather instead of K)
+    cands = base[None, :, :] + offsets[:, None, :]          # [K,N,2]
+    fx = cands[..., 0] & 3
+    fy = cands[..., 1] & 3
+    ix = (cands[..., 0] >> 2) + (nbx_arr * S + margin)[None, :]
+    iy = (cands[..., 1] >> 2) + (nby_arr * S + margin)[None, :]
+    pred = _gather_phase_blocks(planes, fy.reshape(-1), fx.reshape(-1),
+                                iy.reshape(-1), ix.reshape(-1), S)
+    cur_k = jnp.broadcast_to(cur_blocks[None], (K,) + cur_blocks.shape
+                             ).reshape(K * N, S, S)
+    satd = satd8_batched(cur_k, pred).astype(jnp.float32).reshape(K, N)
+    mvd = jnp.abs(cands - mvp_q[None]).astype(jnp.float32)
+    bits = (2 * jnp.floor(jnp.log2(2 * mvd + 1)) + 1).sum(axis=2)
+    costs = satd + lam * bits                      # [K,N]
     k = jnp.argmin(costs, axis=0)                  # [N]
     best = jnp.take_along_axis(cands, k[None, :, None], axis=0)[0]
     cost = jnp.min(costs, axis=0)
@@ -233,13 +268,7 @@ def _bi_satd(cur_blocks, planes0, planes1, mv0, mv1, bxy, S, margin):
         fy = mv[:, 1] & 3
         ix = (mv[:, 0] >> 2) + bxy[:, 0] * S + margin
         iy = (mv[:, 1] >> 2) + bxy[:, 1] * S + margin
-
-        def one(i):
-            blk = jax.lax.dynamic_slice(
-                planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
-            return blk[0, 0]
-
-        return jax.vmap(one)(jnp.arange(N))
+        return _gather_phase_blocks(planes, fy, fx, iy, ix, S)
 
     avg = (gather(planes0, mv0) + gather(planes1, mv1) + 1) >> 1
     return satd8_batched(cur_blocks, avg)
@@ -358,13 +387,7 @@ def _eval_fixed(cur_blocks, planes, mv, bxy, S, margin):
     fy = mv[:, 1] & 3
     ix = (mv[:, 0] >> 2) + bxy[:, 0] * S + margin
     iy = (mv[:, 1] >> 2) + bxy[:, 1] * S + margin
-
-    def one(i):
-        blk = jax.lax.dynamic_slice(
-            planes, (fy[i], fx[i], iy[i], ix[i]), (1, 1, S, S))
-        return blk[0, 0]
-
-    pred = jax.vmap(one)(jnp.arange(N))
+    pred = _gather_phase_blocks(planes, fy, fx, iy, ix, S)
     return satd8_batched(cur_blocks, pred)
 
 

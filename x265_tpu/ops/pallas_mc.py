@@ -228,3 +228,74 @@ def tile_gather(plane, oy, ox, n: int):
         out_shape=jax.ShapeDtypeStruct((N, n, n), jnp.int32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(oy, ox, plane)
+
+
+def _copy3_kernel(ridx, oy, ox, planes, out, scratch, sem, *, n, Hp, Wp,
+                  ROWS):
+    i = jnp.int32(pl.program_id(0))
+    nsteps = jnp.int32(pl.num_programs(0))
+
+    def dmas(slot, step):
+        base = step * LANES
+        copies = []
+        for l in range(LANES):
+            j = base + l
+            ay = ((jnp.minimum(oy[j], np.int32(Hp - ROWS)) >> 3)
+                  * np.int32(8))
+            ax = ((jnp.minimum(ox[j], np.int32(Wp - COLS)) >> 7)
+                  * np.int32(128))
+            copies.append(pltpu.make_async_copy(
+                planes.at[ridx[j], pl.ds(ay, ROWS), pl.ds(ax, COLS)],
+                scratch.at[slot, np.int32(l)],
+                sem.at[slot, np.int32(l)]))
+        return copies
+
+    @pl.when(i == 0)
+    def _():
+        for c in dmas(np.int32(0), np.int32(0)):
+            c.start()
+
+    slot = jax.lax.rem(i, np.int32(2))
+    nxt = jax.lax.rem(i + np.int32(1), np.int32(2))
+
+    @pl.when(i + np.int32(1) < nsteps)
+    def _():
+        for c in dmas(nxt, i + np.int32(1)):
+            c.start()
+
+    for c in dmas(slot, i):
+        c.wait()
+    base = i * LANES
+    out[:] = jnp.stack([
+        _win(scratch, slot, l, oy, ox, base + l, Hp, Wp, n, ROWS)
+        for l in range(LANES)])
+
+
+@partial(jax.jit, static_argnames=("n",))
+def tile_gather_planes(planes, ridx, oy, ox, n: int):
+    """[N, n, n] i32 tile gather from STACKED int16 planes, one plane
+    index per lane (the phase-plane subpel fetch of engine.me).
+    ridx/oy/ox [N] int32, origins pre-clamped; N % LANES == 0."""
+    N = oy.shape[0]
+    ROWS = _rows_for(n)
+    assert n <= COLS - 128
+    P, Hp, Wp = planes.shape
+    assert Hp >= ROWS and Wp >= COLS and Hp % 8 == 0 and Wp % 128 == 0
+    kern = partial(_copy3_kernel, n=n, Hp=Hp, Wp=Wp, ROWS=ROWS)
+    return pl.pallas_call(
+        kern,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(N // LANES,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec((LANES, n, n),
+                                   lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, LANES, ROWS, COLS), jnp.int16),
+                pltpu.SemaphoreType.DMA((2, LANES)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, n, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ridx, oy, ox, planes)
