@@ -28,14 +28,29 @@ import x265_tpu  # noqa: F401  (X265TPU_PLATFORM hook must run before
 #                               hangs backend init otherwise)
 
 
-def _time(fn, iters):
+# v5e single-chip roofline (public spec): ~197 bf16 TFLOP/s /
+# ~394 int8 TOP/s on the MXU, ~819 GB/s HBM
+PEAK_BW_GBPS = 819.0
+PEAK_I8_TOPS = 394.0
+
+
+def _force(r):
+    """Force execution with a tiny download: on the tunneled device
+    block_until_ready can return before the work runs (measured), so a
+    reduction + np.asarray is the only honest fence."""
+    import jax.numpy as jnp
     import jax
+    leaves = jax.tree_util.tree_leaves(r)
+    return np.asarray(sum(jnp.sum(l.astype(jnp.float32)) for l in leaves))
+
+
+def _time(fn, iters):
     for _ in range(2):                       # warmup / compile
-        jax.block_until_ready(fn())
+        _force(fn())
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        _force(fn())
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
 
@@ -93,6 +108,49 @@ def build_cases(quick: bool):
              lambda: sad_sweep_pallas(cur, refp, 16, R,
                                       interpret=interp)),
         ]
+        if not interp:
+            # the PRODUCTION Pallas MC kernels (default-on for TPU since
+            # r5) vs the XLA gather twin they replaced
+            import os as _os
+            import jax.numpy as jnp
+            from x265_tpu.models.inter_residual import (_mc_gather,
+                                                        _LUMA_FILT)
+            Hm, Wm, pad = (288, 352, 80) if quick else (1088, 1920, 80)
+            NL = 4096 if quick else 40800
+            pl_ = jnp.asarray(rng.integers(
+                0, 255, (2, Hm + 2 * pad, Wm + 2 * pad)).astype(np.int16))
+            ridx = jnp.asarray(rng.integers(0, 2, NL).astype(np.int32))
+            x0 = jnp.asarray(rng.integers(0, Wm - 16, NL).astype(np.int32))
+            y0 = jnp.asarray(rng.integers(0, Hm - 16, NL).astype(np.int32))
+            mvx = jnp.asarray(rng.integers(-228, 228, NL).astype(np.int32))
+            mvy = jnp.asarray(rng.integers(-228, 228, NL).astype(np.int32))
+            fl = jnp.asarray(_LUMA_FILT)
+            # useful bytes: every lane reads a 23x23 i16 window + writes
+            # 16x16 i32 (padding DMA overhead not counted as useful)
+            mc_bytes = NL * (23 * 23 * 2 + 16 * 16 * 4)
+
+            def mc_jit(flag):
+                # trace once under the right gate value; the jit object
+                # caches the traced graph for all later calls
+                old = _os.environ.get("X265TPU_PALLAS_MC")
+                _os.environ["X265TPU_PALLAS_MC"] = flag
+                try:
+                    f = jax.jit(lambda *a: _mc_gather(
+                        *a, filt=fl, fb=2, n=16, taps=8, pad=pad, bd=8))
+                    f(pl_, ridx, x0, y0, mvx, mvy)   # trace now
+                finally:
+                    if old is None:
+                        _os.environ.pop("X265TPU_PALLAS_MC", None)
+                    else:
+                        _os.environ["X265TPU_PALLAS_MC"] = old
+                return f
+            f1, f0 = mc_jit("1"), mc_jit("0")
+            cases += [
+                ("mc_gather16/pallas", f"[{NL}]x23x23", NL,
+                 lambda: f1(pl_, ridx, x0, y0, mvx, mvy), mc_bytes),
+                ("mc_gather16/jnp", f"[{NL}]x23x23", NL,
+                 lambda: f0(pl_, ridx, x0, y0, mvx, mvy), mc_bytes),
+            ]
     return cases
 
 
@@ -107,7 +165,9 @@ def main():
     import jax
     backend = jax.devices()[0].platform
     results = {}
-    for name, shape, items, fn in build_cases(args.quick):
+    for case in build_cases(args.quick):
+        name, shape, items, fn = case[:4]
+        nbytes = case[4] if len(case) > 4 else None
         if args.no_pallas and "/pallas" in name:
             continue
         print(f"[kernel_bench] {name} ...", file=sys.stderr, flush=True)
@@ -117,11 +177,15 @@ def main():
             print(json.dumps({"kernel": name, "error": str(e)[:200]}))
             continue
         results[name] = ms
-        print(json.dumps({
-            "kernel": name, "shape": shape, "ms": round(ms, 3),
-            "items_per_s": round(items / (ms / 1000.0)),
-            "backend": backend}))
-    for base in ("satd_16x16", "sad_sweep"):
+        rec = {"kernel": name, "shape": shape, "ms": round(ms, 3),
+               "items_per_s": round(items / (ms / 1000.0)),
+               "backend": backend}
+        if nbytes:
+            gbps = nbytes / (ms / 1000.0) / 1e9
+            rec["useful_gbps"] = round(gbps, 1)
+            rec["pct_peak_bw"] = round(100.0 * gbps / PEAK_BW_GBPS, 1)
+        print(json.dumps(rec))
+    for base in ("satd_16x16", "sad_sweep", "mc_gather16"):
         j, p = results.get(f"{base}/jnp"), results.get(f"{base}/pallas")
         if j and p:
             print(json.dumps({"kernel": f"{base}/speedup_pallas_vs_jnp",

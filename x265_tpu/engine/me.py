@@ -516,14 +516,22 @@ def _int_stage(cur, ref_R, mvcost_flat, S, R, chunk=8):
     total = n * n
     steps = -(-total // chunk)
 
+    # int16 plane reads halve the sweep's bandwidth (the shifted-window
+    # read dominates); |diff| <= maxpix fits i16, the first-stage row
+    # sum accumulates in i32 — bit-identical to the i32 form
+    cur16 = cur.astype(jnp.int16)
+    ref16 = ref_R.astype(jnp.int16)
+
     def body(carry, k):
         best_cost, best_idx = carry
         for j in range(chunk):
             d = jnp.minimum(k * chunk + j, total - 1)
             dy = d // n
             dx = d % n
-            sh = jax.lax.dynamic_slice(ref_R, (dy, dx), (H, W))
-            sad = jnp.abs(cur - sh).reshape(nby, S, nbx, S).sum(axis=(1, 3))
+            sh = jax.lax.dynamic_slice(ref16, (dy, dx), (H, W))
+            ad = jnp.abs(cur16 - sh)
+            sad = ad.reshape(nby, S, nbx, S).sum(axis=(1, 3),
+                                                 dtype=jnp.int32)
             cost = sad.astype(jnp.float32) + mvcost_flat[d]
             upd = cost < best_cost
             best_cost = jnp.where(upd, cost, best_cost)

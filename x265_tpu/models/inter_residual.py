@@ -399,30 +399,56 @@ def _gather_tiles_jit(plane, idx, B, ts, ntx):
     return jax.vmap(one)(jnp.arange(B))
 
 
-def _sparse_plane_download(plane_dev, mask, ts):
-    """Materialize a host int16 plane from a device level plane, moving
-    only the tiles where `mask` (tile grid, row-major) is set. Falls
-    back to a full download when occupancy makes it cheaper."""
-    nty, ntx = mask.shape
-    ys, xs = np.nonzero(mask)
-    count = len(ys)
-    out = np.zeros(plane_dev.shape, np.int16)
-    if count == 0:
-        return out
-    if count > 0.5 * mask.size:
-        return np.asarray(jax.device_get(plane_dev))
-    B = 32
-    while B < count:
-        B <<= 1
-    idx = np.zeros(B, np.int32)
-    idx[:count] = (ys * ntx + xs).astype(np.int32)
-    tiles = np.asarray(jax.device_get(
-        _gather_tiles_jit(plane_dev, jnp.asarray(idx), B, ts, ntx)))
-    ii = np.arange(ts)
-    yy = (ys * ts)[:, None, None] + ii[None, :, None]
-    xx = (xs * ts)[:, None, None] + ii[None, None, :]
-    out[yy, xx] = tiles[:count]
-    return out
+@partial(jax.jit, static_argnames=("Bs", "tss", "ntxs"))
+def _gather_tiles3_jit(py, pcb, pcr, iy, icb, icr, Bs, tss, ntxs):
+    """Three-plane tile gather in ONE dispatch (one tunnel round trip
+    instead of three ~25ms ones)."""
+    return tuple(_gather_tiles_jit.__wrapped__(pl_, ix, B, ts, ntx)
+                 for (pl_, ix, B, ts, ntx)
+                 in zip((py, pcb, pcr), (iy, icb, icr), Bs, tss, ntxs))
+
+
+def _sparse_planes_download(planes_dev, masks, tss):
+    """Materialize host int16 planes from device level planes, moving
+    only the tiles whose cbf `mask` (tile grid, row-major) is set —
+    batched across the three planes so the wire pays ONE round trip.
+    Falls back to full downloads when occupancy makes them cheaper."""
+    metas = []
+    for plane_dev, mask, ts in zip(planes_dev, masks, tss):
+        nty, ntx = mask.shape
+        ys, xs = np.nonzero(mask)
+        count = len(ys)
+        out = np.zeros(plane_dev.shape, np.int16)
+        metas.append([ys, xs, count, ntx, out])
+    if all(m[2] == 0 for m in metas):
+        return tuple(m[4] for m in metas)
+    if any(m[2] > 0.5 * mask.size
+           for m, mask in zip(metas, masks)):
+        got = jax.device_get(tuple(planes_dev))
+        return tuple(np.asarray(g, np.int16) for g in got)
+    Bs = []
+    idxs = []
+    for (ys, xs, count, ntx, _out) in metas:
+        B = 32
+        while B < count:
+            B <<= 1
+        idx = np.zeros(B, np.int32)
+        idx[:count] = (ys * ntx + xs).astype(np.int32)
+        Bs.append(B)
+        idxs.append(jnp.asarray(idx))
+    tiles3 = jax.device_get(_gather_tiles3_jit(
+        *planes_dev, *idxs, tuple(Bs), tuple(tss),
+        tuple(m[3] for m in metas)))
+    outs = []
+    for (ys, xs, count, _ntx, out), tiles, ts in zip(metas, tiles3, tss):
+        if count:
+            t = np.asarray(tiles)
+            ii = np.arange(ts)
+            yy = (ys * ts)[:, None, None] + ii[None, :, None]
+            xx = (xs * ts)[:, None, None] + ii[None, None, :]
+            out[yy, xx] = t[:count]
+        outs.append(out)
+    return tuple(outs)
 
 
 def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
@@ -618,9 +644,10 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     bool(p.scaling_lists), kk, psy_fx)
             (cbf8, has8, rec_y, rec_cb, rec_cr) = jax.device_get(
                 pouts[3:])
-            lvl_y = _sparse_plane_download(pouts[0], (cbf8 & 1) > 0, 8)
-            lvl_cb = _sparse_plane_download(pouts[1], (cbf8 & 2) > 0, 4)
-            lvl_cr = _sparse_plane_download(pouts[2], (cbf8 & 4) > 0, 4)
+            lvl_y, lvl_cb, lvl_cr = _sparse_planes_download(
+                (pouts[0], pouts[1], pouts[2]),
+                ((cbf8 & 1) > 0, (cbf8 & 2) > 0, (cbf8 & 4) > 0),
+                (8, 4, 4))
             return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
                     "cbf8": cbf8, "has8": has8,
                     "rec_y": rec_y.astype(np.int16),

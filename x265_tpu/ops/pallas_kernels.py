@@ -98,21 +98,27 @@ def satd_pallas(a: jnp.ndarray, b: jnp.ndarray,
 
 
 def _make_sad_kernel(n: int, S: int, H: int, W: int):
-    """SAD of one displacement per grid step: the whole cur plane and
-    the padded reference stay VMEM-resident across the sweep; each step
-    slices its (dy, dx) window and reduces per S-block — pure VPU work
+    """SAD of 8 displacements per grid step (the out block's sublane
+    tile must be 8-divisible on real TPUs): the whole cur plane and the
+    padded reference stay VMEM-resident across the sweep; each step
+    slices its (dy, dx) windows and reduces per S-block — pure VPU work
     with zero HBM re-reads (the me._int_search inner loop, fused)."""
     nby, nbx = H // S, W // S
+    total = n * n
 
     def kernel(cur_ref, ref_ref, out_ref):
-        d_id = pl.program_id(0)
-        dy = d_id // n
-        dx = d_id % n
-        win = ref_ref[pl.ds(dy, H), pl.ds(dx, W)]
-        d = jnp.abs(cur_ref[:] - win)
-        sums = d.reshape(nby, S, nbx, S).sum(axis=(1, 3))
-        flat = sums.reshape(1, nby * nbx).astype(jnp.float32)
-        out_ref[:, :nby * nbx] = flat
+        i = jnp.int32(pl.program_id(0))
+        cur = cur_ref[:]
+        for j in range(8):
+            d = jnp.minimum(i * np.int32(8) + np.int32(j),
+                            np.int32(total - 1))
+            dy = d // np.int32(n)
+            dx = jax.lax.rem(d, np.int32(n))
+            win = ref_ref[pl.ds(dy, H), pl.ds(dx, W)]
+            ad = jnp.abs(cur - win)
+            sums = ad.reshape(nby, S, nbx, S).sum(axis=(1, 3))
+            out_ref[j, :nby * nbx] = (sums.reshape(nby * nbx)
+                                      .astype(jnp.float32))
 
     return kernel
 
@@ -130,17 +136,18 @@ def sad_sweep_pallas(cur: jnp.ndarray, ref_pad: jnp.ndarray, S: int,
     nby, nbx = H // S, W // S
     nb = nby * nbx
     nb_pad = -(-nb // 128) * 128
+    steps = -(-(n * n) // 8)
     out = pl.pallas_call(
         _make_sad_kernel(n, S, H, W),
-        grid=(n * n,),
+        grid=(steps,),
         in_specs=[
             pl.BlockSpec((H, W), lambda d: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, nb_pad), lambda d: (d, 0),
+        out_specs=pl.BlockSpec((8, nb_pad), lambda d: (d, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n * n, nb_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((steps * 8, nb_pad), jnp.float32),
         interpret=interpret,
     )(cur.astype(jnp.int32), ref_pad.astype(jnp.int32))
-    return out[:, :nb].reshape(n * n, nby, nbx)
+    return out[:n * n, :nb].reshape(n * n, nby, nbx)
