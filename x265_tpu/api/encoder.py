@@ -1453,6 +1453,10 @@ class Encoder:
                         self.pps.sign_data_hiding,
                         0 if p.lossless else p.rdoq_level,
                         mesh=self.mesh, slice_type=slice_type)
+                if pre is not None:
+                    # the writers and the deblock edge maps consume the
+                    # device's RQT choice (one source of truth)
+                    decisions.tusplit8 = pre.get("tusplit8")
 
             state = {"pre": pre, "nr_reset": True}
 
@@ -1494,7 +1498,8 @@ class Encoder:
                     scaling_lists=bool(p.scaling_lists),
                     tskip=p.tskip, wpp=bool(p.wpp),
                     psy_rdoq_fx=(int(round(p.psy_rdoq * 256))
-                                 if p.rdoq_level >= 2 else 0))
+                                 if p.rdoq_level >= 2 else 0),
+                    tu_inter_depth=p.tu_inter_depth)
 
             wc = p.pic_width_in_ctbs
             hc = p.pic_height_in_ctbs
@@ -1595,7 +1600,11 @@ class Encoder:
                     "lvl_cr": np.zeros((p.height // 2, p.width // 2),
                                        np.int16),
                     "cbf8": np.zeros((h8n, w8n), np.uint8),
-                    "has8": np.zeros((h8n, w8n), np.uint8)}
+                    "has8": np.zeros((h8n, w8n), np.uint8),
+                    # the replay pass re-walks the same RQT choices
+                    "tusplit8": (pre["tusplit8"] if pre is not None
+                                 and pre.get("tusplit8") is not None
+                                 else np.zeros((h8n, w8n), np.uint8))}
             from x265_tpu.utils.profiling import scope
             with scope("finalize"):
                 res = run_native(collect_arg=collect_bufs)
@@ -1725,8 +1734,13 @@ class Encoder:
             return np.repeat(np.repeat(m, 2, 0), 2, 1)[:h4, :w4]
 
         # TU grid: a 64 CU transforms as 4x32 TUs (implicit RQT split),
-        # so TU edges cap at 32; BS stays 0 on them unless cbf is set
-        cl4 = np.minimum(to4(decisions.cu_log2_map), 5)
+        # so TU edges cap at 32; explicitly split 16/32 CUs
+        # (decisions.tusplit8) halve again; BS stays 0 on the internal
+        # TU edges unless cbf is set
+        cl4 = to4(decisions.cu_log2_map)
+        if decisions.tusplit8 is not None:
+            cl4 = cl4 - to4(decisions.tusplit8.astype(np.int32))
+        cl4 = np.minimum(cl4, 5)
         st = DeblockState(h, w)
         xs = (np.arange(w4) * 4)[None, :]
         ys = (np.arange(h4) * 4)[:, None]

@@ -303,10 +303,10 @@ _PRESET_TABLE = {
     "faster":     dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=2, rd_level=2, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=True,  rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
     "fast":       dict(ctu_size=64, bframes=4, b_adapt=0, rc_lookahead=15, ref=3, rd_level=2, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=False, rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=True),
     "medium":     dict(ctu_size=64, bframes=4, b_adapt=2, rc_lookahead=20, ref=3, rd_level=3, sub_me=2, me_method="hex", rect=False, amp=False, early_skip=False, rdoq_level=0, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=False),
-    "slow":       dict(ctu_size=64, bframes=4, b_adapt=2, rc_lookahead=25, ref=4, rd_level=4, sub_me=3, me_method="star", rect=True, amp=False, early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=False),
-    "slower":     dict(ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=40, ref=5, rd_level=6, sub_me=4, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
-    "veryslow":   dict(ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=40, ref=5, rd_level=6, sub_me=4, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
-    "placebo":    dict(ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=60, ref=5, rd_level=6, sub_me=5, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
+    "slow":       dict(tu_inter_depth=2, ctu_size=64, bframes=4, b_adapt=2, rc_lookahead=25, ref=4, rd_level=4, sub_me=3, me_method="star", rect=True, amp=False, early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=1, fast_intra=False),
+    "slower":     dict(tu_inter_depth=2, ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=40, ref=5, rd_level=6, sub_me=4, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
+    "veryslow":   dict(tu_inter_depth=2, ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=40, ref=5, rd_level=6, sub_me=4, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
+    "placebo":    dict(tu_inter_depth=2, ctu_size=64, bframes=8, b_adapt=2, rc_lookahead=60, ref=5, rd_level=6, sub_me=5, me_method="star", rect=True, amp=True,  early_skip=False, rdoq_level=2, aq_mode=2, cu_tree=True,  sao=True,  deblock=True,  tu_intra_depth=3, fast_intra=False),
 }
 
 
@@ -630,7 +630,6 @@ COERCED_OPTIONS = {
     # (field, unsupported-when, forced-to, why)
     "rect": "rectangular PUs not implemented (quadtree is square-only)",
     "amp": "asymmetric PUs not implemented",
-    "tu_inter_depth": "RQT depth >1 not implemented (TU == CU)",
     "tu_intra_depth": "RQT depth >1 not implemented (TU == CU)",
     "tiles": "tiles not implemented (use --slices for picture splitting)",
     "weightb": "weighted B prediction not implemented",
@@ -718,8 +717,14 @@ def check_params(p: Param) -> Param:
     if p.amp:
         _warn(p, COERCED_OPTIONS["amp"] + " — forcing --no-amp")
         p.amp = False
-    if p.tu_inter_depth > 1:
-        _warn(p, COERCED_OPTIONS["tu_inter_depth"]
+    if p.tu_inter_depth > 2:
+        # one explicit split level is implemented (x265 tuQTMaxInterDepth
+        # 1..4, x265.h:1079); deeper trees clamp with a warning
+        _warn(p, "tu-inter-depth > 2 not implemented"
+              + " — forcing --tu-inter-depth 2")
+        p.tu_inter_depth = 2
+    if p.tu_inter_depth > 1 and p.tskip:
+        _warn(p, "tu-inter-depth 2 with --tskip not implemented"
               + " — forcing --tu-inter-depth 1")
         p.tu_inter_depth = 1
     if p.tu_intra_depth > 1:

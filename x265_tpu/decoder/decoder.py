@@ -482,6 +482,21 @@ class SliceDecoder:
                 self._inter_cu64_tree(pic, x0, y0, depth, tqb, motion)
                 self._cu_res, self._cu_cbf = cab.pos - res_pos0, True
                 return
+            if (root_cbf and self.sps.max_transform_hierarchy_depth_inter
+                    > 0 and 3 <= log2_cb <= 5):
+                # explicit RQT level (7.3.8.8 split_transform_flag,
+                # ctxInc = 5 - log2TrafoSize)
+                if cab.decode_bin(CTX_OFF["split_transform"]
+                                  + (5 - log2_cb)):
+                    if log2_cb == 3:
+                        # 8x8 split leaves 4x4 luma + single 4x4 chroma
+                        # at blk 3 — this encoder never emits it
+                        raise NotImplementedError(
+                            "8x8 inter TU split (chroma at blk 3)")
+                    self._inter_split_tree(pic, x0, y0, log2_cb, depth,
+                                           tqb, motion)
+                    self._cu_res, self._cu_cbf = cab.pos - res_pos0, True
+                    return
             if root_cbf:
                 cbf_cb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
                 cbf_cr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
@@ -525,41 +540,56 @@ class SliceDecoder:
 
     def _inter_cu64_tree(self, pic, x0, y0, depth, tqb, motion) -> None:
         """Transform tree of a 64x64 inter CU with coded residual: the
-        implicit split yields 4 32x32 luma TUs (+16x16 chroma) in
-        z-order; chroma cbfs are hierarchical (ctxInc = trafoDepth)."""
+        implicit split yields 4 32x32 luma TUs (+16x16 chroma)."""
+        self._inter_split_tree(pic, x0, y0, 6, depth, tqb, motion)
+
+    def _inter_split_tree(self, pic, x0, y0, log2_cb, depth, tqb,
+                          motion) -> None:
+        """One split level of an inter CU's transform tree (implicit for
+        64x64, explicit split_transform_flag for 16/32, 7.3.8.8): 4
+        z-order luma TUs at half size (+quarter chroma); chroma cbfs are
+        hierarchical (ctxInc = trafoDepth)."""
         cab, sh = self.cab, self.sh
+        size = 1 << log2_cb
+        tn = size >> 1
+        tc = tn >> 1
+        tnl2 = log2_cb - 1
         cu = _CuCtx(tqb=tqb, luma_modes=[0], chroma_mode=0, part_nxn=False,
-                    cu_x=x0, cu_y=y0, log2_cb=6)
+                    cu_x=x0, cu_y=y0, log2_cb=log2_cb)
         maxv = (1 << self.bd) - 1
         acb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
         acr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 0)
-        pred_y = self._mc_pred(pic, 0, x0, y0, 64, motion)
-        pred_cb = self._mc_pred(pic, 1, x0 >> 1, y0 >> 1, 32, motion)
-        pred_cr = self._mc_pred(pic, 2, x0 >> 1, y0 >> 1, 32, motion)
-        pic.dbs.mark_block(x0, y0, 64)
+        pred_y = self._mc_pred(pic, 0, x0, y0, size, motion)
+        pred_cb = self._mc_pred(pic, 1, x0 >> 1, y0 >> 1, tn, motion)
+        pred_cr = self._mc_pred(pic, 2, x0 >> 1, y0 >> 1, tn, motion)
+        pic.dbs.mark_block(x0, y0, size)
         for (dx, dy) in ((0, 0), (1, 0), (0, 1), (1, 1)):
             qcb = cab.decode_bin(CTX_OFF["cbf_chroma"] + 1) if acb else 0
             qcr = cab.decode_bin(CTX_OFF["cbf_chroma"] + 1) if acr else 0
             qy = cab.decode_bin(CTX_OFF["cbf_luma"] + 0)
             self._maybe_parse_dqp(bool(qy or qcb or qcr))
-            qx0, qy0 = x0 + dx * 32, y0 + dy * 32
-            pic.dbs.mark_block(qx0, qy0, 32)
-            pic.dbs.set_tu(qx0, qy0, 32, bool(qy), tqb)
-            res_y = (self._decode_tb_residual_inter(cu, 5, 0) if qy else 0)
-            pic.y[qy0:qy0 + 32, qx0:qx0 + 32] = np.clip(
-                pred_y[dy * 32:dy * 32 + 32, dx * 32:dx * 32 + 32] + res_y,
+            qx0, qy0 = x0 + dx * tn, y0 + dy * tn
+            pic.dbs.mark_block(qx0, qy0, tn)
+            pic.dbs.set_tu(qx0, qy0, tn, bool(qy), tqb)
+            res_y = (self._decode_tb_residual_inter(cu, tnl2, 0)
+                     if qy else 0)
+            pic.y[qy0:qy0 + tn, qx0:qx0 + tn] = np.clip(
+                pred_y[dy * tn:dy * tn + tn, dx * tn:dx * tn + tn] + res_y,
                 0, maxv)
-            res_cb = (self._decode_tb_residual_inter(cu, 4, 1) if qcb else 0)
-            res_cr = (self._decode_tb_residual_inter(cu, 4, 2) if qcr else 0)
+            res_cb = (self._decode_tb_residual_inter(cu, tnl2 - 1, 1)
+                      if qcb else 0)
+            res_cr = (self._decode_tb_residual_inter(cu, tnl2 - 1, 2)
+                      if qcr else 0)
             cx0, cy0 = (qx0 >> 1), (qy0 >> 1)
-            pic.cb[cy0:cy0 + 16, cx0:cx0 + 16] = np.clip(
-                pred_cb[dy * 16:dy * 16 + 16, dx * 16:dx * 16 + 16]
+            pic.cb[cy0:cy0 + tc, cx0:cx0 + tc] = np.clip(
+                pred_cb[dy * tc:dy * tc + tc, dx * tc:dx * tc + tc]
                 + res_cb, 0, maxv)
-            pic.cr[cy0:cy0 + 16, cx0:cx0 + 16] = np.clip(
-                pred_cr[dy * 16:dy * 16 + 16, dx * 16:dx * 16 + 16]
+            pic.cr[cy0:cy0 + tc, cx0:cx0 + tc] = np.clip(
+                pred_cr[dy * tc:dy * tc + tc, dx * tc:dx * tc + tc]
                 + res_cr, 0, maxv)
-        pic.ic.set_block(x0, y0, 64, 64, motion, False)
-        s4 = (slice(y0 >> 2, (y0 + 64) >> 2), slice(x0 >> 2, (x0 + 64) >> 2))
+        pic.ic.set_block(x0, y0, size, size, motion, False)
+        s4 = (slice(y0 >> 2, (y0 + size) >> 2),
+              slice(x0 >> 2, (x0 + size) >> 2))
         pic.depth4[s4] = depth
         pic.avail4[s4] = True
 

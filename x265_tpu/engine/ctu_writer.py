@@ -65,6 +65,9 @@ class FrameDecisions:
     luma_mode4: Optional[np.ndarray] = None  # [H/4, W/4] per-PB modes for
     #                                          NxN CUs (falls back to
     #                                          luma_mode8 when None)
+    tusplit8: Optional[np.ndarray] = None    # [h8, w8] u8 — inter CU's
+    #                                          TU quad-split flag (RQT
+    #                                          depth 1; uniform per CU)
 
 
 def _l0_weight(sh, ref_idx, c_idx):
@@ -570,11 +573,17 @@ class FrameSyntaxWriter:
         pred_cr = self._mc_pred(2, x0 >> 1, y0 >> 1, size >> 1, motion)
         # 64x64 CU: log2TrafoSize 6 > MaxTbLog2SizeY => implicit split
         # into 4 32x32 luma TUs (+16x16 chroma), no split flag bins
-        # (7.3.8.8; x265 estimateResidualQT forced split, search.cpp:3178)
+        # (7.3.8.8; x265 estimateResidualQT forced split, search.cpp:3178).
+        # 16/32 CUs may carry an EXPLICIT depth-1 split from the device
+        # RD choice (decisions.tusplit8; x265 tuQTMaxInterDepth 2)
         cu64 = log2_cb == 6
-        tn = 32 if cu64 else size           # luma TB size
+        tusplit = bool(self.dec.tusplit8 is not None and not cu64
+                       and log2_cb >= 4
+                       and self.dec.tusplit8[y0 >> 3, x0 >> 3])
+        split = cu64 or tusplit
+        tn = 32 if cu64 else (size >> 1 if tusplit else size)  # luma TB
         tc = tn >> 1
-        quads = (((0, 0),) if not cu64
+        quads = (((0, 0),) if not split
                  else ((0, 0), (1, 0), (0, 1), (1, 1)))  # z-order (dx,dy)
         lvls = []                           # per quadrant (y, cb, cr)
         y_res = np.zeros((size, size), np.int64)
@@ -680,7 +689,13 @@ class FrameSyntaxWriter:
                                    pred_y, pred_cb, pred_cr, 0, 0, 0)
                 return
         sdh = pps.sign_data_hiding
-        if not cu64:
+        # split_transform_flag (7.3.8.8): present for inter CUs when the
+        # SPS allows an explicit RQT level (log2 in (MinTb, MaxTb])
+        if (sps.max_transform_hierarchy_depth_inter > 0 and not cu64
+                and 3 <= log2_cb <= 5):
+            cab.encode_bin(CTX_OFF["split_transform"] + (5 - log2_cb),
+                           1 if tusplit else 0)
+        if not split:
             # transform tree, single TU (hierarchy depth 0)
             cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
             cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
@@ -704,9 +719,11 @@ class FrameSyntaxWriter:
                                 transform_skip=self._ts_arg(
                                     2, x0 >> 1, y0 >> 1, log2_cb - 1))
         else:
-            # transform_tree depth 0 (implicit split): hierarchical
-            # chroma cbfs (ctxInc = trafoDepth), 4 z-order leaves, each a
-            # transform_unit with cbf_luma ctx 0 (trafoDepth 1)
+            # transform_tree with one split level (implicit for 64x64,
+            # explicit for 16/32): hierarchical chroma cbfs (ctxInc =
+            # trafoDepth), 4 z-order leaves, each a transform_unit with
+            # cbf_luma ctx 0 (trafoDepth 1)
+            tnl2 = tn.bit_length() - 1
             cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cb)
             cab.encode_bin(CTX_OFF["cbf_chroma"] + 0, cbf_cr)
             for q in range(4):
@@ -718,26 +735,26 @@ class FrameSyntaxWriter:
                 if qy[q] or qcb[q] or qcr[q]:
                     self._maybe_code_dqp(True)
                     if qy[q]:
-                        encode_residual(cab, lvls[q][0], 5, 0, 0,
+                        encode_residual(cab, lvls[q][0], tnl2, 0, 0,
                                         sign_hiding=sdh,
                                         transquant_bypass=self.lossless)
                     if qcb[q]:
-                        encode_residual(cab, lvls[q][1], 4, 1, 0,
+                        encode_residual(cab, lvls[q][1], tnl2 - 1, 1, 0,
                                         sign_hiding=sdh,
                                         transquant_bypass=self.lossless)
                     if qcr[q]:
-                        encode_residual(cab, lvls[q][2], 4, 2, 0,
+                        encode_residual(cab, lvls[q][2], tnl2 - 1, 2, 0,
                                         sign_hiding=sdh,
                                         transquant_bypass=self.lossless)
         self._finish_inter(x0, y0, size, depth, motion, False,
                            pred_y, pred_cb, pred_cr, y_res, cb_res, cr_res,
                            cbf_luma=cbf_y)
-        if cu64:
-            # per-quadrant TU deblock maps (TU != CU here): the 32-grid
-            # internal TU edges exist and cbf varies per quadrant
+        if split:
+            # per-quadrant TU deblock maps (TU != CU here): the internal
+            # TU edges exist and cbf varies per quadrant
             for q, (dx, dy) in enumerate(quads):
-                self.dbs.mark_block(x0 + dx * 32, y0 + dy * 32, 32)
-                self.dbs.set_tu(x0 + dx * 32, y0 + dy * 32, 32,
+                self.dbs.mark_block(x0 + dx * tn, y0 + dy * tn, tn)
+                self.dbs.set_tu(x0 + dx * tn, y0 + dy * tn, tn,
                                 bool(qy[q]), self.lossless)
 
     def _finish_inter(self, x0, y0, size, depth, motion, skip,

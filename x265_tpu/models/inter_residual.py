@@ -152,11 +152,31 @@ def _mc_gather(planes, ridx, x0, y0, mvx, mvy, filt, fb, n, taps, pad, bd):
     return jax.vmap(one)(jnp.arange(N))
 
 
+def _tq_quads(res, qvec, m, N, bd, sdh, do_rdoq, lossless, scaling,
+              kk=None, pfx=0):
+    """res [N,2m,2m] -> per-quadrant transform chain at m (z-order);
+    returns (lvl [N,2m,2m], rres [N,2m,2m], cbf [N,4]). Serves both the
+    64x64 implicit RQT split and the explicit inter RQT level."""
+    q = res.reshape(N, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
+    q = q.reshape(N * 4, m, m)
+    lv, rr, cb_ = _tq_chain(q, jnp.repeat(qvec, 4),
+                            jnp.zeros((N * 4,), jnp.int32), m,
+                            False, False, bd, sdh, do_rdoq,
+                            lossless, scaling, kk, pfx)
+
+    def back(a):
+        return (a.reshape(N, 2, 2, m, m).transpose(0, 1, 3, 2, 4)
+                .reshape(N, 2 * m, 2 * m))
+
+    return back(lv), back(rr), cb_.reshape(N, 4)
+
+
 def _inter_class_body(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  xy, mv, dirm, ref_i, qp, wp,
                  n, bd, sdh, do_rdoq, lossless, pad, wld, wcd,
-                 cb_off, cr_off, scaling=False, consts=None, psy_fx=0):
+                 cb_off, cr_off, scaling=False, consts=None, psy_fx=0,
+                 rqt=False, rate_kk=None):
     """One CU-size class of inter CUs: MC + residual chain, all planes.
 
     xy [N,2] luma top-left; mv [N,2,2] (list, x/y) qpel; dirm [N] 1/2/3;
@@ -248,30 +268,83 @@ def _inter_class_body(src_y, src_cb, src_cr,
                                             kc)
         cbf = jnp.stack([cbf_y, cbf_cb, cbf_cr], axis=1)
     else:
-        # 64x64 CU: the transform tree splits implicitly into 4 32x32
-        # luma (+16x16 chroma) TUs — transform/quant run per quadrant,
-        # cbf is per quadrant (z-order) for the writer's tree emission
-        def tq_quads(res, qvec, m, kk=None, pfx=0):
-            """res [N,2m,2m] -> per-quadrant chain at m; returns
-            (lvl [N,2m,2m], rres [N,2m,2m], cbf [N,4])."""
-            q = res.reshape(N, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
-            q = q.reshape(N * 4, m, m)
-            lv, rr, cb_ = _tq_chain(q, jnp.repeat(qvec, 4),
-                                    jnp.zeros((N * 4,), jnp.int32), m,
-                                    False, False, bd, sdh, do_rdoq,
-                                    lossless, scaling, kk, pfx)
-            def back(a):
-                return (a.reshape(N, 2, 2, m, m).transpose(0, 1, 3, 2, 4)
-                        .reshape(N, 2 * m, 2 * m))
-            return back(lv), back(rr), cb_.reshape(N, 4)
-
-        lvl_y, rres_y, qcbf_y = tq_quads(sy - pred_y, qpy, n // 2, kl,
-                                         psy_fx)
-        lvl_cb, rres_cb, qcbf_cb = tq_quads(scb - pred_cb, cqp(cb_off),
-                                            hs // 2, kc)
-        lvl_cr, rres_cr, qcbf_cr = tq_quads(scr - pred_cr, cqp(cr_off),
-                                            hs // 2, kc)
+        lvl_y, rres_y, qcbf_y = _tq_quads(sy - pred_y, qpy, n // 2, N,
+                                          bd, sdh, do_rdoq, lossless,
+                                          scaling, kl, psy_fx)
+        lvl_cb, rres_cb, qcbf_cb = _tq_quads(scb - pred_cb, cqp(cb_off),
+                                             hs // 2, N, bd, sdh, do_rdoq,
+                                             lossless, scaling, kc)
+        lvl_cr, rres_cr, qcbf_cr = _tq_quads(scr - pred_cr, cqp(cr_off),
+                                             hs // 2, N, bd, sdh, do_rdoq,
+                                             lossless, scaling, kc)
         cbf = jnp.stack([qcbf_y, qcbf_cb, qcbf_cr], axis=2)  # [N,4,3]
+    tusplit = jnp.zeros((N,), jnp.int32)
+    if rqt and 16 <= n <= 32 and not lossless:
+        # explicit RQT level (x265 estimateResidualQT, search.cpp:2863):
+        # re-run the chain with the TU split into 4 quadrants and keep
+        # the per-CU winner of 32*SSE + lambda*estBits (+ the tree's
+        # extra cbf/flag bins charged to the split)
+        from x265_tpu.models.rdo import _tb_rate_bits_j
+        from x265_tpu.hevc.tables import RDOQ_LAM32_FULL
+        lam = (jnp.asarray(np.asarray(RDOQ_LAM32_FULL), jnp.float32)[qpy]
+               / float(1 << 15))        # bits domain
+        ly2, ry2, qy2 = _tq_quads(sy - pred_y, qpy, n // 2, N, bd, sdh,
+                                  do_rdoq, lossless, scaling, kl, psy_fx)
+        lcb2, rcb2, qcb2 = _tq_quads(scb - pred_cb, cqp(cb_off), hs // 2,
+                                     N, bd, sdh, do_rdoq, lossless,
+                                     scaling, kc)
+        lcr2, rcr2, qcr2 = _tq_quads(scr - pred_cr, cqp(cr_off), hs // 2,
+                                     N, bd, sdh, do_rdoq, lossless,
+                                     scaling, kc)
+
+        def sse3(ra, rb, rc):
+            e1 = ((sy - pred_y) - ra).astype(jnp.float32)
+            e2 = ((scb - pred_cb) - rb).astype(jnp.float32)
+            e3 = ((scr - pred_cr) - rc).astype(jnp.float32)
+            return ((e1 * e1).sum((1, 2)) + (e2 * e2).sum((1, 2))
+                    + (e3 * e3).sum((1, 2)))
+
+        def rate_whole(lv, kkrow, m):
+            return jnp.where(jnp.any(lv != 0, (1, 2)),
+                             _tb_rate_bits_j(lv, kkrow), 0.0)
+
+        def rate_quads(lv, kkrow, m):
+            q = (lv.reshape(N, 2, m, 2, m).transpose(0, 1, 3, 2, 4)
+                 .reshape(N * 4, m, m))
+            r = jnp.where(jnp.any(q != 0, (1, 2)),
+                          _tb_rate_bits_j(q, kkrow), 0.0)
+            return r.reshape(N, 4).sum(1)
+
+        kkl = rate_kk[0]
+        kkc = rate_kk[1]
+        rate_a = (rate_whole(lvl_y, kkl, n)
+                  + rate_whole(lvl_cb, kkc, hs)
+                  + rate_whole(lvl_cr, kkc, hs))
+        rate_b = (rate_quads(ly2, kkl, n // 2)
+                  + rate_quads(lcb2, kkc, hs // 2)
+                  + rate_quads(lcr2, kkc, hs // 2))
+        # tree-bin overhead of the split: 4 extra cbf_luma + up to 8
+        # child chroma cbfs, ~8 bins net of the shared flag
+        cost_a = 32.0 * sse3(rres_y, rres_cb, rres_cr) + lam * rate_a
+        cost_b = (32.0 * sse3(ry2, rcb2, rcr2)
+                  + lam * (rate_b + 8.0))
+        split = cost_b < cost_a
+        tusplit = split.astype(jnp.int32)
+        sm = split[:, None, None]
+        lvl_y = jnp.where(sm, ly2, lvl_y)
+        rres_y = jnp.where(sm, ry2, rres_y)
+        lvl_cb = jnp.where(sm, lcb2, lvl_cb)
+        rres_cb = jnp.where(sm, rcb2, rres_cb)
+        lvl_cr = jnp.where(sm, lcr2, lvl_cr)
+        rres_cr = jnp.where(sm, rcr2, rres_cr)
+        # per-quadrant cbf (z-order) regardless of the choice: an
+        # unsplit CU broadcasts its single cbf to all 4 cells
+        whole = jnp.stack(
+            [jnp.any(lvl_y != 0, (1, 2)), jnp.any(lvl_cb != 0, (1, 2)),
+             jnp.any(lvl_cr != 0, (1, 2))], axis=1)          # [N,3]
+        quads = jnp.stack([qy2, qcb2, qcr2], axis=2)         # [N,4,3]
+        cbf = jnp.where(split[:, None, None], quads,
+                        jnp.broadcast_to(whole[:, None, :], quads.shape))
     rec_y = jnp.clip(pred_y + rres_y, 0, maxv)
     rec_cb = jnp.clip(pred_cb + rres_cb, 0, maxv)
     rec_cr = jnp.clip(pred_cr + rres_cr, 0, maxv)
@@ -279,7 +352,7 @@ def _inter_class_body(src_y, src_cb, src_cr,
     # +-32767, recon to the pixel range)
     return (lvl_y.astype(jnp.int16), lvl_cb.astype(jnp.int16),
             lvl_cr.astype(jnp.int16), cbf, rec_y.astype(jnp.int16),
-            rec_cb.astype(jnp.int16), rec_cr.astype(jnp.int16))
+            rec_cb.astype(jnp.int16), rec_cr.astype(jnp.int16), tusplit)
 
 
 _inter_class = partial(jax.jit, static_argnames=(
@@ -294,7 +367,7 @@ def _inter_multi(src_y, src_cb, src_cr,
                  r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                  per_class, wp, ns, bd, sdh, do_rdoq, lossless, pad,
                  wld, wcd, cb_off, cr_off, scaling=False, consts=None,
-                 psy_fx=0):
+                 psy_fx=0, rqt=False, rate_kk=None):
     """Several CU-size classes in ONE dispatch (one tunnel round trip
     instead of one per class). per_class: tuple of (xy, mv, dirm, ref_i,
     qp) batches matching `ns`."""
@@ -304,18 +377,19 @@ def _inter_multi(src_y, src_cb, src_cr,
         outs.append(_inter_class_body(
             src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
-            pad, wld, wcd, cb_off, cr_off, scaling, consts, psy_fx))
+            pad, wld, wcd, cb_off, cr_off, scaling, consts, psy_fx,
+            rqt, rate_kk))
     return tuple(outs)
 
 
 @partial(jax.jit, static_argnames=("ns", "bd", "sdh", "do_rdoq", "lossless",
                                    "pad", "wld", "wcd", "cb_off", "cr_off",
-                                   "scaling", "psy_fx"))
+                                   "scaling", "psy_fx", "rqt"))
 def _inter_multi_planes(src_y, src_cb, src_cr,
                         r0y, r0cb, r0cr, r1y, r1cb, r1cr,
                         per_class, wp, ns, bd, sdh, do_rdoq, lossless,
                         pad, wld, wcd, cb_off, cr_off, scaling=False,
-                        consts=None, psy_fx=0):
+                        consts=None, psy_fx=0, rqt=False, rate_kk=None):
     """_inter_multi + ON-DEVICE scatter of every class's levels/recon
     into full-frame planes.  The wire then carries ~frame-sized tensors
     instead of worst-case padded per-lane batches — on the tunneled TPU
@@ -336,12 +410,14 @@ def _inter_multi_planes(src_y, src_cb, src_cr,
     rec_cr = jnp.clip(src_cr, 0, maxv).astype(rdt)
     cbf8 = jnp.zeros((h // 8, w // 8), jnp.uint8)
     has8 = jnp.zeros((h // 8, w // 8), jnp.uint8)
+    tus8 = jnp.zeros((h // 8, w // 8), jnp.uint8)
     for (n, args) in zip(ns, per_class):
         xy, mv, dirm, ref_i, qp = args
-        ly, lcb, lcr, cbf, ry, rcb, rcr = _inter_class_body(
+        ly, lcb, lcr, cbf, ry, rcb, rcr, tus = _inter_class_body(
             src_y, src_cb, src_cr, r0y, r0cb, r0cr, r1y, r1cb, r1cr,
             xy, mv, dirm, ref_i, qp, wp, n, bd, sdh, do_rdoq, lossless,
-            pad, wld, wcd, cb_off, cr_off, scaling, consts, psy_fx)
+            pad, wld, wcd, cb_off, cr_off, scaling, consts, psy_fx,
+            rqt, rate_kk)
         x0 = xy[:, 0]
         y0 = xy[:, 1]
         ii = jnp.arange(n)
@@ -360,7 +436,7 @@ def _inter_multi_planes(src_y, src_cb, src_cr,
         jj = jnp.arange(r)
         byy = (y0 >> 3)[:, None, None] + jj[None, :, None]
         bxx = (x0 >> 3)[:, None, None] + jj[None, None, :]
-        if n < 64:
+        if cbf.ndim == 2:
             bits = (cbf[:, 0].astype(jnp.uint8)
                     | (cbf[:, 1].astype(jnp.uint8) << 1)
                     | (cbf[:, 2].astype(jnp.uint8) << 2))
@@ -382,7 +458,11 @@ def _inter_multi_planes(src_y, src_cb, src_cr,
             bmap = jnp.concatenate(rows, axis=1)
         cbf8 = cbf8.at[byy, bxx].set(bmap, mode="drop")
         has8 = has8.at[byy, bxx].set(jnp.ones_like(bmap), mode="drop")
-    return (lvl_y, lvl_cb, lvl_cr, cbf8, has8, rec_y, rec_cb, rec_cr)
+        tmap = jnp.broadcast_to(tus.astype(jnp.uint8)[:, None, None],
+                                (tus.shape[0], r, r))
+        tus8 = tus8.at[byy, bxx].set(tmap, mode="drop")
+    return (lvl_y, lvl_cb, lvl_cr, cbf8, has8, rec_y, rec_cb, rec_cr,
+            tus8)
 
 
 @partial(jax.jit, static_argnames=("B", "ts", "ntx"))
@@ -629,6 +709,16 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             kk = jnp.asarray(slice_rate_consts(slice_type, qp_slice))
             if rdoq_level >= 2:
                 psy_fx = int(round(p.psy_rdoq * 256))
+        # explicit inter RQT level (x265 tuQTMaxInterDepth >= 2,
+        # search.cpp:2863): RD-choose TU==CU vs a 4-quad split for the
+        # 16/32 classes; the estBit rate rows feed the choice even when
+        # RDOQ itself is off
+        rqt = bool(getattr(p, "tu_inter_depth", 1) >= 2
+                   and not p.lossless and not p.tskip)
+        rate_kk = None
+        if rqt:
+            from x265_tpu.hevc.rate_model import slice_rate_consts
+            rate_kk = jnp.asarray(slice_rate_consts(slice_type, qp_slice))
         if mesh is None:
             # single-device: scatter to planes ON DEVICE; the wire
             # carries frame-sized tensors (~4x fewer bytes than the
@@ -641,8 +731,8 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                     tuple(c[7] for c in classes), wp_arr, ns, bd,
                     bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
                     wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
-                    bool(p.scaling_lists), kk, psy_fx)
-            (cbf8, has8, rec_y, rec_cb, rec_cr) = jax.device_get(
+                    bool(p.scaling_lists), kk, psy_fx, rqt, rate_kk)
+            (cbf8, has8, rec_y, rec_cb, rec_cr, tus8) = jax.device_get(
                 pouts[3:])
             lvl_y, lvl_cb, lvl_cr = _sparse_planes_download(
                 (pouts[0], pouts[1], pouts[2]),
@@ -650,6 +740,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 (8, 4, 4))
             return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
                     "cbf8": cbf8, "has8": has8,
+                    "tusplit8": np.asarray(tus8, np.uint8),
                     "rec_y": rec_y.astype(np.int16),
                     "rec_cb": rec_cb.astype(np.int16),
                     "rec_cr": rec_cr.astype(np.int16)}
@@ -659,11 +750,12 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                 tuple(c[7] for c in classes), wp_arr, ns, bd,
                 bool(sdh), rdoq_level > 0, bool(p.lossless), 80,
                 wld, wcd, int(p.cb_qp_offset), int(p.cr_qp_offset),
-                bool(p.scaling_lists), kk, psy_fx)
+                bool(p.scaling_lists), kk, psy_fx, rqt, rate_kk)
         outs = jax.device_get(outs)
+        tusplit8 = np.zeros((h8, w8), np.uint8)
         for (n, N, x0, y0, ys8, xs8, r, _a), out in zip(classes, outs):
-            ly, lcb, lcr, cbf, ry, rcb, rcr = (np.asarray(o)[:N]
-                                               for o in out)
+            ly, lcb, lcr, cbf, ry, rcb, rcr, tus = (np.asarray(o)[:N]
+                                                    for o in out)
             ii = np.arange(n)
             yy = y0[:, None, None] + ii[None, :, None]
             xx = x0[:, None, None] + ii[None, None, :]
@@ -679,7 +771,7 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
             jj = np.arange(r)
             byy = ys8[:, None, None] + jj[None, :, None]
             bxx = xs8[:, None, None] + jj[None, None, :]
-            if n < 64:
+            if cbf.ndim == 2:
                 bits = (cbf[:, 0].astype(np.uint8)
                         | (cbf[:, 1].astype(np.uint8) << 1)
                         | (cbf[:, 2].astype(np.uint8) << 2))
@@ -700,8 +792,9 @@ def build_inter_pre(src, decisions, refs_padded, qp_slice, p, wp_native,
                         qbits[:, q][:, None, None]
                 cbf8[byy, bxx] = qmap
             has8[byy, bxx] = 1
+            tusplit8[byy, bxx] = tus[:, None, None].astype(np.uint8)
     if not any_pre:
         return None
     return {"lvl_y": lvl_y, "lvl_cb": lvl_cb, "lvl_cr": lvl_cr,
-            "cbf8": cbf8, "has8": has8,
+            "cbf8": cbf8, "has8": has8, "tusplit8": tusplit8,
             "rec_y": rec_y, "rec_cb": rec_cb, "rec_cr": rec_cr}

@@ -110,6 +110,7 @@ def get_lib():
             ctypes.c_int,                                        # wpp
             ctypes.c_void_p, ctypes.c_int,                       # ss sizes out, cap
             ctypes.c_int,                                        # psy_rdoq_fx
+            ctypes.c_void_p, ctypes.c_int,                       # pre tusplit8, max_trafo_inter
         ]
         _lib = lib
         return _lib
@@ -170,7 +171,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
                     weights=None, col=None, col_from_l0=1, nr=None,
                     pre=None, ctb_begin=0, ctb_count=-1,
                     collect=None, scaling_lists=False, tskip=False,
-                    wpp=False, psy_rdoq_fx=0):
+                    wpp=False, psy_rdoq_fx=0, tu_inter_depth=1):
     """Unified native I/P/B slice encode.
 
     refs: ([(y,cb,cr) padded int16 per ref] per list), up to 4 refs/list.
@@ -247,6 +248,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         keep.append(wp_arr)
         wp_ptr, wp_ld, wp_cd = wp_arr.ctypes.data, weights[1], weights[2]
     pre_ptrs = [None] * 8
+    tus_ptr = None
     if pre is not None:
         order = ("lvl_y", "lvl_cb", "lvl_cr", "cbf8", "has8",
                  "rec_y", "rec_cb", "rec_cr")
@@ -256,6 +258,10 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
             a = c(pre[k], dtype=dt)
             keep.append(a)
             pre_ptrs[i] = a.ctypes.data
+        if pre.get("tusplit8") is not None:
+            ta = c(pre["tusplit8"], dtype=np.uint8)
+            keep.append(ta)
+            tus_ptr = ta.ctypes.data
     nro_p = nrs_p = nrc_p = None
     if nr is not None:
         assert nr[0].dtype == np.uint16 and nr[1].dtype == np.uint32 \
@@ -326,7 +332,7 @@ def encode_slice_px(src_y, src_cb, src_cr, cu_log2_map, luma_mode8,
         rc_ptr, int(wpp),
         ss_sizes.ctypes.data if ss_sizes is not None else None,
         len(ss_sizes) if ss_sizes is not None else 0,
-        int(psy_rdoq_fx))
+        int(psy_rdoq_fx), tus_ptr, int(tu_inter_depth) - 1)
     if n < 0:
         return None
     res = (out[:n].tobytes(),

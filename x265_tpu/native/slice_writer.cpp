@@ -947,6 +947,8 @@ struct Writer {
   const int16_t* pre_rec_y = nullptr;   // recon planes (pre-loop-filter)
   const int16_t* pre_rec_cb = nullptr;
   const int16_t* pre_rec_cr = nullptr;
+  const uint8_t* pre_tus8 = nullptr;    // [h8*w8] inter RQT split flag
+  int max_trafo_inter = 0;              // sps.max_transform_hierarchy_inter
   bool pre_cu(int x0, int y0) const {
     return pre_has8 && pre_has8[(y0 >> 3) * w8 + (x0 >> 3)];
   }
@@ -1710,8 +1712,13 @@ struct Writer {
     // with NO split_transform_flag bins (7.3.8.8; x265 analog:
     // Search::estimateResidualQT's first forced split, search.cpp:3178)
     bool cu64 = log2_cb == 6;
-    int nq = cu64 ? 4 : 1;
-    int tn = cu64 ? 32 : size;          // luma TB size
+    // explicit RQT level for 16/32 CUs (device RD choice; x265
+    // tuQTMaxInterDepth 2, search.cpp:2863)
+    bool tusplit = !cu64 && log2_cb >= 4 && pre_tus8 &&
+                   pre_tus8[(y0 >> 3) * w8 + (x0 >> 3)];
+    bool split = cu64 || tusplit;
+    int nq = split ? 4 : 1;
+    int tn = cu64 ? 32 : (tusplit ? hs : size);  // luma TB size
     int tc = tn >> 1;                   // chroma TB size
     static const int qdx[4] = {0, 1, 0, 1}, qdy[4] = {0, 0, 1, 1};
 
@@ -1853,7 +1860,11 @@ struct Writer {
         return;
       }
     }
-    if (!cu64) {
+    // split_transform_flag (7.3.8.8): present for inter CUs when the
+    // SPS allows an explicit RQT level (ctxInc = 5 - log2TrafoSize)
+    if (max_trafo_inter > 0 && !cu64 && log2_cb >= 3 && log2_cb <= 5)
+      cab.bin(CTX_SPLIT_TRANSFORM + (5 - log2_cb), tusplit ? 1 : 0);
+    if (!split) {
       cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
       cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
       if (cbf_cb || cbf_cr)
@@ -1873,6 +1884,7 @@ struct Writer {
       // transform_tree at depth 0 (implicit split): hierarchical chroma
       // cbfs (ctxInc = trafoDepth, 9.3.4.2.2), then the 4 leaves in
       // z-order, each a transform_unit (cbf_luma ctx 0 at depth 1)
+      int tnl2 = cu64 ? 5 : log2_cb - 1;
       cab.bin(CTX_CBF_CHROMA + 0, cbf_cb);
       cab.bin(CTX_CBF_CHROMA + 0, cbf_cr);
       for (int q = 0; q < 4; q++) {
@@ -1882,21 +1894,21 @@ struct Writer {
         if (qy[q] || qcb[q] || qcr[q]) {
           maybe_code_dqp(true);
           if (qy[q])
-            encode_residual(cab, ylvl.data() + q * tn * tn, 5, 0, 0,
+            encode_residual(cab, ylvl.data() + q * tn * tn, tnl2, 0, 0,
                             sign_hiding, lossless);
           if (qcb[q])
-            encode_residual(cab, cblvl.data() + q * tc * tc, 4, 1, 0,
-                            sign_hiding, lossless);
+            encode_residual(cab, cblvl.data() + q * tc * tc, tnl2 - 1, 1,
+                            0, sign_hiding, lossless);
           if (qcr[q])
-            encode_residual(cab, crlvl.data() + q * tc * tc, 4, 2, 0,
-                            sign_hiding, lossless);
+            encode_residual(cab, crlvl.data() + q * tc * tc, tnl2 - 1, 2,
+                            0, sign_hiding, lossless);
         }
       }
     }
     finish_inter(x0, y0, size, depth, m, false, cbf_y,
                  pre ? nullptr : py.data(), pcb.data(), pcr.data(),
                  pre ? nullptr : yres.data(), cbres.data(), crres.data());
-    if (cu64) {
+    if (split) {
       // per-quadrant luma cbf for the deblock maps (TU != CU here)
       for (int q = 0; q < 4; q++) {
         int qx0 = x0 + qdx[q] * tn, qy0 = y0 + qdy[q] * tn;
@@ -2192,7 +2204,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
                     int scaling_lists, int tskip_enabled,
                     const int32_t* rate_consts,
                     int wpp, int32_t* substream_sizes_out,
-                    int substream_cap, int psy_rdoq_fx) {
+                    int substream_cap, int psy_rdoq_fx,
+                    const uint8_t* pre_tus8, int max_trafo_inter) {
   Writer w;
   w.width = width; w.height = height;
   w.ctb_log2 = ctb_log2; w.min_cb_log2 = min_cb_log2;
@@ -2240,6 +2253,8 @@ int encode_slice_px(const uint16_t* src_y, const uint16_t* src_cb,
   w.ss_sizes = substream_sizes_out;
   w.ss_cap = substream_cap;
   w.psy_fx = psy_rdoq_fx;
+  w.pre_tus8 = pre_tus8;
+  w.max_trafo_inter = max_trafo_inter;
   if (collect_only) w.cab.enabled = false;
   if (exp_lvl_y) {
     w.exp_lvl_y = exp_lvl_y; w.exp_lvl_cb = exp_lvl_cb;
